@@ -1,0 +1,80 @@
+"""AdaLN diffusion head.
+
+Functional port of the reference's 4-layer conditioned MLP denoiser
+(reference: modular_vibevoice_diffusion_head.py:48-280): sinusoidal timestep
+embedder -> per-layer AdaLN (shift/scale/gate from condition) around a SwiGLU
+FFN -> AdaLN final projection.  AdaLN and output weights are zero-initialized
+(reference :240-252) so an untrained head is the identity flow.
+
+This whole network is a handful of [B, H] matmuls — at inference it runs inside
+the per-token diffusion ``lax.scan`` with a doubled (CFG) batch, which is
+exactly the batched-small-matmul regime the MXU handles well.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ..config import DiffusionHeadConfig
+from ..ops.norms import rms_norm
+
+
+def init_params(rng: jax.Array, cfg: DiffusionHeadConfig, dtype=jnp.bfloat16) -> dict:
+    h, f, lat = cfg.hidden_size, cfg.ffn_dim, cfg.latent_size
+    L = cfg.head_layers
+    keys = jax.random.split(rng, 8)
+    n = lambda k, shape, std=0.02: (jax.random.normal(k, shape, jnp.float32) * std).astype(dtype)
+    return {
+        "noisy_proj": n(keys[0], (lat, h)),
+        "cond_proj": n(keys[1], (h, h)),
+        "t_mlp1": n(keys[2], (cfg.freq_embed_size, h)),
+        "t_mlp2": n(keys[3], (h, h)),
+        "layers": {
+            "norm": jnp.ones((L, h), dtype),
+            "ada": jnp.zeros((L, h, 3 * h), dtype),      # zero-init AdaLN
+            "wg": n(keys[4], (L, h, f)),
+            "wu": n(keys[5], (L, h, f)),
+            "wd": n(keys[6], (L, f, h)),
+        },
+        "final_ada": jnp.zeros((h, 2 * h), dtype),
+        "final_linear": jnp.zeros((h, lat), dtype),       # zero-init output
+    }
+
+
+def timestep_embedding(t: jax.Array, dim: int, max_period: float = 10000.0) -> jax.Array:
+    """Sinusoidal embedding, [N] -> [N, dim] (cos first, then sin —
+    reference modular_vibevoice_diffusion_head.py:80-88)."""
+    half = dim // 2
+    freqs = jnp.exp(-math.log(max_period) * jnp.arange(half, dtype=jnp.float32) / half)
+    args = t.astype(jnp.float32)[:, None] * freqs[None]
+    emb = jnp.concatenate([jnp.cos(args), jnp.sin(args)], axis=-1)
+    if dim % 2:
+        emb = jnp.concatenate([emb, jnp.zeros_like(emb[:, :1])], axis=-1)
+    return emb
+
+
+def apply(params: dict, cfg: DiffusionHeadConfig, noisy: jax.Array,
+          timesteps: jax.Array, condition: jax.Array) -> jax.Array:
+    """noisy: [N, latent], timesteps: [N], condition: [N, H] -> [N, latent]."""
+    dtype = condition.dtype
+    x = noisy.astype(dtype) @ params["noisy_proj"]
+    t_emb = timestep_embedding(timesteps, cfg.freq_embed_size).astype(dtype)
+    t_emb = jax.nn.silu(t_emb @ params["t_mlp1"]) @ params["t_mlp2"]
+    c = condition @ params["cond_proj"] + t_emb
+
+    def body(xc, lp):
+        mod = jax.nn.silu(c) @ lp["ada"]
+        shift, scale, gate = jnp.split(mod, 3, axis=-1)
+        y = rms_norm(xc, lp["norm"], cfg.rms_norm_eps) * (1 + scale) + shift
+        y = (jax.nn.silu(y @ lp["wg"]) * (y @ lp["wu"])) @ lp["wd"]
+        return xc + gate * y, None
+
+    x, _ = jax.lax.scan(body, x, params["layers"])
+
+    shift, scale = jnp.split(jax.nn.silu(c) @ params["final_ada"], 2, axis=-1)
+    x = rms_norm(x, None, cfg.rms_norm_eps) * (1 + scale) + shift
+    return x @ params["final_linear"]

@@ -1,0 +1,202 @@
+"""Qwen2.5 decoder, TPU-native.
+
+From-scratch functional implementation of the LM the reference obtains from
+``transformers`` (reference: modeling_vibevoice.py:121 via AutoModel,
+configs/qwen2.5_*.json `decoder_config`): token embeddings, RoPE(θ=1e6), GQA
+(12q/2kv or 28q/4kv), RMSNorm, SwiGLU MLP, optional tied lm_head.
+
+Idioms:
+  * Parameters are *stacked across layers* (leading L axis) and the transformer
+    body is a ``lax.scan`` over layers — one traced layer instead of 28,
+    which keeps XLA compile times flat.
+  * One forward covers prefill (T tokens, causal flash attention, cache write
+    at absolute positions) and decode (T=1 against a fixed-size KV cache with
+    per-sample write pointers) — the pointer indirection is what replaces the
+    reference's per-sample Python cache surgery
+    (modeling_vibevoice_inference.py:546-622).
+  * Weights live as [in, out] so every projection is ``x @ W`` on the MXU.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ..config import Qwen2DecoderConfig
+from ..ops.attention import attend, decode_attend
+from ..ops.norms import rms_norm
+from ..ops.rope import apply_rope, rope_cos_sin
+
+
+class KVCache(NamedTuple):
+    """Fixed-size per-layer KV cache: k, v of shape [L, B, S, Hkv, Dh]."""
+    k: jax.Array
+    v: jax.Array
+
+    @property
+    def max_len(self) -> int:
+        return self.k.shape[2]
+
+
+def init_kv_cache(cfg: Qwen2DecoderConfig, batch: int, max_len: int,
+                  dtype=jnp.bfloat16) -> KVCache:
+    shape = (cfg.num_hidden_layers, batch, max_len, cfg.num_key_value_heads,
+             cfg.resolved_head_dim)
+    return KVCache(k=jnp.zeros(shape, dtype), v=jnp.zeros(shape, dtype))
+
+
+def init_params(rng: jax.Array, cfg: Qwen2DecoderConfig, dtype=jnp.bfloat16) -> dict:
+    """Random init (normal(0, initializer_range), zero biases) matching the
+    reference init contract (modeling_vibevoice.py:85-104)."""
+    h, i = cfg.hidden_size, cfg.intermediate_size
+    dh = cfg.resolved_head_dim
+    hq, hkv = cfg.num_attention_heads, cfg.num_key_value_heads
+    L = cfg.num_hidden_layers
+    std = cfg.initializer_range
+
+    keys = jax.random.split(rng, 10)
+    n = lambda k, shape: (jax.random.normal(k, shape, jnp.float32) * std).astype(dtype)
+    params = {
+        "embed": n(keys[0], (cfg.vocab_size, h)),
+        "layers": {
+            "ln1": jnp.ones((L, h), dtype),
+            "wq": n(keys[1], (L, h, hq * dh)),
+            "bq": jnp.zeros((L, hq * dh), dtype),
+            "wk": n(keys[2], (L, h, hkv * dh)),
+            "bk": jnp.zeros((L, hkv * dh), dtype),
+            "wv": n(keys[3], (L, h, hkv * dh)),
+            "bv": jnp.zeros((L, hkv * dh), dtype),
+            "wo": n(keys[4], (L, hq * dh, h)),
+            "ln2": jnp.ones((L, h), dtype),
+            "wg": n(keys[5], (L, h, i)),
+            "wu": n(keys[6], (L, h, i)),
+            "wd": n(keys[7], (L, i, h)),
+        },
+        "norm": jnp.ones((h,), dtype),
+    }
+    if not cfg.tie_word_embeddings:
+        params["lm_head"] = n(keys[8], (h, cfg.vocab_size))
+    return params
+
+
+def embed_tokens(params: dict, ids: jax.Array) -> jax.Array:
+    return params["embed"][ids]
+
+
+def lm_head_weight(params: dict) -> jax.Array:
+    """[H, V] projection; tied models reuse the embedding."""
+    if "lm_head" in params:
+        return params["lm_head"]
+    return params["embed"].T
+
+
+def _layer(x, lp, cfg: Qwen2DecoderConfig, cos, sin, cache_k, cache_v,
+           write_idx, attn_mask, decode: bool):
+    """One transformer layer. x: [B, T, H]. cache_k/v: [B, S, Hkv, Dh]."""
+    b, t, h = x.shape
+    dh = cfg.resolved_head_dim
+    hq, hkv = cfg.num_attention_heads, cfg.num_key_value_heads
+
+    resid = x
+    y = rms_norm(x, lp["ln1"], cfg.rms_norm_eps)
+    q = (y @ lp["wq"] + lp["bq"]).reshape(b, t, hq, dh)
+    k = (y @ lp["wk"] + lp["bk"]).reshape(b, t, hkv, dh)
+    v = (y @ lp["wv"] + lp["bv"]).reshape(b, t, hkv, dh)
+    q = apply_rope(q, cos, sin)
+    k = apply_rope(k, cos, sin)
+
+    if decode:
+        # write at per-sample pointer, then attend over the cache
+        bidx = jnp.arange(b)
+        cache_k = cache_k.at[bidx, write_idx].set(k[:, 0])
+        cache_v = cache_v.at[bidx, write_idx].set(v[:, 0])
+        attn = attend(q, cache_k, cache_v, mask=attn_mask)
+    else:
+        # prefill: write the whole block at offset 0
+        cache_k = jax.lax.dynamic_update_slice(cache_k, k, (0, 0, 0, 0))
+        cache_v = jax.lax.dynamic_update_slice(cache_v, v, (0, 0, 0, 0))
+        attn = attend(q, k, v, mask=attn_mask)
+
+    x = resid + attn.reshape(b, t, hq * dh) @ lp["wo"]
+    resid = x
+    y = rms_norm(x, lp["ln2"], cfg.rms_norm_eps)
+    x = resid + (jax.nn.silu(y @ lp["wg"]) * (y @ lp["wu"])) @ lp["wd"]
+    return x, cache_k, cache_v
+
+
+def forward(params: dict, cfg: Qwen2DecoderConfig, x: jax.Array,
+            positions: jax.Array, cache: Optional[KVCache],
+            attn_mask: jax.Array, write_idx: Optional[jax.Array] = None,
+            decode: bool = False) -> Tuple[jax.Array, Optional[KVCache]]:
+    """Transformer body.
+
+    x: [B, T, H] embeddings; positions: [B, T] int for RoPE;
+    attn_mask: decode -> [B, 1, S] bool over the cache; prefill -> [B, T, T].
+    write_idx: [B] cache slot for the new token (decode only).
+    Returns (hidden [B, T, H], updated cache).
+    """
+    dh = cfg.resolved_head_dim
+    cos, sin = rope_cos_sin(positions, dh, cfg.rope_theta)
+
+    if cache is None:
+        # no-cache path (training forward)
+        def body_nocache(xc, lp):
+            b, t, _ = xc.shape
+            resid = xc
+            y = rms_norm(xc, lp["ln1"], cfg.rms_norm_eps)
+            q = (y @ lp["wq"] + lp["bq"]).reshape(b, t, cfg.num_attention_heads, dh)
+            k = (y @ lp["wk"] + lp["bk"]).reshape(b, t, cfg.num_key_value_heads, dh)
+            v = (y @ lp["wv"] + lp["bv"]).reshape(b, t, cfg.num_key_value_heads, dh)
+            q = apply_rope(q, cos, sin)
+            k = apply_rope(k, cos, sin)
+            attn = attend(q, k, v, mask=attn_mask)
+            xc = resid + attn.reshape(b, t, -1) @ lp["wo"]
+            resid = xc
+            y = rms_norm(xc, lp["ln2"], cfg.rms_norm_eps)
+            xc = resid + (jax.nn.silu(y @ lp["wg"]) * (y @ lp["wu"])) @ lp["wd"]
+            return xc, None
+
+        x, _ = jax.lax.scan(body_nocache, x, params["layers"])
+        return rms_norm(x, params["norm"], cfg.rms_norm_eps), None
+
+    def body(xc, layer_in):
+        lp, ck, cv = layer_in
+        y, ck, cv = _layer(xc, lp, cfg, cos, sin, ck, cv, write_idx, attn_mask, decode)
+        return y, (ck, cv)
+
+    x, (new_k, new_v) = jax.lax.scan(body, x, (params["layers"], cache.k, cache.v))
+    x = rms_norm(x, params["norm"], cfg.rms_norm_eps)
+    return x, KVCache(k=new_k, v=new_v)
+
+
+def prefill(params: dict, cfg: Qwen2DecoderConfig, embeds: jax.Array,
+            valid_mask: jax.Array, cache: KVCache) -> Tuple[jax.Array, KVCache]:
+    """Prefill with a left-padded batch.
+
+    embeds: [B, T, H]; valid_mask: [B, T] bool (True = real token).
+    Positions count valid tokens from 0 (HF convention: mask.cumsum - 1).
+    """
+    b, t, _ = embeds.shape
+    positions = jnp.clip(jnp.cumsum(valid_mask, axis=-1) - 1, 0)
+    causal = jnp.arange(t)[None, :, None] >= jnp.arange(t)[None, None, :]
+    mask = causal & valid_mask[:, None, :]
+    return forward(params, cfg, embeds, positions, cache, mask, decode=False)
+
+
+def decode_step(params: dict, cfg: Qwen2DecoderConfig, embeds: jax.Array,
+                positions: jax.Array, write_idx: jax.Array, kv_start: jax.Array,
+                kv_len: jax.Array, cache: KVCache) -> Tuple[jax.Array, KVCache]:
+    """One decode step.
+
+    embeds: [B, 1, H]; positions/write_idx/kv_start/kv_len: [B].
+    Valid cache entries for attention: kv_start <= j < kv_len (the new token's
+    slot must be inside that range).
+    """
+    s = cache.max_len
+    j = jnp.arange(s)[None, :]
+    mask = (j >= kv_start[:, None]) & (j < kv_len[:, None])    # [B, S]
+    return forward(params, cfg, embeds, positions[:, None], cache,
+                   mask[:, None, :], write_idx=write_idx, decode=True)

@@ -1,0 +1,138 @@
+"""Pallas TPU flash attention (prefill path).
+
+Replaces the reference's FlashAttention2 CUDA dependency
+(reference: main.py:65-86, modeling_vibevoice.py:79) with a TPU-native
+blockwise online-softmax kernel.
+
+Design:
+  * grid = (B, Hq, nQ, nK); the k-block axis is innermost, so the VMEM scratch
+    (running max m, denominator l, output accumulator) persists across the k
+    sweep for one q block — the canonical TPU flash pattern.
+  * GQA: the k/v index map selects kv head = q_head // group_size, so K/V are
+    never materialized per q-head.
+  * Left-padded batches (reference processor pads prompts on the left,
+    vibevoice_processor.py:333-338) are handled by a per-sample `kv_start`
+    scalar prefetch: keys before kv_start are masked.
+  * Causal masking is computed inline from block indices; fully-masked k blocks
+    are skipped with @pl.when (compute skipped; DMA pipelining still streams
+    the block — acceptable at prefill sizes, revisit with manual DMA if needed).
+"""
+
+import functools
+import math
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+NEG_INF = float(-2.0 ** 30)
+DEFAULT_BLOCK_Q = 128
+DEFAULT_BLOCK_K = 128
+
+
+def _flash_kernel(kv_start_ref,  # scalar prefetch: [B] int32
+                  q_ref, k_ref, v_ref, o_ref,
+                  m_scr, l_scr, acc_scr,
+                  *, scale: float, block_q: int, block_k: int, causal: bool):
+    b = pl.program_id(0)
+    qi = pl.program_id(2)
+    ki = pl.program_id(3)
+    nk = pl.num_programs(3)
+
+    @pl.when(ki == 0)
+    def _init():
+        m_scr[:] = jnp.full_like(m_scr, NEG_INF)
+        l_scr[:] = jnp.zeros_like(l_scr)
+        acc_scr[:] = jnp.zeros_like(acc_scr)
+
+    q_start = qi * block_q
+    k_start = ki * block_k
+
+    def _compute():
+        q = q_ref[0, 0].astype(jnp.float32)          # [BQ, D]
+        k = k_ref[0, 0].astype(jnp.float32)          # [BK, D]
+        v = v_ref[0, 0].astype(jnp.float32)          # [BK, D]
+        s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
+                                preferred_element_type=jnp.float32) * scale  # [BQ, BK]
+
+        q_ids = q_start + jax.lax.broadcasted_iota(jnp.int32, (block_q, block_k), 0)
+        k_ids = k_start + jax.lax.broadcasted_iota(jnp.int32, (block_q, block_k), 1)
+        mask = k_ids >= kv_start_ref[b]
+        if causal:
+            mask = jnp.logical_and(mask, k_ids <= q_ids)
+        s = jnp.where(mask, s, NEG_INF)
+
+        m_prev = m_scr[:]                            # [BQ, 1]
+        m_cur = jnp.max(s, axis=-1, keepdims=True)
+        m_new = jnp.maximum(m_prev, m_cur)
+        p = jnp.exp(s - m_new)                       # [BQ, BK]
+        alpha = jnp.exp(m_prev - m_new)              # [BQ, 1]
+        l_scr[:] = l_scr[:] * alpha + jnp.sum(p, axis=-1, keepdims=True)
+        acc_scr[:] = acc_scr[:] * alpha + jax.lax.dot_general(
+            p, v, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32)
+        m_scr[:] = m_new
+
+    if causal:
+        # Skip k blocks strictly above the causal diagonal for this q block.
+        pl.when(k_start <= q_start + block_q - 1)(_compute)
+    else:
+        _compute()
+
+    @pl.when(ki == nk - 1)
+    def _finalize():
+        l = l_scr[:]
+        l = jnp.where(l == 0.0, 1.0, l)              # fully-masked rows -> zeros, not NaN
+        o_ref[0, 0] = (acc_scr[:] / l).astype(o_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("causal", "block_q", "block_k", "interpret"))
+def flash_attention(q: jax.Array, k: jax.Array, v: jax.Array,
+                    kv_start: jax.Array | None = None, causal: bool = True,
+                    block_q: int = DEFAULT_BLOCK_Q, block_k: int = DEFAULT_BLOCK_K,
+                    interpret: bool = False) -> jax.Array:
+    """q: [B, Tq, Hq, D]; k, v: [B, Tk, Hkv, D]; kv_start: [B] first valid key.
+
+    Tq/Tk must be multiples of the block sizes (callers bucket prompt lengths).
+    Returns [B, Tq, Hq, D].
+    """
+    b, tq, hq, d = q.shape
+    tk, hkv = k.shape[1], k.shape[2]
+    group = hq // hkv
+    if kv_start is None:
+        kv_start = jnp.zeros((b,), jnp.int32)
+    block_q = min(block_q, tq)
+    block_k = min(block_k, tk)
+    assert tq % block_q == 0 and tk % block_k == 0, (tq, tk, block_q, block_k)
+    scale = d ** -0.5
+
+    # layout: [B, H, T, D] blocks
+    qh = q.transpose(0, 2, 1, 3)
+    kh = k.transpose(0, 2, 1, 3)
+    vh = v.transpose(0, 2, 1, 3)
+
+    grid = (b, hq, tq // block_q, tk // block_k)
+    kernel = functools.partial(_flash_kernel, scale=scale, block_q=block_q,
+                               block_k=block_k, causal=causal)
+    out = pl.pallas_call(
+        kernel,
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=grid,
+            in_specs=[
+                pl.BlockSpec((1, 1, block_q, d), lambda b_, h, qi, ki: (b_, h, qi, 0)),
+                # GQA: kv head = q head // group, no repeat/materialization
+                pl.BlockSpec((1, 1, block_k, d), lambda b_, h, qi, ki: (b_, h // group, ki, 0)),
+                pl.BlockSpec((1, 1, block_k, d), lambda b_, h, qi, ki: (b_, h // group, ki, 0)),
+            ],
+            out_specs=pl.BlockSpec((1, 1, block_q, d), lambda b_, h, qi, ki: (b_, h, qi, 0)),
+            scratch_shapes=[
+                pltpu.VMEM((block_q, 1), jnp.float32),
+                pltpu.VMEM((block_q, 1), jnp.float32),
+                pltpu.VMEM((block_q, d), jnp.float32),
+            ],
+        ),
+        out_shape=jax.ShapeDtypeStruct((b, hq, tq, d), q.dtype),
+        interpret=interpret,
+    )(kv_start.astype(jnp.int32), qh, kh, vh)
+    return out.transpose(0, 2, 1, 3)
