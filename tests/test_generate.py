@@ -1,0 +1,134 @@
+"""End-to-end generation tests on the tiny config (SURVEY.md §7 stage 7)."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from vibevoice_tpu.config import VibeVoiceConfig
+from vibevoice_tpu.generation import VibeVoiceGenerator
+from vibevoice_tpu.models import qwen2, vibevoice
+
+CFG = VibeVoiceConfig.named("tiny")
+
+
+class TinyTokenizer:
+    """Speech-control ids small enough for the tiny test vocab."""
+    eos_id = 3
+    speech_start_id = 10
+    speech_end_id = 11
+    speech_diffusion_id = 12
+    pad_id = 4
+
+    def encode(self, text, add_special_tokens=False):
+        return [ord(c) % 200 + 20 for c in text]
+
+
+@pytest.fixture(scope="module")
+def model():
+    params = vibevoice.init_params(jax.random.PRNGKey(0), CFG, jnp.float32)
+    gen = VibeVoiceGenerator(params, CFG, TinyTokenizer(),
+                             ddpm_inference_steps=4, lm_dtype=jnp.float32)
+    return gen
+
+
+def _prompt(b=1, t=12):
+    tk = TinyTokenizer()
+    rs = np.random.RandomState(0)
+    ids = rs.randint(20, 200, (b, t))
+    ids[:, -1] = tk.speech_start_id
+    return ids
+
+
+def test_generate_runs_and_shapes(model):
+    out = model.generate(_prompt(), cfg_scale=1.3, max_new_tokens=16,
+                         chunk_steps=4, seed=0)
+    frame = CFG.acoustic_tokenizer.total_stride
+    tk = TinyTokenizer()
+    valid = {tk.eos_id, tk.speech_start_id, tk.speech_end_id, tk.speech_diffusion_id}
+    assert out.sequences.shape[0] == 1
+    assert set(np.unique(out.sequences)) <= valid
+    if out.speech_outputs[0] is not None:
+        assert len(out.speech_outputs[0]) % frame == 0
+    assert out.reach_max_step_sample.shape == (1,)
+
+
+def test_generate_with_voice_prompt(model):
+    frame = CFG.acoustic_tokenizer.total_stride
+    tk = TinyTokenizer()
+    b, t = 1, 16
+    ids = _prompt(b, t)
+    # voice prompt occupying 3 diffusion slots
+    ids[0, 2] = tk.speech_start_id
+    ids[0, 3:6] = tk.speech_diffusion_id
+    ids[0, 6] = tk.speech_end_id
+    smask = np.zeros((b, t), bool)
+    smask[0, 3:6] = True
+    speech = np.random.RandomState(1).randn(1, 3 * frame).astype(np.float32) * 0.1
+    sp_masks = np.ones((1, 3), bool)
+
+    out = model.generate(ids, speech_tensors=speech, speech_masks=sp_masks,
+                         speech_input_mask=smask, cfg_scale=1.5,
+                         max_new_tokens=12, chunk_steps=4)
+    assert out.sequences.shape[0] == 1
+
+
+def test_generate_batch_and_determinism(model):
+    ids = _prompt(b=2, t=12)
+    out1 = model.generate(ids, cfg_scale=1.3, max_new_tokens=12, chunk_steps=4, seed=7)
+    out2 = model.generate(ids, cfg_scale=1.3, max_new_tokens=12, chunk_steps=4, seed=7)
+    np.testing.assert_array_equal(out1.sequences, out2.sequences)
+    for a, b_ in zip(out1.speech_outputs, out2.speech_outputs):
+        if a is None:
+            assert b_ is None
+        else:
+            np.testing.assert_allclose(a, b_, atol=1e-6)
+
+
+def test_max_length_times_budget(model):
+    """Generated steps must respect min(max_new, 2x prompt) (inference:420-422)."""
+    ids = _prompt(b=1, t=12)
+    out = model.generate(ids, cfg_scale=1.0, max_new_tokens=100,
+                         max_length_times=1.0, chunk_steps=4, do_sample=False)
+    # budget = 1.0 * 12 = 12 steps; chunked execution may overshoot by < chunk
+    assert out.sequences.shape[1] <= 12 + 4
+
+
+def test_write_pointer_cache_semantics():
+    """The negative-context write-pointer trick must equal recomputing the
+    kept subsequence from scratch (replaces the reference's KV shift surgery,
+    inference:588-622)."""
+    dcfg = CFG.decoder
+    params = qwen2.init_params(jax.random.PRNGKey(1), dcfg, jnp.float32)
+    rs = np.random.RandomState(2)
+    n_stream = 7
+    embeds = jnp.asarray(rs.randn(1, n_stream, dcfg.hidden_size), jnp.float32) * 0.1
+    keep = [True, False, True, True, False, True, True]
+
+    # pointer-based: write each embed at ptr, advance only when kept
+    cache = qwen2.init_kv_cache(dcfg, 1, 16, jnp.float32)
+    ptr = 0
+    hiddens = []
+    for i in range(n_stream):
+        pos = jnp.asarray([ptr])
+        h, cache = qwen2.decode_step(params, dcfg, embeds[:, i:i + 1],
+                                     positions=pos, write_idx=jnp.asarray([ptr]),
+                                     kv_start=jnp.asarray([0]),
+                                     kv_len=jnp.asarray([ptr + 1]), cache=cache)
+        hiddens.append(h[:, 0])
+        if keep[i]:
+            ptr += 1
+
+    # reference: full forward over kept prefix + current token
+    kept_idx = [i for i in range(n_stream) if keep[i]]
+    for i in range(n_stream):
+        prefix = [j for j in kept_idx if j < i] + [i]
+        sub = embeds[:, prefix, :]
+        t = sub.shape[1]
+        causal = jnp.arange(t)[None, :, None] >= jnp.arange(t)[None, None, :]
+        h_full, _ = qwen2.forward(params, dcfg, sub,
+                                  positions=jnp.arange(t)[None, :],
+                                  cache=None, attn_mask=causal)
+        np.testing.assert_allclose(np.asarray(hiddens[i][0]),
+                                   np.asarray(h_full[0, -1]), rtol=2e-4, atol=2e-4)

@@ -1,0 +1,4 @@
+from .generate import VibeVoiceGenerationOutput, VibeVoiceGenerator
+from .state import GenState
+
+__all__ = ["VibeVoiceGenerator", "VibeVoiceGenerationOutput", "GenState"]

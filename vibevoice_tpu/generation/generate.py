@@ -1,0 +1,448 @@
+"""VibeVoice generation: the token loop as a fused, scannable XLA step.
+
+Re-architecture of the reference generate loop
+(reference: modeling_vibevoice_inference.py:326-708) for TPU:
+
+  * The CFG pair of LM forwards per token (inference:477-480 positive,
+    :573-587 negative) is ONE batched decode over a 2B-row KV cache.
+  * The reference's per-sample negative-cache shift surgery (inference:588-622)
+    becomes a per-sample write pointer: a non-diffusing sample doesn't advance
+    its pointer, so the transient slot is overwritten and masked out. The
+    speech_start negative-context reset (inference:546-563) is a pointer reset.
+  * Constrained decoding (VibeVoiceTokenConstraintProcessor, inference:53-66,
+    403-418): instead of computing the full 152k-vocab lm_head and masking,
+    logits are computed ONLY for the ~5 valid control tokens — a [H, 5]
+    matvec per step instead of [H, 152k].
+  * The per-token diffusion loop (inference:695-708) is a lax.scan over
+    precomputed DPM-Solver coefficients with the CFG pair batched through the
+    AdaLN head.
+  * Streaming vocode + semantic re-encode (inference:633-662) are fixed-shape
+    conv streaming steps carried in the state.
+  * Everything above compiles into ONE step program, which is then scanned in
+    chunks of K steps on device — the host syncs once per chunk, not per
+    token/term check.
+
+Host-visible behavior (termination, CFG semantics, token budget
+``max_length_times``, per-sample EOS/max-step, audio chunk validity) matches
+the reference contract.
+"""
+
+from __future__ import annotations
+
+import math
+from dataclasses import dataclass, field
+from functools import partial
+from typing import Any, Callable, Dict, List, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import VibeVoiceConfig
+from ..models import acoustic_tokenizer as tok
+from ..models import connectors, diffusion_head, qwen2
+from ..schedule.dpm_solver import DPMSolverConfig, make_schedule, sample_with_solver
+from .state import GenState, StepOutput
+
+
+def _round_up(x: int, m: int) -> int:
+    return ((x + m - 1) // m) * m
+
+
+@dataclass
+class VibeVoiceGenerationOutput:
+    """Mirror of the reference output (inference:39-51)."""
+    sequences: np.ndarray                     # [B, steps] generated control tokens
+    speech_outputs: List[Optional[np.ndarray]]  # per-sample 24 kHz waveform
+    reach_max_step_sample: np.ndarray         # [B] bool
+
+
+class VibeVoiceGenerator:
+    """Stateless-parameters generator; jitted programs cached per shape bucket."""
+
+    def __init__(self, params: dict, cfg: VibeVoiceConfig, tokenizer,
+                 ddpm_inference_steps: Optional[int] = None,
+                 solver: Optional[DPMSolverConfig] = None,
+                 lm_dtype=jnp.bfloat16):
+        self.params = params
+        self.cfg = cfg
+        self.tokenizer = tokenizer
+        self.lm_dtype = lm_dtype
+        self.ddpm_steps = ddpm_inference_steps or cfg.diffusion_head.ddpm_num_inference_steps
+        # demos run sde-dpmsolver++ (reference demo/gradio_demo.py:173-179,
+        # main.py:543-548); cosine == squaredcos_cap_v2 here.
+        self.solver_cfg = solver or DPMSolverConfig(
+            num_train_timesteps=cfg.diffusion_head.ddpm_num_steps,
+            beta_schedule=cfg.diffusion_head.ddpm_beta_schedule,
+            prediction_type=cfg.diffusion_head.prediction_type,
+            algorithm_type="sde-dpmsolver++", solver_order=2)
+        self.sched = make_schedule(self.solver_cfg, self.ddpm_steps)
+        tk = tokenizer
+        self.valid_ids = jnp.asarray(
+            [tk.speech_start_id, tk.speech_end_id, tk.speech_diffusion_id, tk.eos_id],
+            jnp.int32)
+        self.frame_samples = cfg.acoustic_tokenizer.total_stride
+        self._prefill_jit: Dict[Any, Callable] = {}
+        self._chunk_jit: Dict[Any, Callable] = {}
+
+    def set_ddpm_inference_steps(self, num_steps: Optional[int] = None) -> None:
+        """Reference API parity (inference:146-147). Rebuilds the schedule."""
+        self.ddpm_steps = num_steps or self.cfg.diffusion_head.ddpm_num_inference_steps
+        self.sched = make_schedule(self.solver_cfg, self.ddpm_steps)
+        self._chunk_jit.clear()
+
+    def set_solver(self, **overrides) -> None:
+        import dataclasses as dc
+        self.solver_cfg = dc.replace(self.solver_cfg, **overrides)
+        self.sched = make_schedule(self.solver_cfg, self.ddpm_steps)
+        self._chunk_jit.clear()
+
+    # ------------------------------------------------------------------
+    # scaling factors
+    # ------------------------------------------------------------------
+    @staticmethod
+    def _scale_bias(params):
+        s = params["speech_scaling_factor"]
+        b = params["speech_bias_factor"]
+        s = jnp.where(jnp.isnan(s), 1.0, s).astype(jnp.float32)
+        b = jnp.where(jnp.isnan(b), 0.0, b).astype(jnp.float32)
+        return s, b
+
+    # ------------------------------------------------------------------
+    # Prefill
+    # ------------------------------------------------------------------
+    def _build_prefill(self, t_bucket: int, cache_len: int, has_speech: bool):
+        cfg = self.cfg
+
+        def prefill_fn(params, ids2b, valid2b, speech_tensors, speech_masks,
+                       speech_input_mask, rng):
+            b2 = ids2b.shape[0]
+            b = b2 // 2
+            embeds = qwen2.embed_tokens(params["lm"], ids2b).astype(self.lm_dtype)
+            if has_speech:
+                # voice-prompt acoustic latents -> connector -> scatter into
+                # the diffusion-pad slots (inference:149-176, 221-224)
+                mean, _ = tok.encode(params["acoustic"]["encoder"],
+                                     cfg.acoustic_tokenizer,
+                                     speech_tensors[..., None].astype(jnp.float32))
+                lat = tok.sample_latents(rng, mean, cfg.acoustic_tokenizer.fix_std,
+                                         cfg.acoustic_tokenizer.std_dist_type)
+                s, bia = self._scale_bias(params)
+                feats = (lat + bia) * s
+                conn = connectors.apply(params["acoustic_connector"],
+                                        feats.astype(self.lm_dtype))  # [N, F, H]
+                h = conn.shape[-1]
+                flat = conn.reshape(-1, h)
+                valid_frames = speech_masks.reshape(-1)
+                order = jnp.argsort(~valid_frames, stable=True)
+                compact = flat[order]
+                pos_embeds = embeds[:b].reshape(-1, h)
+                tok_mask = speech_input_mask.reshape(-1)
+                idx = jnp.clip(jnp.cumsum(tok_mask) - 1, 0, compact.shape[0] - 1)
+                pos_embeds = jnp.where(tok_mask[:, None], compact[idx], pos_embeds)
+                embeds = embeds.at[:b].set(pos_embeds.reshape(b, -1, h))
+
+            cache = qwen2.init_kv_cache(cfg.decoder, b2, cache_len, self.lm_dtype)
+            hidden, cache = qwen2.prefill(params["lm"], cfg.decoder, embeds,
+                                          valid2b, cache)
+            return hidden[:, -1, :], cache
+
+        return jax.jit(prefill_fn)
+
+    # ------------------------------------------------------------------
+    # One generation step (sample -> bookkeeping -> diffuse -> vocode -> LM)
+    # ------------------------------------------------------------------
+    def _make_step(self, do_sample: bool, temperature: float, top_p: float,
+                   refresh_negative: bool):
+        cfg = self.cfg
+        sched = self.sched
+        valid_ids = self.valid_ids
+        eos = self.tokenizer.eos_id
+        start_id = self.tokenizer.speech_start_id
+        end_id = self.tokenizer.speech_end_id
+        diff_id = self.tokenizer.speech_diffusion_id
+
+        def step(params, state: GenState, cfg_scale):
+            # [H, n_valid] slice of the lm head — constrained decoding without
+            # the full-vocab matmul
+            w_valid = qwen2.lm_head_weight(params["lm"])[:, valid_ids].astype(jnp.float32)
+            b2 = state.last_hidden.shape[0]
+            b = b2 // 2
+            rng, k_tok, k_lat, k_sde = jax.random.split(state.rng, 4)
+            pos_h = state.last_hidden[:b]
+            neg_h = state.last_hidden[b:]
+
+            # ---- constrained token sampling --------------------------------
+            logits = pos_h.astype(jnp.float32) @ w_valid           # [B, n_valid]
+            if do_sample:
+                logits = logits / max(temperature, 1e-5)
+                if top_p < 1.0:
+                    probs = jax.nn.softmax(logits, axis=-1)
+                    sorted_p = jnp.sort(probs, axis=-1)[:, ::-1]
+                    csum = jnp.cumsum(sorted_p, axis=-1)
+                    # number of tokens needed to reach top_p mass
+                    k_keep = jnp.sum(csum - sorted_p < top_p, axis=-1, keepdims=True)
+                    ranks = jnp.argsort(jnp.argsort(-logits, axis=-1), axis=-1)
+                    logits = jnp.where(ranks < k_keep, logits, -jnp.inf)
+                idx = jax.random.categorical(k_tok, logits, axis=-1)
+            else:
+                idx = jnp.argmax(logits, axis=-1)
+            token = valid_ids[idx]
+            token = jnp.where(state.finished, eos, token)
+
+            # ---- termination bookkeeping (inference:517-537) ----------------
+            finished = state.finished | (token == eos)
+            hit_max = (~finished) & (state.step >= state.max_steps_per_sample)
+            finished = finished | hit_max
+            reach_max = state.reach_max | hit_max
+            token = jnp.where(hit_max, eos, token)
+
+            end_mask = token == end_id
+            keep = (~end_mask).astype(jnp.float32)[:, None, None]
+            ac_state = jax.tree.map(lambda s: s * keep, state.acoustic_state)
+            sem_state = jax.tree.map(lambda s: s * keep, state.semantic_state)
+
+            start_mask = (~finished) & (token == start_id)
+            diffuse = (~finished) & (token == diff_id)
+
+            # negative-context pointer updates (replaces inference:546-622)
+            neg_kv_start = state.kv_start[b:]
+            if refresh_negative:
+                neg_ptr = jnp.where(start_mask, neg_kv_start + 1, state.neg_ptr)
+                neg_ptr = neg_ptr + diffuse.astype(neg_ptr.dtype)
+            else:
+                neg_ptr = state.neg_ptr + 1
+
+            # ---- per-token diffusion with CFG (inference:695-708) -----------
+            cond2 = jnp.concatenate([pos_h, neg_h], axis=0)        # [2B, H]
+
+            def denoise(x, t):
+                xx = jnp.concatenate([x, x], axis=0).astype(pos_h.dtype)
+                tt = jnp.broadcast_to(t, (b2,))
+                out = diffusion_head.apply(params["diffusion_head"],
+                                           cfg.diffusion_head, xx, tt, cond2)
+                c, u = out[:b].astype(jnp.float32), out[b:].astype(jnp.float32)
+                return u + cfg_scale * (c - u)
+
+            x_t = jax.random.normal(k_lat, (b, cfg.acoustic_vae_dim), jnp.float32)
+            latent = sample_with_solver(sched, denoise, x_t, rng=k_sde)  # [B, D]
+
+            # ---- streaming vocode (inference:633-641) -----------------------
+            s, bia = self._scale_bias(params)
+            scaled = (latent / s - bia).astype(jnp.float32)
+            audio, ac_new = tok.decode(params["acoustic"]["decoder"],
+                                       cfg.acoustic_tokenizer,
+                                       scaled[:, None, :], ac_state)
+            gate = diffuse.astype(jnp.float32)[:, None, None]
+            ac_state = jax.tree.map(lambda n, o: n * gate + o * (1 - gate),
+                                    ac_new, ac_state)
+
+            # ---- semantic re-encode (inference:655-662) ---------------------
+            sem, sem_new = tok.encode(params["semantic"], cfg.semantic_tokenizer,
+                                      audio, sem_state)
+            sem_state = jax.tree.map(lambda n, o: n * gate + o * (1 - gate),
+                                     sem_new, sem_state)
+
+            # ---- next input embedding (inference:565-673) -------------------
+            tok_embed = qwen2.embed_tokens(params["lm"], token).astype(self.lm_dtype)
+            ac_embed = connectors.apply(params["acoustic_connector"],
+                                        latent.astype(self.lm_dtype))
+            sem_embed = connectors.apply(params["semantic_connector"],
+                                         sem[:, 0].astype(self.lm_dtype))
+            next_e = jnp.where(diffuse[:, None], ac_embed + sem_embed, tok_embed)
+
+            # ---- fused CFG decode forward -----------------------------------
+            embeds2b = jnp.concatenate([next_e, next_e], axis=0)[:, None, :]
+            w_idx = jnp.concatenate([jnp.full((b,), state.pos_len, jnp.int32),
+                                     neg_ptr.astype(jnp.int32)])
+            positions = w_idx - state.kv_start
+            hidden, cache = qwen2.decode_step(
+                params["lm"], cfg.decoder, embeds2b, positions=positions,
+                write_idx=w_idx, kv_start=state.kv_start, kv_len=w_idx + 1,
+                cache=state.cache)
+
+            new_state = GenState(
+                cache=cache, kv_start=state.kv_start, pos_len=state.pos_len + 1,
+                neg_ptr=neg_ptr, last_hidden=hidden[:, 0, :], finished=finished,
+                reach_max=reach_max, step=state.step + 1,
+                max_steps_per_sample=state.max_steps_per_sample,
+                acoustic_state=ac_state, semantic_state=sem_state, rng=rng)
+            out = StepOutput(tokens=token.astype(jnp.int32),
+                             audio=audio[..., 0].astype(jnp.float32),
+                             diffused=diffuse, finished=finished)
+            return new_state, out
+
+        return step
+
+    def _build_chunk(self, key, chunk: int, do_sample: bool, temperature: float,
+                     top_p: float, refresh_negative: bool):
+        step = self._make_step(do_sample, temperature, top_p, refresh_negative)
+
+        @partial(jax.jit, donate_argnums=(1,))
+        def run_chunk(params, state: GenState, cfg_scale):
+            return jax.lax.scan(lambda s, _: step(params, s, cfg_scale), state,
+                                None, length=chunk)
+
+        return run_chunk
+
+    # ------------------------------------------------------------------
+    # Public generate
+    # ------------------------------------------------------------------
+    def generate(self,
+                 input_ids: np.ndarray,
+                 attention_mask: Optional[np.ndarray] = None,
+                 speech_tensors: Optional[np.ndarray] = None,
+                 speech_masks: Optional[np.ndarray] = None,
+                 speech_input_mask: Optional[np.ndarray] = None,
+                 cfg_scale: float = 1.3,
+                 max_new_tokens: Optional[int] = None,
+                 max_length_times: float = 2.0,
+                 do_sample: bool = False,
+                 temperature: float = 0.95,
+                 top_p: float = 0.95,
+                 refresh_negative: bool = True,
+                 seed: int = 0,
+                 audio_streamer=None,
+                 stop_check_fn: Optional[Callable[[], bool]] = None,
+                 chunk_steps: int = 8,
+                 return_speech: bool = True,
+                 show_progress_bar: bool = False,
+                 verbose: bool = False,
+                 ) -> VibeVoiceGenerationOutput:
+        """Generate speech. Inputs are the processor outputs (numpy).
+
+        Matches the reference argument surface (inference:326-363); sampling
+        differences: temperature/top_p act on the constrained 4-token logits
+        rather than the full vocab (equivalent decisions, cheaper math).
+        """
+        cfg = self.cfg
+        tk = self.tokenizer
+        ids = np.asarray(input_ids)
+        b, t0 = ids.shape
+        if attention_mask is None:
+            attention_mask = np.ones_like(ids)
+        attn = np.asarray(attention_mask)
+
+        # token budget (inference:368, 420-422)
+        if max_new_tokens is None:
+            max_new_tokens = cfg.decoder.max_position_embeddings - t0
+        max_length = t0 + max_new_tokens
+        max_steps = int(min(max_length - t0, int(max_length_times * t0)))
+        init_len = attn.sum(axis=-1)
+        max_steps_per_sample = np.minimum(max_length - init_len,
+                                          (max_length_times * init_len).astype(np.int64))
+
+        # bucketed shapes to bound recompiles
+        t_bucket = max(_round_up(t0, 64), 64)
+        cache_len = _round_up(t0 + max_steps + 2, 256)
+        extra = t_bucket - t0
+
+        # build 2B prompt: rows [0,B) the real prompt, rows [B,2B) the
+        # negative context = a single speech_start token (inference:377-384)
+        pad_id = tk.pad_id
+        ids_pad = np.full((b, t_bucket), pad_id, ids.dtype)
+        ids_pad[:, extra:] = ids
+        neg_ids = np.full((b, t_bucket), pad_id, ids.dtype)
+        neg_ids[:, -1] = tk.speech_start_id
+        ids2b = np.concatenate([ids_pad, neg_ids], axis=0)
+
+        valid2b = np.zeros((2 * b, t_bucket), bool)
+        valid2b[:b, extra:] = attn.astype(bool)
+        valid2b[b:, -1] = True
+
+        smask_pad = None
+        has_speech = speech_tensors is not None
+        if has_speech:
+            smask_pad = np.zeros((b, t_bucket), bool)
+            smask_pad[:, extra:] = np.asarray(speech_input_mask)
+
+        rng = jax.random.PRNGKey(seed)
+        rng, k_pre = jax.random.split(rng)
+
+        pf_key = (t_bucket, cache_len, has_speech,
+                  None if not has_speech else np.asarray(speech_tensors).shape)
+        if pf_key not in self._prefill_jit:
+            self._prefill_jit[pf_key] = self._build_prefill(t_bucket, cache_len, has_speech)
+        prefill_fn = self._prefill_jit[pf_key]
+        last_hidden, cache = prefill_fn(
+            self.params, jnp.asarray(ids2b), jnp.asarray(valid2b),
+            None if not has_speech else jnp.asarray(speech_tensors, jnp.float32),
+            None if not has_speech else jnp.asarray(speech_masks),
+            None if not has_speech else jnp.asarray(smask_pad), k_pre)
+
+        kv_start = np.zeros(2 * b, np.int32)
+        kv_start[:b] = t_bucket - init_len
+        kv_start[b:] = t_bucket - 1
+
+        state = GenState(
+            cache=cache,
+            kv_start=jnp.asarray(kv_start),
+            pos_len=jnp.int32(t_bucket),
+            neg_ptr=jnp.full((b,), t_bucket, jnp.int32),
+            last_hidden=last_hidden,
+            finished=jnp.zeros((b,), bool),
+            reach_max=jnp.zeros((b,), bool),
+            step=jnp.int32(0),
+            max_steps_per_sample=jnp.asarray(max_steps_per_sample, jnp.int32),
+            acoustic_state=tok.init_decoder_state(cfg.acoustic_tokenizer, b),
+            semantic_state=tok.init_encoder_state(cfg.semantic_tokenizer, b),
+            rng=rng)
+
+        ck_key = (chunk_steps, do_sample, temperature, top_p, refresh_negative, b,
+                  t_bucket, cache_len)
+        if ck_key not in self._chunk_jit:
+            self._chunk_jit[ck_key] = self._build_chunk(
+                ck_key, chunk_steps, do_sample, temperature, top_p, refresh_negative)
+        run_chunk = self._chunk_jit[ck_key]
+
+        all_tokens: List[np.ndarray] = []
+        audio_chunks: List[List[np.ndarray]] = [[] for _ in range(b)]
+        cfg_scale_arr = jnp.float32(cfg_scale)
+        prev_fin = np.zeros((b,), bool)
+
+        steps_done = 0
+        while steps_done < max_steps:
+            if stop_check_fn is not None and stop_check_fn():
+                break
+            if audio_streamer is not None and getattr(audio_streamer, "finished_flags", None):
+                if any(audio_streamer.finished_flags):
+                    break
+            state, out = run_chunk(self.params, state, cfg_scale_arr)
+            steps_done += chunk_steps
+
+            toks = np.asarray(out.tokens)          # [K, B]
+            audio = np.asarray(out.audio)          # [K, B, frame]
+            diff = np.asarray(out.diffused)        # [K, B]
+            fin = np.asarray(out.finished)         # [K, B]
+            all_tokens.append(toks)
+
+            for k in range(toks.shape[0]):
+                d = diff[k]
+                if d.any():
+                    idxs = np.nonzero(d)[0]
+                    for i in idxs:
+                        audio_chunks[i].append(audio[k, i])
+                    if audio_streamer is not None:
+                        audio_streamer.put(audio[k, idxs], idxs)
+                if audio_streamer is not None:
+                    newly = fin[k] & ~prev_fin
+                    if newly.any():
+                        audio_streamer.end(np.nonzero(newly)[0])
+                prev_fin = fin[k]
+
+            if bool(prev_fin.all()):
+                break
+
+        if audio_streamer is not None:
+            audio_streamer.end()
+
+        sequences = (np.concatenate(all_tokens, axis=0).T if all_tokens
+                     else np.zeros((b, 0), np.int32))
+        speech_outputs: List[Optional[np.ndarray]] = []
+        for chunks in audio_chunks:
+            speech_outputs.append(np.concatenate(chunks) if chunks else None)
+
+        return VibeVoiceGenerationOutput(
+            sequences=sequences,
+            speech_outputs=speech_outputs if return_speech else None,
+            reach_max_step_sample=np.asarray(state.reach_max))
