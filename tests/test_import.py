@@ -1,0 +1,90 @@
+"""Checkpoint importer round-trip tests (no real checkpoints needed)."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from vibevoice_tpu.config import VibeVoiceConfig
+from vibevoice_tpu.convert.import_torch import export_state_dict, import_state_dict
+from vibevoice_tpu.models import vibevoice
+
+CFG = VibeVoiceConfig.named("tiny")
+
+
+def _flat_names(tree, prefix=""):
+    names = []
+    if isinstance(tree, dict):
+        for k, v in tree.items():
+            names += _flat_names(v, f"{prefix}.{k}" if prefix else k)
+    elif isinstance(tree, (list, tuple)):
+        for i, v in enumerate(tree):
+            names += _flat_names(v, f"{prefix}[{i}]")
+    elif tree is not None:
+        names.append(prefix)
+    return names
+
+
+def test_export_import_roundtrip():
+    params = vibevoice.init_params(jax.random.PRNGKey(0), CFG, jnp.float32)
+    sd = export_state_dict(params, CFG)
+    # all reference-style names present
+    assert "model.language_model.embed_tokens.weight" in sd
+    assert "model.acoustic_tokenizer.decoder.upsample_layers.1.0.convtr.convtr.weight" in sd
+    assert "model.prediction_head.layers.0.adaLN_modulation.1.weight" in sd
+    assert "lm_head.weight" in sd
+
+    back = import_state_dict(sd, CFG, dtype=jnp.float32, tok_dtype=jnp.float32)
+
+    # identical leaf structure and values (tied lm: no separate head)
+    for name in _flat_names(params):
+        pass  # structural identity is implied by the elementwise check below
+
+    def check(a, b, path=""):
+        if isinstance(a, dict):
+            assert set(a.keys()) == set(b.keys()), path
+            for k in a:
+                check(a[k], b[k], f"{path}.{k}")
+        elif isinstance(a, (list, tuple)):
+            for i, (x, y) in enumerate(zip(a, b)):
+                check(x, y, f"{path}[{i}]")
+        elif a is None:
+            assert b is None, path
+        else:
+            np.testing.assert_allclose(np.asarray(a, np.float32),
+                                       np.asarray(b, np.float32),
+                                       atol=1e-6, err_msg=path)
+
+    check(params, back)
+
+
+def test_imported_model_runs():
+    params = vibevoice.init_params(jax.random.PRNGKey(1), CFG, jnp.float32)
+    sd = export_state_dict(params, CFG)
+    back = import_state_dict(sd, CFG, dtype=jnp.float32, tok_dtype=jnp.float32)
+
+    from vibevoice_tpu.models import qwen2
+    ids = jnp.asarray(np.random.RandomState(0).randint(0, CFG.decoder.vocab_size, (1, 8)))
+    x = qwen2.embed_tokens(back["lm"], ids)
+    causal = jnp.arange(8)[None, :, None] >= jnp.arange(8)[None, None, :]
+    h, _ = qwen2.forward(back["lm"], CFG.decoder, x,
+                         positions=jnp.arange(8)[None, :], cache=None, attn_mask=causal)
+    x0 = qwen2.embed_tokens(params["lm"], ids)
+    h0, _ = qwen2.forward(params["lm"], CFG.decoder, x0,
+                          positions=jnp.arange(8)[None, :], cache=None, attn_mask=causal)
+    np.testing.assert_allclose(np.asarray(h), np.asarray(h0), atol=1e-5)
+
+
+def test_conv_layout_transforms():
+    from vibevoice_tpu.convert.import_torch import _conv, _convtr, _lin
+    w = np.arange(24, dtype=np.float32).reshape(4, 3, 2)  # torch conv [out,in,k]
+    ours = _conv(w)                                       # [k,in,out]
+    assert ours.shape == (2, 3, 4)
+    assert ours[1, 2, 3] == w[3, 2, 1]
+    wt = np.arange(24, dtype=np.float32).reshape(3, 4, 2)  # convtr [in,out,k]
+    ot = _convtr(wt)                                       # [k,out,in]
+    assert ot.shape == (2, 4, 3)
+    assert ot[0, 1, 2] == wt[2, 1, 0]
+    wl = np.arange(6, dtype=np.float32).reshape(2, 3)      # linear [out,in]
+    assert _lin(wl).shape == (3, 2)

@@ -1,0 +1,89 @@
+"""Multi-chip sharding tests on the virtual 8-device CPU mesh (SURVEY.md §4):
+the same pjit program must run on 1 and N devices with matching results."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from vibevoice_tpu.config import VibeVoiceConfig
+from vibevoice_tpu.models import vibevoice
+from vibevoice_tpu.parallel import batch_shardings, make_mesh, param_shardings
+from vibevoice_tpu.train import make_train_step
+
+CFG = VibeVoiceConfig.named("tiny")
+
+
+def _batch(b, t=24, n_frames=2):
+    frame = CFG.acoustic_tokenizer.total_stride
+    rs = np.random.RandomState(0)
+    ids = rs.randint(0, CFG.decoder.vocab_size, (b, t))
+    labels = np.where(rs.rand(b, t) < 0.2, -100, ids)
+    ac = np.zeros((b, t), bool)
+    ac[:, 5:5 + n_frames] = True
+    return {
+        "input_ids": ids,
+        "attention_mask": np.ones((b, t), np.int32),
+        "labels": labels,
+        "speech_tensors": rs.randn(b, n_frames * frame).astype(np.float32) * 0.1,
+        "speech_masks": np.ones((b, n_frames), bool),
+        "acoustic_input_mask": ac,
+        "acoustic_loss_mask": ac,
+    }
+
+
+def test_mesh_shapes():
+    assert len(jax.devices()) == 8, "conftest must provide 8 virtual devices"
+    mesh = make_mesh(8)
+    assert mesh.shape["dp"] * mesh.shape["tp"] == 8
+    mesh2 = make_mesh(8, dp=4)
+    assert mesh2.shape == {"dp": 4, "tp": 2}
+
+
+def test_train_step_single_device():
+    params = vibevoice.init_params(jax.random.PRNGKey(0), CFG, jnp.float32)
+    init_state, train_step = make_train_step(CFG)
+    state = init_state(params)
+    state, metrics = jax.jit(train_step)(state, _batch(2), jax.random.PRNGKey(1))
+    assert np.isfinite(float(metrics["loss"]))
+    assert np.isfinite(float(metrics["ce_loss"]))
+    assert np.isfinite(float(metrics["diffusion_loss"]))
+    # a second step changes the loss (params actually updated)
+    state2, m2 = jax.jit(train_step)(state, _batch(2), jax.random.PRNGKey(1))
+    assert float(m2["loss"]) != float(metrics["loss"])
+
+
+def test_train_step_sharded_matches_single():
+    """dp=2 x tp=4 sharded step == single-device step (same data, same rng)."""
+    params = vibevoice.init_params(jax.random.PRNGKey(0), CFG, jnp.float32)
+    init_state, train_step = make_train_step(CFG)
+    batch = _batch(4)
+    rngs = jax.random.PRNGKey(3)
+
+    # single device
+    state1 = init_state(params)
+    _, m1 = jax.jit(train_step)(state1, batch, rngs)
+
+    # sharded
+    mesh = make_mesh(8, dp=2, tp=4)
+    p_sh = param_shardings(params, mesh)
+    params_sh = jax.tree.map(jax.device_put, params, p_sh)
+    state2 = init_state(params_sh)
+    batch_sh = jax.tree.map(jax.device_put, batch, batch_shardings(mesh, batch))
+    with mesh:
+        _, m2 = jax.jit(train_step)(state2, batch_sh, rngs)
+
+    np.testing.assert_allclose(float(m1["loss"]), float(m2["loss"]), rtol=1e-4)
+    np.testing.assert_allclose(float(m1["diffusion_loss"]),
+                               float(m2["diffusion_loss"]), rtol=1e-4)
+
+
+def test_graft_dryrun():
+    import importlib.util
+    import os
+    spec = importlib.util.spec_from_file_location(
+        "graft_entry", os.path.join(os.path.dirname(__file__), "..", "__graft_entry__.py"))
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    mod.dryrun_multichip(8)

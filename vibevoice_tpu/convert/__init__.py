@@ -1,0 +1,3 @@
+from .import_torch import import_state_dict, load_pretrained
+
+__all__ = ["import_state_dict", "load_pretrained"]

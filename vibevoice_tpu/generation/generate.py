@@ -280,8 +280,15 @@ class VibeVoiceGenerator:
 
         @partial(jax.jit, donate_argnums=(1,))
         def run_chunk(params, state: GenState, cfg_scale):
-            return jax.lax.scan(lambda s, _: step(params, s, cfg_scale), state,
-                                None, length=chunk)
+            state, outs = jax.lax.scan(lambda s, _: step(params, s, cfg_scale),
+                                       state, None, length=chunk)
+            # flatten outputs: ragged/tiled layouts (e.g. [K, 1, 3200]) transfer
+            # pathologically slowly host-ward; 1-D compact buffers do not
+            flat = StepOutput(tokens=outs.tokens.reshape(-1),
+                              audio=outs.audio.reshape(-1),
+                              diffused=outs.diffused.reshape(-1),
+                              finished=outs.finished.reshape(-1))
+            return state, flat
 
         return run_chunk
 
@@ -410,10 +417,11 @@ class VibeVoiceGenerator:
             state, out = run_chunk(self.params, state, cfg_scale_arr)
             steps_done += chunk_steps
 
-            toks = np.asarray(out.tokens)          # [K, B]
-            audio = np.asarray(out.audio)          # [K, B, frame]
-            diff = np.asarray(out.diffused)        # [K, B]
-            fin = np.asarray(out.finished)         # [K, B]
+            k = chunk_steps
+            toks = np.asarray(out.tokens).reshape(k, b)
+            audio = np.asarray(out.audio).reshape(k, b, self.frame_samples)
+            diff = np.asarray(out.diffused).reshape(k, b)
+            fin = np.asarray(out.finished).reshape(k, b)
             all_tokens.append(toks)
 
             for k in range(toks.shape[0]):

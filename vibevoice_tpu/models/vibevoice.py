@@ -69,6 +69,7 @@ def training_forward(params: dict, cfg: VibeVoiceConfig, rng: jax.Array,
                      speech_masks: Optional[jax.Array],
                      acoustic_input_mask: Optional[jax.Array],
                      acoustic_loss_mask: Optional[jax.Array],
+                     speech_semantic_tensors: Optional[jax.Array] = None,
                      ddpm_batch_mul: int = 1) -> dict:
     """Training forward: returns dict(logits, diffusion_loss).
 
@@ -87,10 +88,14 @@ def training_forward(params: dict, cfg: VibeVoiceConfig, rng: jax.Array,
 
     speech_features = None
     if speech_tensors is not None:
-        mean, _ = tok.encode(params["acoustic"]["encoder"], cfg.acoustic_tokenizer,
+        # the acoustic encoder is frozen during LM training (reference wraps
+        # encoding in no_grad, modeling_vibevoice.py:287-291)
+        mean, _ = tok.encode(jax.lax.stop_gradient(params["acoustic"]["encoder"]),
+                             cfg.acoustic_tokenizer,
                              speech_tensors[..., None].astype(jnp.float32))
-        lat = tok.sample_latents(rng_samp, mean, cfg.acoustic_tokenizer.fix_std,
-                                 cfg.acoustic_tokenizer.std_dist_type)
+        lat = jax.lax.stop_gradient(
+            tok.sample_latents(rng_samp, mean, cfg.acoustic_tokenizer.fix_std,
+                               cfg.acoustic_tokenizer.std_dist_type))
         scale = params["speech_scaling_factor"]
         bias = params["speech_bias_factor"]
         scale = jnp.where(jnp.isnan(scale), 1.0, scale)
@@ -98,6 +103,12 @@ def training_forward(params: dict, cfg: VibeVoiceConfig, rng: jax.Array,
         speech_features = (lat + bias) * scale                      # [N, F, D]
         connected = connectors.apply(params["acoustic_connector"],
                                      speech_features.astype(x.dtype))  # [N, F, H]
+        if speech_semantic_tensors is not None:
+            # precomputed semantic latents joined into the splice
+            # (modeling_vibevoice.py:360-373)
+            connected = connected + connectors.apply(
+                params["semantic_connector"],
+                speech_semantic_tensors.astype(x.dtype))
 
         # scatter masked speech frames into the token stream:
         # acoustic_input_mask [B, T] selects as many positions as

@@ -70,7 +70,7 @@ def ensure_mono(audio: np.ndarray) -> np.ndarray:
 
 
 def resample(audio: np.ndarray, orig_sr: int, target_sr: int,
-             num_zeros: int = 16) -> np.ndarray:
+             num_zeros: int = 16, use_native: bool = True) -> np.ndarray:
     """Polyphase windowed-sinc resampler (host-side numpy).
 
     Tries the native C++ runtime first (vibevoice_tpu.runtime), falls back to
@@ -78,13 +78,14 @@ def resample(audio: np.ndarray, orig_sr: int, target_sr: int,
     """
     if orig_sr == target_sr:
         return audio.astype(np.float32)
-    try:
-        from ..runtime.audio_runtime import native_resample
-        out = native_resample(audio.astype(np.float32), orig_sr, target_sr)
-        if out is not None:
-            return out
-    except Exception:  # noqa: BLE001 - native runtime optional
-        pass
+    if use_native:
+        try:
+            from ..runtime.audio_runtime import native_resample
+            out = native_resample(audio.astype(np.float32), orig_sr, target_sr)
+            if out is not None:
+                return out
+        except Exception:  # noqa: BLE001 - native runtime optional
+            pass
 
     frac = Fraction(target_sr, orig_sr).limit_denominator(1000)
     up, down = frac.numerator, frac.denominator
