@@ -31,7 +31,7 @@ def main():
     model_name = os.environ.get("BENCH_MODEL", "1.5b")
     ddpm_steps = int(os.environ.get("BENCH_DDPM_STEPS", "5"))
     bench_steps = int(os.environ.get("BENCH_STEPS", "192"))
-    chunk = int(os.environ.get("BENCH_CHUNK", "32"))
+    chunk = int(os.environ.get("BENCH_CHUNK", "64"))
     t0 = 64
 
     cfg = VibeVoiceConfig.named(model_name)
@@ -51,13 +51,15 @@ def main():
     ids = rs.randint(20, 200, (1, t0))
     ids[:, -1] = tk.speech_start_id
 
-    # warmup / compile
+    # warmup / compile with the EXACT shape buckets of the measured runs
     t_compile0 = time.perf_counter()
-    gen.generate(ids, cfg_scale=1.3, max_new_tokens=chunk, chunk_steps=chunk,
+    gen.generate(ids, cfg_scale=1.3, max_new_tokens=bench_steps, chunk_steps=chunk,
+                 max_length_times=1000.0)
+    gen.generate(ids, cfg_scale=1.3, max_new_tokens=1, chunk_steps=1,
                  max_length_times=1000.0)
     compile_s = time.perf_counter() - t_compile0
 
-    # time-to-first-audio: prefill + one chunk of 1 step
+    # time-to-first-audio: prefill + one 1-step chunk (compiled)
     t_ttfa0 = time.perf_counter()
     gen.generate(ids, cfg_scale=1.3, max_new_tokens=1, chunk_steps=1,
                  max_length_times=1000.0)

@@ -1,0 +1,58 @@
+"""Weight-only int8 quantization tests."""
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from vibevoice_tpu.config import Qwen2DecoderConfig
+from vibevoice_tpu.models import qwen2
+from vibevoice_tpu.ops.quant import (
+    dequantize_weight,
+    qmatmul,
+    quantize_lm_params,
+    quantize_weight,
+)
+
+TINY = Qwen2DecoderConfig(
+    vocab_size=128, hidden_size=32, intermediate_size=64, num_hidden_layers=2,
+    num_attention_heads=4, num_key_value_heads=2, max_position_embeddings=256)
+
+
+def test_quantize_roundtrip_error():
+    rs = np.random.RandomState(0)
+    w = jnp.asarray(rs.randn(16, 24), jnp.float32)
+    qw = quantize_weight(w)
+    assert qw["q"].dtype == jnp.int8
+    back = dequantize_weight(qw, jnp.float32)
+    err = np.abs(np.asarray(back) - np.asarray(w)).max()
+    scale = np.abs(np.asarray(w)).max(axis=0)
+    assert err <= (scale / 127).max() * 1.01
+
+
+def test_qmatmul_matches_dense():
+    rs = np.random.RandomState(1)
+    x = jnp.asarray(rs.randn(4, 16), jnp.float32)
+    w = jnp.asarray(rs.randn(16, 24), jnp.float32)
+    y_q = qmatmul(x, quantize_weight(w))
+    y_d = x @ w
+    rel = np.abs(np.asarray(y_q) - np.asarray(y_d)).max() / np.abs(np.asarray(y_d)).max()
+    assert rel < 0.05
+
+
+def test_quantized_lm_forward_close_to_dense():
+    params = qwen2.init_params(jax.random.PRNGKey(0), TINY, jnp.float32)
+    qparams = dict(params)
+    qparams = {**params, "layers": params["layers"]}
+    qlm = quantize_lm_params(params)
+
+    ids = jnp.asarray(np.random.RandomState(2).randint(0, 128, (2, 6)))
+    x = qwen2.embed_tokens(params, ids)
+    causal = jnp.arange(6)[None, :, None] >= jnp.arange(6)[None, None, :]
+    pos = jnp.broadcast_to(jnp.arange(6), (2, 6))
+    h_dense, _ = qwen2.forward(params, TINY, x, pos, None, causal)
+    h_quant, _ = qwen2.forward(qlm, TINY, x, pos, None, causal)
+    # int8 weight-only keeps activations close
+    denom = np.abs(np.asarray(h_dense)).max()
+    rel = np.abs(np.asarray(h_quant) - np.asarray(h_dense)).max() / denom
+    assert rel < 0.1, rel

@@ -1,0 +1,275 @@
+"""Gradio podcast-generation app (flagship UI).
+
+Behavioral port of the reference's flagship demo (reference: main.py:1-3150)
+to the TPU stack: model manager with load-on-demand, voice library with
+recursive custom_voices scan (main.py:560-658), RMS voice normalization
+(main.py:683-727), streaming generation with chunk buffering (main.py:729-1135),
+Script-AI generation (apps/script_ai.py), stop control, 16-bit conversion
+(main.py:2956-2979), CLI (main.py:2982-3065) and the --share security gate
+(main.py:3072-3094).
+
+The UI itself requires `gradio` (not bundled in this image); everything below
+`VibeVoiceDemo` is importable and testable without it.
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import threading
+import time
+from typing import Dict, Iterator, List, Optional
+
+import numpy as np
+
+from ..processor.audio import read_wav, resample
+from ..streamer import AudioStreamer
+from .model_manager import ModelManager
+from .script_ai import ScriptAIClient
+
+SAMPLE_RATE = 24000
+VOICE_EXTS = (".wav", ".mp3", ".flac", ".m4a", ".ogg", ".npy", ".pt")
+
+
+def convert_to_16_bit_wav(data: np.ndarray) -> np.ndarray:
+    """float -> int16 with peak guard (reference main.py:2956-2979)."""
+    data = np.asarray(data, np.float32).reshape(-1)
+    peak = np.abs(data).max() if data.size else 0.0
+    if peak > 1.0:
+        data = data / peak
+    try:
+        from ..runtime.audio_runtime import native_f32_to_i16
+        return native_f32_to_i16(data)
+    except Exception:  # noqa: BLE001
+        return (np.clip(data, -1, 1) * 32767.0).astype(np.int16)
+
+
+class VoiceLibrary:
+    """Voice presets: voices/ + recursive custom_voices/ scan
+    (reference main.py:560-658)."""
+
+    def __init__(self, voices_dir: str = "voices",
+                 custom_dir: str = "custom_voices"):
+        self.voices_dir = voices_dir
+        self.custom_dir = custom_dir
+        self.presets: Dict[str, str] = {}
+        self.refresh()
+
+    def refresh(self) -> None:
+        self.presets = {}
+        if os.path.isdir(self.voices_dir):
+            for f in sorted(os.listdir(self.voices_dir)):
+                if f.lower().endswith(VOICE_EXTS):
+                    self.presets[os.path.splitext(f)[0]] = os.path.join(self.voices_dir, f)
+        if os.path.isdir(self.custom_dir):
+            for root, _, files in os.walk(self.custom_dir):
+                for f in sorted(files):
+                    if f.lower().endswith(VOICE_EXTS):
+                        rel = os.path.relpath(os.path.join(root, f), self.custom_dir)
+                        name = "custom/" + os.path.splitext(rel)[0].replace(os.sep, "/")
+                        self.presets[name] = os.path.join(root, f)
+
+    def names(self) -> List[str]:
+        return list(self.presets.keys())
+
+    def load_voice(self, name_or_path: str, normalize_rms: bool = False,
+                   target_rms: float = 0.1) -> np.ndarray:
+        path = self.presets.get(name_or_path, name_or_path)
+        if path.endswith(".wav"):
+            audio, sr = read_wav(path)
+            if audio.ndim > 1:
+                audio = audio.mean(axis=-1)
+            if sr != SAMPLE_RATE:
+                audio = resample(audio, sr, SAMPLE_RATE)
+        elif path.endswith(".npy"):
+            audio = np.load(path).astype(np.float32)
+        else:
+            from ..processor.audio import VibeVoiceAudioProcessor
+            audio = VibeVoiceAudioProcessor(normalize_audio=False)._load_audio_from_path(path)
+        audio = audio.astype(np.float32)
+        if normalize_rms:
+            rms = float(np.sqrt(np.mean(audio ** 2)) + 1e-9)
+            audio = audio * (target_rms / rms)  # main.py:683-727
+        return audio
+
+
+class VibeVoiceDemo:
+    """Generation orchestration shared by the UI and headless callers."""
+
+    def __init__(self, model_name: str = "VibeVoice-1.5B",
+                 checkpoints_dir: Optional[str] = None,
+                 inference_steps: int = 10, load_on_demand: bool = False,
+                 quantize: bool = False, debug: bool = False):
+        self.manager = ModelManager(checkpoints_dir=checkpoints_dir,
+                                    load_on_demand=load_on_demand,
+                                    quantize=quantize, ddpm_steps=inference_steps,
+                                    debug=debug)
+        self.model_name = model_name
+        self.voices = VoiceLibrary()
+        self.script_ai = ScriptAIClient(debug=debug)
+        self.debug = debug
+        self.stop_generation = False
+        self.is_generating = False
+
+    # -- streaming generation (main.py:729-1135) -------------------------------
+    def generate_podcast_streaming(self, num_speakers: int, script: str,
+                                   speaker_voices: List[str], cfg_scale: float = 1.6,
+                                   do_sample: bool = True, temperature: float = 0.95,
+                                   top_p: float = 0.95,
+                                   diffusion_steps: Optional[int] = None,
+                                   normalize_voices: bool = False,
+                                   min_yield_seconds: float = 2.0,
+                                   ) -> Iterator[tuple]:
+        """Yields (sample_rate, int16 chunk) tuples; final yield is the full
+        audio. Mirrors the chunk-buffering policy of main.py:913-999."""
+        self.stop_generation = False
+        self.is_generating = True
+        try:
+            model = self.manager.ensure_loaded(self.model_name)
+            if diffusion_steps:
+                model.generator.set_ddpm_inference_steps(diffusion_steps)
+
+            voice_wavs = [self.voices.load_voice(v, normalize_rms=normalize_voices)
+                          for v in speaker_voices[:num_speakers]] or None
+            inputs = model.processor(script, voice_samples=voice_wavs)
+
+            streamer = AudioStreamer(batch_size=1)
+            err: List[Exception] = []
+
+            def run():
+                try:
+                    model.generator.generate(
+                        inputs["input_ids"], attention_mask=inputs["attention_mask"],
+                        speech_tensors=inputs["speech_tensors"],
+                        speech_masks=inputs["speech_masks"],
+                        speech_input_mask=inputs["speech_input_mask"],
+                        cfg_scale=cfg_scale, do_sample=do_sample,
+                        temperature=temperature, top_p=top_p,
+                        audio_streamer=streamer,
+                        stop_check_fn=lambda: self.stop_generation,
+                        chunk_steps=8)
+                except Exception as e:  # noqa: BLE001
+                    err.append(e)
+                finally:
+                    streamer.end()  # never leave the UI hanging (main.py:1205-1209)
+
+            thread = threading.Thread(target=run, daemon=True)
+            thread.start()
+
+            buffered: List[np.ndarray] = []
+            buffered_samples = 0
+            last_yield = time.time()
+            all_chunks: List[np.ndarray] = []
+            for chunk in streamer.get_stream(0):
+                if self.stop_generation:
+                    break
+                buffered.append(chunk)
+                all_chunks.append(chunk)
+                buffered_samples += len(chunk)
+                if (buffered_samples >= min_yield_seconds * SAMPLE_RATE
+                        or time.time() - last_yield > 15.0):
+                    yield SAMPLE_RATE, convert_to_16_bit_wav(np.concatenate(buffered))
+                    buffered, buffered_samples = [], 0
+                    last_yield = time.time()
+            if buffered:
+                yield SAMPLE_RATE, convert_to_16_bit_wav(np.concatenate(buffered))
+
+            thread.join(timeout=30.0)
+            if err:
+                raise err[0]
+            if all_chunks:
+                yield SAMPLE_RATE, convert_to_16_bit_wav(np.concatenate(all_chunks))
+        finally:
+            self.is_generating = False
+            self.manager.after_generate()
+
+    def stop(self) -> None:
+        self.stop_generation = True
+
+    def generate_script(self, topic: str, num_speakers: int, minutes: float) -> str:
+        return self.script_ai.generate_script(topic, num_speakers, minutes)
+
+
+# ---------------------------------------------------------------------------
+# UI (requires gradio)
+# ---------------------------------------------------------------------------
+
+def create_demo_interface(demo: VibeVoiceDemo):
+    import gradio as gr
+
+    with gr.Blocks(title="VibeVoice-TPU", theme=gr.themes.Soft()) as ui:
+        gr.Markdown("# 🎙️ VibeVoice-TPU — long-form multi-speaker TTS on TPU")
+        with gr.Row():
+            with gr.Column():
+                model_dd = gr.Dropdown(demo.manager.available_models(),
+                                       value=demo.model_name, label="Model")
+                num_speakers = gr.Slider(1, 4, value=2, step=1, label="Speakers")
+                voice_dds = [gr.Dropdown(demo.voices.names() or ["(none)"],
+                                         label=f"Voice {i + 1}") for i in range(4)]
+                cfg_scale = gr.Slider(1.0, 3.0, value=1.6, step=0.05, label="CFG scale")
+                steps = gr.Slider(5, 30, value=10, step=1, label="Diffusion steps")
+                do_sample = gr.Checkbox(value=True, label="Sample (vs greedy)")
+                norm_voices = gr.Checkbox(value=False, label="Normalize voice RMS")
+            with gr.Column():
+                topic = gr.Textbox(label="Script AI topic (optional)")
+                gen_script_btn = gr.Button("✨ Generate script with AI")
+                script_box = gr.Textbox(lines=12, label="Script (Speaker N: ...)")
+                gen_btn = gr.Button("🎧 Generate podcast", variant="primary")
+                stop_btn = gr.Button("⏹ Stop")
+                audio_out = gr.Audio(label="Audio", streaming=True, autoplay=True)
+                log_out = gr.Textbox(label="Log", lines=4)
+
+        def on_generate(model_name, n, script, v1, v2, v3, v4, cfg, st, ds, nv):
+            demo.model_name = model_name
+            voices = [v for v in (v1, v2, v3, v4) if v and v != "(none)"]
+            for sr, chunk in demo.generate_podcast_streaming(
+                    int(n), script, voices, cfg_scale=cfg, do_sample=st,
+                    diffusion_steps=int(ds), normalize_voices=nv):
+                yield (sr, chunk), "generating..."
+            yield None, "done"
+
+        gen_btn.click(on_generate,
+                      [model_dd, num_speakers, script_box, *voice_dds,
+                       cfg_scale, do_sample, steps, norm_voices],
+                      [audio_out, log_out])
+        stop_btn.click(lambda: demo.stop())
+        gen_script_btn.click(
+            lambda t, n: demo.generate_script(t, int(n), 2.0),
+            [topic, num_speakers], [script_box])
+    return ui
+
+
+def build_argparser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(description="VibeVoice-TPU gradio app")
+    p.add_argument("--model", default="VibeVoice-1.5B")
+    p.add_argument("--checkpoints-dir", "--checkpoints_dir", default=None)
+    p.add_argument("--port", type=int, default=7860)
+    p.add_argument("--host", default="127.0.0.1")
+    p.add_argument("--share", action="store_true")
+    p.add_argument("--lod", action="store_true", help="load model on demand")
+    p.add_argument("--quantize", action="store_true", help="int8 weight-only LM")
+    p.add_argument("--inference-steps", type=int, default=10)
+    p.add_argument("--debug", action="store_true")
+    return p
+
+
+def main(argv=None):
+    args = build_argparser().parse_args(argv)
+    if args.share:
+        # security gate (reference main.py:3072-3094)
+        ack = os.environ.get("VIBEVOICE_ALLOW_SHARE", "")
+        if ack != "1":
+            raise SystemExit(
+                "--share exposes this machine publicly. Set "
+                "VIBEVOICE_ALLOW_SHARE=1 to confirm you understand the risk.")
+    demo = VibeVoiceDemo(model_name=args.model, checkpoints_dir=args.checkpoints_dir,
+                         inference_steps=args.inference_steps,
+                         load_on_demand=args.lod, quantize=args.quantize,
+                         debug=args.debug)
+    ui = create_demo_interface(demo)
+    ui.queue().launch(server_name=args.host, server_port=args.port,
+                      share=args.share)
+
+
+if __name__ == "__main__":
+    main()

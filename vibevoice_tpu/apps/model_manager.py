@@ -1,0 +1,123 @@
+"""Model manager: registry, load/unload/switch, load-on-demand, quantization.
+
+Host-side equivalent of the flagship app's model management
+(reference: main.py:186-541): a model registry, load-on-demand ("LOD") that
+frees HBM between generations, int8 weight-only quantized loading (the
+bitsandbytes-NF4 analogue, main.py:301-416), checkpoint-path fallbacks, and
+offline/cache controls via environment variables.
+"""
+
+from __future__ import annotations
+
+import gc
+import os
+import time
+from dataclasses import dataclass, field
+from typing import Dict, Optional
+
+import jax
+import jax.numpy as jnp
+
+from ..config import VibeVoiceConfig
+from ..generation import VibeVoiceGenerator
+from ..processor import VibeVoiceProcessor
+
+# registry: display name -> (config alias, default checkpoint dirs to probe)
+MODEL_REGISTRY: Dict[str, dict] = {
+    "VibeVoice-1.5B": {"config": "1.5b",
+                       "paths": ["microsoft/VibeVoice-1.5B", "WestZhang/VibeVoice-1.5B"]},
+    "VibeVoice-7B-Preview": {"config": "7b",
+                             "paths": ["WestZhang/VibeVoice-Large-pt",
+                                       "microsoft/VibeVoice-Large"]},
+}
+
+
+@dataclass
+class LoadedModel:
+    name: str
+    cfg: VibeVoiceConfig
+    generator: VibeVoiceGenerator
+    processor: VibeVoiceProcessor
+    quantized: bool = False
+    loaded_at: float = field(default_factory=time.time)
+
+
+class ModelManager:
+    """Load/unload/switch models; optionally free weights after each use."""
+
+    def __init__(self, checkpoints_dir: Optional[str] = None,
+                 load_on_demand: bool = False, quantize: bool = False,
+                 ddpm_steps: int = 10, debug: bool = False):
+        self.checkpoints_dir = checkpoints_dir or os.environ.get(
+            "VIBEVOICE_CHECKPOINTS", os.path.expanduser("~/.cache/vibevoice"))
+        self.load_on_demand = load_on_demand
+        self.quantize = quantize
+        self.ddpm_steps = ddpm_steps
+        self.debug = debug
+        self.current: Optional[LoadedModel] = None
+
+    # -- path resolution (offline aware, main.py:274-289) ----------------------
+    def _resolve_path(self, name: str) -> Optional[str]:
+        entry = MODEL_REGISTRY.get(name, {"paths": [name]})
+        candidates = [os.path.join(self.checkpoints_dir, p.replace("/", "--"))
+                      for p in entry.get("paths", [])]
+        candidates += entry.get("paths", [])
+        candidates.append(os.path.join(self.checkpoints_dir, name))
+        for c in candidates:
+            if os.path.isdir(c) and (
+                    os.path.exists(os.path.join(c, "config.json"))
+                    or any(f.endswith(".safetensors") for f in os.listdir(c))):
+                return c
+        return None
+
+    def available_models(self):
+        return list(MODEL_REGISTRY.keys())
+
+    def load(self, name: str, quantize: Optional[bool] = None) -> LoadedModel:
+        if self.current is not None and self.current.name == name:
+            return self.current
+        self.unload()
+        quantize = self.quantize if quantize is None else quantize
+
+        path = self._resolve_path(name)
+        entry = MODEL_REGISTRY.get(name, {})
+        if path is not None:
+            from ..convert import load_pretrained
+            params, cfg = load_pretrained(path)
+            processor = VibeVoiceProcessor.from_pretrained(path)
+            if self.debug:
+                print(f"Loaded checkpoint from {path}")
+        else:
+            # no checkpoint available: random-weights fallback so the app
+            # stays usable for smoke testing (mirrors the reference's
+            # fallback-chain spirit, main.py:417-477)
+            cfg = VibeVoiceConfig.named(entry.get("config", "1.5b"))
+            from ..models import vibevoice
+            params = vibevoice.init_params(jax.random.PRNGKey(0), cfg, jnp.bfloat16)
+            processor = VibeVoiceProcessor()
+            print(f"⚠️  No checkpoint found for {name}; using random weights")
+
+        if quantize:
+            from ..ops.quant import quantize_lm_params
+            params = dict(params)
+            params["lm"] = quantize_lm_params(params["lm"])
+
+        gen = VibeVoiceGenerator(params, cfg, processor.tokenizer,
+                                 ddpm_inference_steps=self.ddpm_steps)
+        self.current = LoadedModel(name=name, cfg=cfg, generator=gen,
+                                   processor=processor, quantized=quantize)
+        return self.current
+
+    def ensure_loaded(self, name: str) -> LoadedModel:
+        return self.load(name)
+
+    def unload(self) -> None:
+        if self.current is not None:
+            self.current = None
+            gc.collect()
+
+    def after_generate(self) -> None:
+        """In load-on-demand mode, free the model after each generation
+        (main.py:1111-1114)."""
+        if self.load_on_demand:
+            self.unload()

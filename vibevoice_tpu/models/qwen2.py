@@ -28,6 +28,7 @@ import jax.numpy as jnp
 from ..config import Qwen2DecoderConfig
 from ..ops.attention import attend, decode_attend
 from ..ops.norms import rms_norm
+from ..ops.quant import is_quantized, qmatmul
 from ..ops.rope import apply_rope, rope_cos_sin
 
 
@@ -89,7 +90,12 @@ def embed_tokens(params: dict, ids: jax.Array) -> jax.Array:
 def lm_head_weight(params: dict) -> jax.Array:
     """[H, V] projection; tied models reuse the embedding."""
     if "lm_head" in params:
-        return params["lm_head"]
+        w = params["lm_head"]
+        if is_quantized(w):
+            from ..ops.quant import dequantize_weight
+            return dequantize_weight(w, params["embed"].dtype
+                                     if not is_quantized(params["embed"]) else jnp.bfloat16)
+        return w
     return params["embed"].T
 
 
@@ -102,9 +108,9 @@ def _layer(x, lp, cfg: Qwen2DecoderConfig, cos, sin, cache_k, cache_v,
 
     resid = x
     y = rms_norm(x, lp["ln1"], cfg.rms_norm_eps)
-    q = (y @ lp["wq"] + lp["bq"]).reshape(b, t, hq, dh)
-    k = (y @ lp["wk"] + lp["bk"]).reshape(b, t, hkv, dh)
-    v = (y @ lp["wv"] + lp["bv"]).reshape(b, t, hkv, dh)
+    q = (qmatmul(y, lp["wq"]) + lp["bq"]).reshape(b, t, hq, dh)
+    k = (qmatmul(y, lp["wk"]) + lp["bk"]).reshape(b, t, hkv, dh)
+    v = (qmatmul(y, lp["wv"]) + lp["bv"]).reshape(b, t, hkv, dh)
     q = apply_rope(q, cos, sin)
     k = apply_rope(k, cos, sin)
 
@@ -120,10 +126,11 @@ def _layer(x, lp, cfg: Qwen2DecoderConfig, cos, sin, cache_k, cache_v,
         cache_v = jax.lax.dynamic_update_slice(cache_v, v, (0, 0, 0, 0))
         attn = attend(q, k, v, mask=attn_mask)
 
-    x = resid + attn.reshape(b, t, hq * dh) @ lp["wo"]
+    x = resid + qmatmul(attn.reshape(b, t, hq * dh), lp["wo"])
     resid = x
     y = rms_norm(x, lp["ln2"], cfg.rms_norm_eps)
-    x = resid + (jax.nn.silu(y @ lp["wg"]) * (y @ lp["wu"])) @ lp["wd"]
+    x = resid + qmatmul(jax.nn.silu(qmatmul(y, lp["wg"])) * qmatmul(y, lp["wu"]),
+                        lp["wd"])
     return x, cache_k, cache_v
 
 
@@ -147,16 +154,17 @@ def forward(params: dict, cfg: Qwen2DecoderConfig, x: jax.Array,
             b, t, _ = xc.shape
             resid = xc
             y = rms_norm(xc, lp["ln1"], cfg.rms_norm_eps)
-            q = (y @ lp["wq"] + lp["bq"]).reshape(b, t, cfg.num_attention_heads, dh)
-            k = (y @ lp["wk"] + lp["bk"]).reshape(b, t, cfg.num_key_value_heads, dh)
-            v = (y @ lp["wv"] + lp["bv"]).reshape(b, t, cfg.num_key_value_heads, dh)
+            q = (qmatmul(y, lp["wq"]) + lp["bq"]).reshape(b, t, cfg.num_attention_heads, dh)
+            k = (qmatmul(y, lp["wk"]) + lp["bk"]).reshape(b, t, cfg.num_key_value_heads, dh)
+            v = (qmatmul(y, lp["wv"]) + lp["bv"]).reshape(b, t, cfg.num_key_value_heads, dh)
             q = apply_rope(q, cos, sin)
             k = apply_rope(k, cos, sin)
             attn = attend(q, k, v, mask=attn_mask)
-            xc = resid + attn.reshape(b, t, -1) @ lp["wo"]
+            xc = resid + qmatmul(attn.reshape(b, t, -1), lp["wo"])
             resid = xc
             y = rms_norm(xc, lp["ln2"], cfg.rms_norm_eps)
-            xc = resid + (jax.nn.silu(y @ lp["wg"]) * (y @ lp["wu"])) @ lp["wd"]
+            xc = resid + qmatmul(jax.nn.silu(qmatmul(y, lp["wg"])) * qmatmul(y, lp["wu"]),
+                                 lp["wd"])
             return xc, None
 
         x, _ = jax.lax.scan(body_nocache, x, params["layers"])

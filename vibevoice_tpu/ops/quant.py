@@ -1,0 +1,70 @@
+"""Weight-only int8 quantization for the LM.
+
+TPU-native analogue of the reference's bitsandbytes NF4 4-bit loading
+(reference: main.py:97-103, 349-397): per-output-channel symmetric int8 with
+dequant fused into the matmul by XLA (int8 weights stay in HBM; the scale
+multiply folds into the MXU epilogue).  Halves LM weight bandwidth — the
+decode step is weight-bandwidth-bound, so this directly raises RTF.
+
+Quantized tensors are stored as {"q": int8 [in, out], "s": f32 [out]} in place
+of the bf16 [in, out] leaf; `maybe_dequant_matmul` dispatches on leaf type.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict
+
+import jax
+import jax.numpy as jnp
+
+
+def quantize_weight(w: jax.Array) -> Dict[str, jax.Array]:
+    """Per-output-channel symmetric int8. w: [..., in, out]."""
+    wf = w.astype(jnp.float32)
+    amax = jnp.max(jnp.abs(wf), axis=-2, keepdims=True)          # [..., 1, out]
+    scale = jnp.maximum(amax / 127.0, 1e-12)
+    q = jnp.clip(jnp.round(wf / scale), -127, 127).astype(jnp.int8)
+    return {"q": q, "s": scale.squeeze(-2).astype(jnp.float32)}
+
+
+def dequantize_weight(qw: Dict[str, jax.Array], dtype=jnp.bfloat16) -> jax.Array:
+    return (qw["q"].astype(jnp.float32) * qw["s"][..., None, :]).astype(dtype)
+
+
+def is_quantized(leaf: Any) -> bool:
+    return isinstance(leaf, dict) and set(leaf.keys()) == {"q", "s"}
+
+
+def qmatmul(x: jax.Array, w: Any) -> jax.Array:
+    """x @ w where w is either a dense array or a quantized dict."""
+    if is_quantized(w):
+        y = jnp.dot(x, w["q"].astype(x.dtype), preferred_element_type=jnp.float32)
+        return (y * w["s"]).astype(x.dtype)
+    return x @ w
+
+
+_LM_QUANT_KEYS = ("wq", "wk", "wv", "wo", "wg", "wu", "wd")
+
+
+def quantize_lm_params(lm_params: dict) -> dict:
+    """Quantize the LM projection weights (layers stacked [L, in, out])."""
+    out = dict(lm_params)
+    layers = dict(lm_params["layers"])
+    for k in _LM_QUANT_KEYS:
+        layers[k] = quantize_weight(layers[k])
+    out["layers"] = layers
+    if "lm_head" in lm_params:
+        out["lm_head"] = quantize_weight(lm_params["lm_head"])
+    return out
+
+
+def dequantize_lm_params(lm_params: dict, dtype=jnp.bfloat16) -> dict:
+    out = dict(lm_params)
+    layers = dict(lm_params["layers"])
+    for k in _LM_QUANT_KEYS:
+        if is_quantized(layers[k]):
+            layers[k] = dequantize_weight(layers[k], dtype)
+    out["layers"] = layers
+    if "lm_head" in out and is_quantized(out["lm_head"]):
+        out["lm_head"] = dequantize_weight(out["lm_head"], dtype)
+    return out
