@@ -1,0 +1,135 @@
+"""Host app logic tests: script-AI pipeline, voice library, CLI parsing, streamer."""
+
+import json
+import os
+import threading
+import time
+
+import numpy as np
+import pytest
+
+from vibevoice_tpu.apps.gradio_app import VoiceLibrary, convert_to_16_bit_wav
+from vibevoice_tpu.apps.inference_from_file import VoiceMapper, parse_txt_script
+from vibevoice_tpu.apps.script_ai import (
+    ScriptAIClient,
+    ScriptAIConfig,
+    normalize_base_url,
+)
+from vibevoice_tpu.streamer import AudioStreamer
+
+
+def test_normalize_base_url():
+    assert normalize_base_url("localhost:8000") == "http://localhost:8000/v1"
+    assert normalize_base_url("https://api.openai.com/v1/") == "https://api.openai.com/v1"
+    assert normalize_base_url("http://x/v1") == "http://x/v1"
+
+
+def test_script_cleanup_markdown_and_numbers():
+    raw = """```
+# Podcast
+Speaker 1: Hello there!
+**Speaker 2: Hi!**
+3: I'm third but clamped.
+random continuation line
+```"""
+    out = ScriptAIClient.clean_script(raw, num_speakers=2)
+    lines = out.split("\n")
+    assert lines[0] == "Speaker 1: Hello there!"
+    assert lines[1] == "Speaker 2: Hi!"
+    assert lines[2].startswith("Speaker 2: I'm third")  # clamped to num_speakers
+    assert "random continuation line" in lines[2]
+
+
+def test_script_cleanup_json_shape():
+    raw = json.dumps([{"speaker": 1, "text": "a"}, {"speaker": 2, "text": "b"}])
+    out = ScriptAIClient.clean_script(raw, 2)
+    assert out == "Speaker 1: a\nSpeaker 2: b"
+
+
+def test_extract_text_shapes():
+    ex = ScriptAIClient._extract_text
+    assert ex({"choices": [{"message": {"content": "x"}}]}) == "x"
+    assert ex({"choices": [{"text": "y"}]}) == "y"
+    assert ex({"output_text": "z"}) == "z"
+    with pytest.raises(ValueError):
+        ex({"weird": 1})
+
+
+def test_script_ai_env_precedence(tmp_path, monkeypatch):
+    monkeypatch.chdir(tmp_path)
+    (tmp_path / ".env").write_text("OPENAI_BASE_URL=dotenv-host\nOPENAI_MODEL=m1\n")
+    monkeypatch.setenv("OPENAI_BASE_URL", "env-host")
+    cfg = ScriptAIConfig.from_env({"base_url": "cli-host"})
+    assert cfg.base_url == "http://cli-host/v1"      # CLI wins
+    assert cfg.model == "m1"                          # .env fills the rest
+    monkeypatch.delenv("OPENAI_BASE_URL")
+    cfg2 = ScriptAIConfig.from_env()
+    assert cfg2.base_url == "http://dotenv-host/v1"
+
+
+def test_parse_txt_script_named_speakers():
+    script, actors = parse_txt_script(
+        "Alice: hi\nBob: yo\nAlice: bye", ["Alice", "Bob"])
+    assert script == "Speaker 1: hi\nSpeaker 2: yo\nSpeaker 1: bye"
+    assert actors == ["Alice", "Bob"]
+
+
+def test_voice_mapper(tmp_path):
+    (tmp_path / "en-Alice_woman.wav").write_bytes(b"RIFF")
+    (tmp_path / "en-Bob_man.wav").write_bytes(b"RIFF")
+    vm = VoiceMapper(str(tmp_path))
+    assert vm.get_voice_path("Alice").endswith("en-Alice_woman.wav")
+    assert vm.get_voice_path("BOB").endswith("en-Bob_man.wav")
+    # fallback for unknown name
+    assert vm.get_voice_path("Zoe")
+
+
+def test_voice_library_scan(tmp_path, monkeypatch):
+    voices = tmp_path / "voices"
+    custom = tmp_path / "custom_voices" / "nested"
+    voices.mkdir()
+    custom.mkdir(parents=True)
+    from vibevoice_tpu.processor.audio import write_wav
+    write_wav(str(voices / "alice.wav"), np.zeros(100, np.float32))
+    write_wav(str(custom / "me.wav"), np.ones(100, np.float32) * 0.5)
+    lib = VoiceLibrary(str(voices), str(tmp_path / "custom_voices"))
+    assert "alice" in lib.names()
+    assert "custom/nested/me" in lib.names()
+    wav = lib.load_voice("custom/nested/me", normalize_rms=True, target_rms=0.1)
+    assert abs(float(np.sqrt(np.mean(wav ** 2))) - 0.1) < 0.01
+
+
+def test_convert_to_16_bit_wav():
+    out = convert_to_16_bit_wav(np.array([0.0, 0.5, -2.0]))
+    assert out.dtype == np.int16
+    assert out[0] == 0 and out[2] == -32767
+
+
+def test_streamer_put_end_iter():
+    s = AudioStreamer(batch_size=2)
+    s.put(np.ones((2, 10), np.float32), [0, 1])
+    s.put(np.ones((1, 5), np.float32) * 2, [1])
+    s.end()
+    chunks0 = list(s.get_stream(0))
+    chunks1 = list(s.get_stream(1))
+    assert len(chunks0) == 1 and chunks0[0].shape == (10,)
+    assert len(chunks1) == 2 and chunks1[1].shape == (5,)
+    assert all(s.finished_flags)
+
+
+def test_streamer_threaded():
+    s = AudioStreamer(batch_size=1)
+    got = []
+
+    def consumer():
+        for c in s.get_stream(0):
+            got.append(c)
+
+    t = threading.Thread(target=consumer)
+    t.start()
+    for i in range(5):
+        s.put(np.full((1, 4), i, np.float32), [0])
+        time.sleep(0.01)
+    s.end()
+    t.join(timeout=2)
+    assert len(got) == 5

@@ -1,0 +1,67 @@
+"""Long-form generation: bucketed KV-cache growth (SURVEY.md §5.7 path)."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from vibevoice_tpu.config import VibeVoiceConfig
+from vibevoice_tpu.generation import VibeVoiceGenerator
+from vibevoice_tpu.models import vibevoice
+
+CFG = VibeVoiceConfig.named("tiny")
+
+
+class TinyTokenizer:
+    eos_id = 3
+    speech_start_id = 10
+    speech_end_id = 11
+    speech_diffusion_id = 12
+    pad_id = 4
+
+
+def test_cache_growth_long_run():
+    params = vibevoice.init_params(jax.random.PRNGKey(0), CFG, jnp.float32)
+    gen = VibeVoiceGenerator(params, CFG, TinyTokenizer(),
+                             ddpm_inference_steps=3, lm_dtype=jnp.float32)
+    tk = TinyTokenizer()
+    # force every sampled token to be a diffusion frame so the run spans
+    # multiple cache buckets (random weights would hit EOS immediately)
+    gen.valid_ids = jnp.full_like(gen.valid_ids, tk.speech_diffusion_id)
+    ids = np.random.RandomState(0).randint(20, 200, (1, 16))
+    ids[:, -1] = tk.speech_start_id
+
+    out = gen.generate(ids, cfg_scale=1.2, max_new_tokens=700,
+                       max_length_times=1000.0, chunk_steps=32, seed=1)
+    # every budgeted step vocoded a frame (max_new_tokens=700; the tail of the
+    # last chunk is past the per-sample budget and emits forced EOS)
+    assert out.speech_outputs[0] is not None
+    assert len(out.speech_outputs[0]) == 700 * CFG.acoustic_tokenizer.total_stride
+    # multiple cache buckets were compiled (initial + >=1 growth)
+    cache_lens = {key[-1] for key in gen._chunk_jit.keys()}
+    assert len(cache_lens) >= 2, cache_lens
+    assert out.sequences.shape[1] == 704  # 700 rounded up to chunk multiple
+    assert set(np.unique(out.sequences)) <= {tk.speech_diffusion_id, tk.eos_id}
+    assert int((out.sequences == tk.speech_diffusion_id).sum()) == 700
+
+
+def test_growth_preserves_prefix_behavior():
+    """First-chunk outputs must match between a short run (no growth) and a
+    long run (with growth) — padding is fully masked out of attention."""
+    params = vibevoice.init_params(jax.random.PRNGKey(1), CFG, jnp.float32)
+    tk = TinyTokenizer()
+    ids = np.random.RandomState(1).randint(20, 200, (1, 16))
+    ids[:, -1] = tk.speech_start_id
+
+    gen1 = VibeVoiceGenerator(params, CFG, tk, ddpm_inference_steps=3,
+                              lm_dtype=jnp.float32)
+    out_short = gen1.generate(ids, cfg_scale=1.2, max_new_tokens=32,
+                              max_length_times=1000.0, chunk_steps=16, seed=9)
+    gen2 = VibeVoiceGenerator(params, CFG, tk, ddpm_inference_steps=3,
+                              lm_dtype=jnp.float32)
+    out_long = gen2.generate(ids, cfg_scale=1.2, max_new_tokens=400,
+                             max_length_times=1000.0, chunk_steps=16, seed=9)
+    n = out_short.sequences.shape[1]
+    np.testing.assert_array_equal(out_short.sequences[:, :16],
+                                  out_long.sequences[:, :16])

@@ -158,6 +158,7 @@ class ScriptAIClient:
             if not raw:
                 continue
             raw = re.sub(r"^[*#>\-\s]+", "", raw)            # markdown litter
+            raw = re.sub(r"[*_]+$", "", raw).strip()
             m = re.match(r"^(?:Speaker\s*)?(\d+)\s*[:.\)]\s*(.+)$", raw,
                          re.IGNORECASE)
             if m:

@@ -30,6 +30,7 @@ the reference contract.
 from __future__ import annotations
 
 import math
+import time
 from dataclasses import dataclass, field
 from functools import partial
 from typing import Any, Callable, Dict, List, Optional
@@ -47,6 +48,20 @@ from .state import GenState, StepOutput
 
 def _round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
+
+
+@partial(jax.jit, static_argnames=("new_len",))
+def _grow_cache_arrays(kv, new_len: int):
+    k, v = kv
+    pad = new_len - k.shape[2]
+    cfgpad = [(0, 0), (0, 0), (0, pad), (0, 0), (0, 0)]
+    return jnp.pad(k, cfgpad), jnp.pad(v, cfgpad)
+
+
+def _grow_cache(state: GenState, new_len: int) -> GenState:
+    from ..models.qwen2 import KVCache
+    k, v = _grow_cache_arrays((state.cache.k, state.cache.v), new_len)
+    return state._replace(cache=KVCache(k=k, v=v))
 
 
 @dataclass
@@ -84,6 +99,7 @@ class VibeVoiceGenerator:
         self.frame_samples = cfg.acoustic_tokenizer.total_stride
         self._prefill_jit: Dict[Any, Callable] = {}
         self._chunk_jit: Dict[Any, Callable] = {}
+        self.last_metrics: Dict[str, dict] = {}
 
     def set_ddpm_inference_steps(self, num_steps: Optional[int] = None) -> None:
         """Reference API parity (inference:146-147). Rebuilds the schedule."""
@@ -339,9 +355,13 @@ class VibeVoiceGenerator:
         max_steps_per_sample = np.minimum(max_length - init_len,
                                           (max_length_times * init_len).astype(np.int64))
 
-        # bucketed shapes to bound recompiles
+        # bucketed shapes to bound recompiles; the KV cache starts small and
+        # doubles as generation proceeds, so decode attention only ever reads
+        # ~2x the live context instead of the worst-case 64k buffer (the
+        # long-form killer: at 64k a full-buffer read is ~3.7 GB/step)
         t_bucket = max(_round_up(t0, 64), 64)
-        cache_len = _round_up(t0 + max_steps + 2, 256)
+        cache_len_final = _round_up(t0 + max_steps + 2, 256)
+        cache_len = min(_round_up(t_bucket + 4 * chunk_steps + 2, 256), cache_len_final)
         extra = t_bucket - t0
 
         # build 2B prompt: rows [0,B) the real prompt, rows [B,2B) the
@@ -366,16 +386,22 @@ class VibeVoiceGenerator:
         rng = jax.random.PRNGKey(seed)
         rng, k_pre = jax.random.split(rng)
 
+        from ..utils.profiling import StageTimer
+        timer = StageTimer()
+        t_gen0 = time.perf_counter()
+
         pf_key = (t_bucket, cache_len, has_speech,
                   None if not has_speech else np.asarray(speech_tensors).shape)
         if pf_key not in self._prefill_jit:
             self._prefill_jit[pf_key] = self._build_prefill(t_bucket, cache_len, has_speech)
         prefill_fn = self._prefill_jit[pf_key]
-        last_hidden, cache = prefill_fn(
-            self.params, jnp.asarray(ids2b), jnp.asarray(valid2b),
-            None if not has_speech else jnp.asarray(speech_tensors, jnp.float32),
-            None if not has_speech else jnp.asarray(speech_masks),
-            None if not has_speech else jnp.asarray(smask_pad), k_pre)
+        with timer.stage("prefill"):
+            last_hidden, cache = prefill_fn(
+                self.params, jnp.asarray(ids2b), jnp.asarray(valid2b),
+                None if not has_speech else jnp.asarray(speech_tensors, jnp.float32),
+                None if not has_speech else jnp.asarray(speech_masks),
+                None if not has_speech else jnp.asarray(smask_pad), k_pre)
+            jax.block_until_ready(last_hidden)
 
         kv_start = np.zeros(2 * b, np.int32)
         kv_start[:b] = t_bucket - init_len
@@ -395,12 +421,15 @@ class VibeVoiceGenerator:
             semantic_state=tok.init_encoder_state(cfg.semantic_tokenizer, b),
             rng=rng)
 
-        ck_key = (chunk_steps, do_sample, temperature, top_p, refresh_negative, b,
-                  t_bucket, cache_len)
-        if ck_key not in self._chunk_jit:
-            self._chunk_jit[ck_key] = self._build_chunk(
-                ck_key, chunk_steps, do_sample, temperature, top_p, refresh_negative)
-        run_chunk = self._chunk_jit[ck_key]
+        def get_run_chunk(cur_cache_len: int):
+            key = (chunk_steps, do_sample, temperature, top_p, refresh_negative,
+                   b, cur_cache_len)
+            if key not in self._chunk_jit:
+                self._chunk_jit[key] = self._build_chunk(
+                    key, chunk_steps, do_sample, temperature, top_p, refresh_negative)
+            return self._chunk_jit[key]
+
+        run_chunk = get_run_chunk(cache_len)
 
         all_tokens: List[np.ndarray] = []
         audio_chunks: List[List[np.ndarray]] = [[] for _ in range(b)]
@@ -414,7 +443,16 @@ class VibeVoiceGenerator:
             if audio_streamer is not None and getattr(audio_streamer, "finished_flags", None):
                 if any(audio_streamer.finished_flags):
                     break
-            state, out = run_chunk(self.params, state, cfg_scale_arr)
+            # grow the cache before it would overflow in the next chunk
+            need = t_bucket + steps_done + chunk_steps + 2
+            if need > cache_len and cache_len < cache_len_final:
+                new_len = min(max(cache_len * 2, _round_up(need, 256)), cache_len_final)
+                with timer.stage("cache_grow"):
+                    state = _grow_cache(state, new_len)
+                cache_len = new_len
+                run_chunk = get_run_chunk(cache_len)
+            with timer.stage("decode_chunk"):
+                state, out = run_chunk(self.params, state, cfg_scale_arr)
             steps_done += chunk_steps
 
             k = chunk_steps
@@ -427,6 +465,8 @@ class VibeVoiceGenerator:
             for k in range(toks.shape[0]):
                 d = diff[k]
                 if d.any():
+                    if "ttfa" not in timer.totals:
+                        timer.record("ttfa", time.perf_counter() - t_gen0)
                     idxs = np.nonzero(d)[0]
                     for i in idxs:
                         audio_chunks[i].append(audio[k, i])
@@ -443,6 +483,9 @@ class VibeVoiceGenerator:
 
         if audio_streamer is not None:
             audio_streamer.end()
+
+        timer.record("generate_total", time.perf_counter() - t_gen0)
+        self.last_metrics = timer.summary()
 
         sequences = (np.concatenate(all_tokens, axis=0).T if all_tokens
                      else np.zeros((b, 0), np.int32))
