@@ -208,7 +208,7 @@ def _import_diffusion_head(sd: _SD, cfg, dtype) -> dict:
 
 
 def import_state_dict(tensors: Dict[str, Array], cfg: VibeVoiceConfig,
-                      dtype=jnp.bfloat16, tok_dtype=jnp.float32) -> dict:
+                      dtype=jnp.bfloat16, tok_dtype=jnp.bfloat16) -> dict:
     """Map a reference-named state dict into the vibevoice_tpu param tree."""
     sd = _SD(tensors)
     params = {

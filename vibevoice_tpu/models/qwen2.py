@@ -100,7 +100,7 @@ def lm_head_weight(params: dict) -> jax.Array:
 
 
 def _layer(x, lp, cfg: Qwen2DecoderConfig, cos, sin, cache_k, cache_v,
-           write_idx, attn_mask, decode: bool):
+           write_idx, attn_mask, decode: bool, flash_kv_start=None):
     """One transformer layer. x: [B, T, H]. cache_k/v: [B, S, Hkv, Dh]."""
     b, t, h = x.shape
     dh = cfg.resolved_head_dim
@@ -124,7 +124,11 @@ def _layer(x, lp, cfg: Qwen2DecoderConfig, cos, sin, cache_k, cache_v,
         # prefill: write the whole block at offset 0
         cache_k = jax.lax.dynamic_update_slice(cache_k, k, (0, 0, 0, 0))
         cache_v = jax.lax.dynamic_update_slice(cache_v, v, (0, 0, 0, 0))
-        attn = attend(q, k, v, mask=attn_mask)
+        if flash_kv_start is not None:
+            from ..ops.flash_attention import flash_attention
+            attn = flash_attention(q, k, v, flash_kv_start, causal=True)
+        else:
+            attn = attend(q, k, v, mask=attn_mask)
 
     x = resid + qmatmul(attn.reshape(b, t, hq * dh), lp["wo"])
     resid = x
@@ -136,8 +140,9 @@ def _layer(x, lp, cfg: Qwen2DecoderConfig, cos, sin, cache_k, cache_v,
 
 def forward(params: dict, cfg: Qwen2DecoderConfig, x: jax.Array,
             positions: jax.Array, cache: Optional[KVCache],
-            attn_mask: jax.Array, write_idx: Optional[jax.Array] = None,
-            decode: bool = False) -> Tuple[jax.Array, Optional[KVCache]]:
+            attn_mask: Optional[jax.Array], write_idx: Optional[jax.Array] = None,
+            decode: bool = False,
+            flash_kv_start: Optional[jax.Array] = None) -> Tuple[jax.Array, Optional[KVCache]]:
     """Transformer body.
 
     x: [B, T, H] embeddings; positions: [B, T] int for RoPE;
@@ -172,7 +177,8 @@ def forward(params: dict, cfg: Qwen2DecoderConfig, x: jax.Array,
 
     def body(xc, layer_in):
         lp, ck, cv = layer_in
-        y, ck, cv = _layer(xc, lp, cfg, cos, sin, ck, cv, write_idx, attn_mask, decode)
+        y, ck, cv = _layer(xc, lp, cfg, cos, sin, ck, cv, write_idx, attn_mask,
+                           decode, flash_kv_start=flash_kv_start)
         return y, (ck, cv)
 
     x, (new_k, new_v) = jax.lax.scan(body, x, (params["layers"], cache.k, cache.v))
@@ -181,14 +187,24 @@ def forward(params: dict, cfg: Qwen2DecoderConfig, x: jax.Array,
 
 
 def prefill(params: dict, cfg: Qwen2DecoderConfig, embeds: jax.Array,
-            valid_mask: jax.Array, cache: KVCache) -> Tuple[jax.Array, KVCache]:
+            valid_mask: jax.Array, cache: KVCache,
+            impl: str = "auto") -> Tuple[jax.Array, KVCache]:
     """Prefill with a left-padded batch.
 
     embeds: [B, T, H]; valid_mask: [B, T] bool (True = real token).
     Positions count valid tokens from 0 (HF convention: mask.cumsum - 1).
+    impl: 'auto' (Pallas flash on TPU, XLA elsewhere) | 'pallas' | 'xla' —
+    the backend-selection switch, parity with the reference's
+    flash-attn/SDPA chain (main.py:79-86).
     """
     b, t, _ = embeds.shape
     positions = jnp.clip(jnp.cumsum(valid_mask, axis=-1) - 1, 0)
+    if impl == "auto":
+        impl = "pallas" if jax.default_backend() == "tpu" else "xla"
+    if impl == "pallas":
+        kv_start = (t - jnp.sum(valid_mask, axis=-1)).astype(jnp.int32)
+        return forward(params, cfg, embeds, positions, cache, None,
+                       decode=False, flash_kv_start=kv_start)
     causal = jnp.arange(t)[None, :, None] >= jnp.arange(t)[None, None, :]
     mask = causal & valid_mask[:, None, :]
     return forward(params, cfg, embeds, positions, cache, mask, decode=False)

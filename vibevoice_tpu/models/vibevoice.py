@@ -25,13 +25,18 @@ from . import diffusion_head
 from . import qwen2
 
 
-def init_params(rng: jax.Array, cfg: VibeVoiceConfig, dtype=jnp.bfloat16) -> dict:
+def init_params(rng: jax.Array, cfg: VibeVoiceConfig, dtype=jnp.bfloat16,
+                tok_dtype=None) -> dict:
+    """tok_dtype: conv tokenizer weight dtype; defaults to `dtype` (the
+    reference ships bf16 checkpoints end to end — norm internals stay fp32
+    regardless).  The vocode step is HBM-bandwidth-bound, so bf16 tokenizer
+    weights halve its cost."""
+    tok_dtype = tok_dtype or dtype
     ks = jax.random.split(rng, 6)
     params = {
         "lm": qwen2.init_params(ks[0], cfg.decoder, dtype),
-        # conv tokenizers keep fp32 params (small; numerics matter for audio)
-        "acoustic": tok.init_acoustic_params(ks[1], cfg.acoustic_tokenizer, jnp.float32),
-        "semantic": tok.init_encoder_params(ks[2], cfg.semantic_tokenizer, jnp.float32),
+        "acoustic": tok.init_acoustic_params(ks[1], cfg.acoustic_tokenizer, tok_dtype),
+        "semantic": tok.init_encoder_params(ks[2], cfg.semantic_tokenizer, tok_dtype),
         "acoustic_connector": connectors.init_params(
             ks[3], cfg.acoustic_vae_dim, cfg.decoder.hidden_size, dtype),
         "semantic_connector": connectors.init_params(

@@ -90,19 +90,28 @@ def _flash_kernel(kv_start_ref,  # scalar prefetch: [B] int32
 def flash_attention(q: jax.Array, k: jax.Array, v: jax.Array,
                     kv_start: jax.Array | None = None, causal: bool = True,
                     block_q: int = DEFAULT_BLOCK_Q, block_k: int = DEFAULT_BLOCK_K,
-                    interpret: bool = False) -> jax.Array:
+                    interpret: bool | None = None) -> jax.Array:
     """q: [B, Tq, Hq, D]; k, v: [B, Tk, Hkv, D]; kv_start: [B] first valid key.
 
     Tq/Tk must be multiples of the block sizes (callers bucket prompt lengths).
     Returns [B, Tq, Hq, D].
     """
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
     b, tq, hq, d = q.shape
     tk, hkv = k.shape[1], k.shape[2]
     group = hq // hkv
     if kv_start is None:
         kv_start = jnp.zeros((b,), jnp.int32)
-    block_q = min(block_q, tq)
-    block_k = min(block_k, tk)
+
+    def _fit(block, t):
+        block = min(block, t)
+        while t % block != 0:
+            block //= 2
+        return max(block, 8)
+
+    block_q = _fit(block_q, tq)
+    block_k = _fit(block_k, tk)
     assert tq % block_q == 0 and tk % block_k == 0, (tq, tk, block_q, block_k)
     scale = d ** -0.5
 
@@ -119,13 +128,14 @@ def flash_attention(q: jax.Array, k: jax.Array, v: jax.Array,
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1,
             grid=grid,
+            # index maps receive the scalar-prefetch ref as a trailing arg
             in_specs=[
-                pl.BlockSpec((1, 1, block_q, d), lambda b_, h, qi, ki: (b_, h, qi, 0)),
+                pl.BlockSpec((1, 1, block_q, d), lambda b_, h, qi, ki, kvs: (b_, h, qi, 0)),
                 # GQA: kv head = q head // group, no repeat/materialization
-                pl.BlockSpec((1, 1, block_k, d), lambda b_, h, qi, ki: (b_, h // group, ki, 0)),
-                pl.BlockSpec((1, 1, block_k, d), lambda b_, h, qi, ki: (b_, h // group, ki, 0)),
+                pl.BlockSpec((1, 1, block_k, d), lambda b_, h, qi, ki, kvs: (b_, h // group, ki, 0)),
+                pl.BlockSpec((1, 1, block_k, d), lambda b_, h, qi, ki, kvs: (b_, h // group, ki, 0)),
             ],
-            out_specs=pl.BlockSpec((1, 1, block_q, d), lambda b_, h, qi, ki: (b_, h, qi, 0)),
+            out_specs=pl.BlockSpec((1, 1, block_q, d), lambda b_, h, qi, ki, kvs: (b_, h, qi, 0)),
             scratch_shapes=[
                 pltpu.VMEM((block_q, 1), jnp.float32),
                 pltpu.VMEM((block_q, 1), jnp.float32),
