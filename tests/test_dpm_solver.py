@@ -125,6 +125,32 @@ class RefSolver:
                 + s_t * math.sqrt(math.exp(2 * h) - 1) * z
         raise ValueError
 
+    def third_order(self, x):
+        cfg = self.cfg
+        i = self.step_index
+        m0, m1, m2 = self.model_outputs[-1], self.model_outputs[-2], self.model_outputs[-3]
+        a_t, s_t = self._alpha_sigma(self.sigmas[i + 1])
+        a_s0, s_s0 = self._alpha_sigma(self.sigmas[i])
+        a_s1, s_s1 = self._alpha_sigma(self.sigmas[i - 1])
+        a_s2, s_s2 = self._alpha_sigma(self.sigmas[i - 2])
+        lam = lambda a, s: np.log(a) - np.log(max(s, 1e-300))
+        lt, l0, l1, l2 = lam(a_t, s_t), lam(a_s0, s_s0), lam(a_s1, s_s1), lam(a_s2, s_s2)
+        h, h0, h1 = lt - l0, l0 - l1, l1 - l2
+        r0, r1 = h0 / h, h1 / h
+        d0 = m0
+        d1_0, d1_1 = (m0 - m1) / r0, (m1 - m2) / r1
+        d1 = d1_0 + (r0 / (r0 + r1)) * (d1_0 - d1_1)
+        d2 = (d1_0 - d1_1) / (r0 + r1)
+        if cfg.algorithm_type == "dpmsolver++":
+            return ((s_t / s_s0) * x - (a_t * (math.exp(-h) - 1)) * d0
+                    + (a_t * ((math.exp(-h) - 1) / h + 1)) * d1
+                    - (a_t * ((math.exp(-h) - 1 + h) / h ** 2 - 0.5)) * d2)
+        if cfg.algorithm_type == "dpmsolver":
+            return ((a_t / a_s0) * x - (s_t * (math.exp(h) - 1)) * d0
+                    - (s_t * ((math.exp(h) - 1) / h - 1)) * d1
+                    - (s_t * ((math.exp(h) - 1 - h) / h ** 2 - 0.5)) * d2)
+        raise ValueError
+
     def step(self, model_output, x, z):
         cfg = self.cfg
         S = len(self.timesteps)
@@ -132,14 +158,17 @@ class RefSolver:
         lower_order_final = (i == S - 1) and (
             cfg.euler_at_final or (cfg.lower_order_final and S < 15)
             or cfg.final_sigmas_type == "zero")
+        lower_order_second = (i == S - 2) and cfg.lower_order_final and S < 15
         m = self.convert(model_output, x)
         for j in range(cfg.solver_order - 1):
             self.model_outputs[j] = self.model_outputs[j + 1]
         self.model_outputs[-1] = m
         if cfg.solver_order == 1 or self.lower_order_nums < 1 or lower_order_final:
             out = self.first_order(m, x, z)
-        else:
+        elif cfg.solver_order == 2 or self.lower_order_nums < 2 or lower_order_second:
             out = self.second_order(x, z)
+        else:
+            out = self.third_order(x)
         if self.lower_order_nums < cfg.solver_order:
             self.lower_order_nums += 1
         self.step_index += 1
@@ -178,10 +207,40 @@ def test_matches_reference_equations(algo, order, pred, solver_type):
 
     x = jnp.asarray(x0, jnp.float32)
     m_prev = jnp.zeros_like(x)
+    m_prev2 = jnp.zeros_like(x)
     for i in range(S):
-        x, m_prev = solver_step(sched, i, x, m_prev, jnp.asarray(model_outs[i], jnp.float32),
-                                noise=jnp.asarray(noises[i], jnp.float32))
+        x, m = solver_step(sched, i, x, m_prev, jnp.asarray(model_outs[i], jnp.float32),
+                           noise=jnp.asarray(noises[i], jnp.float32), m_prev2=m_prev2)
+        m_prev2, m_prev = m_prev, m
     np.testing.assert_allclose(np.asarray(x), x_ref, rtol=2e-4, atol=2e-4)
+
+
+@pytest.mark.parametrize("algo", ["dpmsolver++", "dpmsolver"])
+def test_third_order_matches_reference(algo):
+    final = "zero" if algo.endswith("++") else "sigma_min"
+    cfg = DPMSolverConfig(num_train_timesteps=100, beta_schedule="cosine",
+                          prediction_type="v_prediction", algorithm_type=algo,
+                          solver_order=3, final_sigmas_type=final)
+    S = 9
+    sched = make_schedule(cfg, S)
+    rs = np.random.RandomState(5)
+    x0 = rs.randn(2, 4)
+    model_outs = [rs.randn(2, 4) for _ in range(S)]
+
+    ref = RefSolver(cfg, S)
+    ref.model_outputs = [None] * 3
+    x_ref = x0.copy()
+    for i in range(S):
+        x_ref = ref.step(model_outs[i], x_ref, np.zeros_like(x_ref))
+
+    x = jnp.asarray(x0, jnp.float32)
+    m_prev = jnp.zeros_like(x)
+    m_prev2 = jnp.zeros_like(x)
+    for i in range(S):
+        x, m = solver_step(sched, i, x, m_prev,
+                           jnp.asarray(model_outs[i], jnp.float32), m_prev2=m_prev2)
+        m_prev2, m_prev = m_prev, m
+    np.testing.assert_allclose(np.asarray(x), x_ref, rtol=3e-4, atol=3e-4)
 
 
 def test_perfect_denoiser_recovers_x0():

@@ -122,6 +122,9 @@ class DPMSolverConfig:
     beta_end: float = 0.02
     rescale_betas_zero_snr: bool = False
     lambda_min_clipped: float = -float("inf")
+    thresholding: bool = False
+    dynamic_thresholding_ratio: float = 0.995
+    sample_max_value: float = 1.0
 
     @property
     def is_pp(self) -> bool:
@@ -138,7 +141,11 @@ class DPMSolverSchedule(NamedTuple):
     The scanned update is, for model output m_i (converted to x0/eps domain):
         D1_i   = inv_r0[i] * (m_i - m_{i-1})                  (0 on first-order steps)
         x_{i+1} = c_x[i]*x_i + c_d0[i]*m_i + c_d1[i]*D1_i + c_noise[i]*z_i
-    with c_d1 zeroed on first-order steps.  Conversion of the raw network output:
+    with c_d1 zeroed on first-order steps.  On third-order steps (c_d2 != 0):
+        D1 = D1_0 + w01[i]*(D1_0 - D1_1), D2 = inv_r01[i]*(D1_0 - D1_1)
+        with D1_0 = inv_r0[i]*(m_i - m_{i-1}), D1_1 = inv_r1[i]*(m_{i-1} - m_{i-2})
+        x_{i+1} = c_x[i]*x_i + c_d0[i]*m_i + c_d1[i]*D1 + c_d2[i]*D2
+    Conversion of the raw network output:
         m_i = cvt_x[i]*x_i + cvt_m[i]*net(x_i, t_i, cond)
     """
     timesteps: jax.Array   # [S] float32, the t fed to the denoiser
@@ -149,6 +156,11 @@ class DPMSolverSchedule(NamedTuple):
     c_d1: jax.Array        # [S]
     c_noise: jax.Array     # [S]
     inv_r0: jax.Array      # [S]
+    c_d2: jax.Array        # [S] (order-3 only)
+    inv_r1: jax.Array      # [S]
+    w01: jax.Array         # [S] r0/(r0+r1)
+    inv_r01: jax.Array     # [S] 1/(r0+r1)
+    thresh: jax.Array      # [2]: (dynamic_thresholding_ratio, sample_max_value); ratio<0 -> off
 
     @property
     def num_steps(self) -> int:
@@ -259,6 +271,10 @@ def make_schedule(cfg: DPMSolverConfig, num_inference_steps: int,
     c_d1 = np.zeros(S)
     c_noise = np.zeros(S)
     inv_r0 = np.zeros(S)
+    c_d2 = np.zeros(S)
+    inv_r1 = np.zeros(S)
+    w01 = np.zeros(S)
+    inv_r01 = np.zeros(S)
 
     for i in range(S):
         a_t, s_t = alpha[i + 1], sig[i + 1]
@@ -267,14 +283,39 @@ def make_schedule(cfg: DPMSolverConfig, num_inference_steps: int,
         emh = np.exp(-h)                              # exp(-h); 0 when h = inf
         eh = np.exp(h) if np.isfinite(h) else np.inf
 
-        # first-order / second-order selection, mirroring dpm_solver.py:977-1008:
-        # step 0 has no history; the final step is forced to first order when
-        # euler_at_final, or lower_order_final with <15 steps, or final sigma zero;
-        # the penultimate step is forced to 2nd order only for order-3 (we cap at 2).
+        # order selection, mirroring dpm_solver.py:977-1008: step 0 has no
+        # history; the final step is forced to first order when euler_at_final,
+        # lower_order_final with <15 steps, or final sigma zero; the penultimate
+        # step is capped at 2nd order for order-3 runs.
         lower_order_final = (i == S - 1) and (
             cfg.euler_at_final or (cfg.lower_order_final and S < 15) or cfg.final_sigmas_type == "zero"
         )
+        lower_order_second = (i == S - 2) and cfg.lower_order_final and S < 15
         use_first = (cfg.solver_order == 1) or (i == 0) or lower_order_final
+        use_third = (cfg.solver_order == 3 and not use_first and i >= 2
+                     and not lower_order_second)
+
+        if use_third:
+            if cfg.is_sde:
+                raise NotImplementedError("order 3 is not defined for the SDE variants")
+            h_0 = lam[i] - lam[i - 1]
+            h_1 = lam[i - 1] - lam[i - 2]
+            r0, r1 = h_0 / h, h_1 / h
+            inv_r0[i] = 1.0 / r0
+            inv_r1[i] = 1.0 / r1
+            w01[i] = r0 / (r0 + r1)
+            inv_r01[i] = 1.0 / (r0 + r1)
+            if cfg.algorithm_type == "dpmsolver++":
+                c_x[i] = s_t / s_s0
+                c_d0[i] = -a_t * (emh - 1.0)
+                c_d1[i] = a_t * ((emh - 1.0) / h + 1.0)
+                c_d2[i] = -a_t * ((emh - 1.0 + h) / h ** 2 - 0.5)
+            else:  # dpmsolver
+                c_x[i] = a_t / a_s0
+                c_d0[i] = -s_t * (eh - 1.0)
+                c_d1[i] = -s_t * ((eh - 1.0) / h - 1.0)
+                c_d2[i] = -s_t * ((eh - 1.0 - h) / h ** 2 - 0.5)
+            continue
 
         if cfg.algorithm_type == "dpmsolver++":
             if use_first:
@@ -334,11 +375,14 @@ def make_schedule(cfg: DPMSolverConfig, num_inference_steps: int,
             inv_r0[i] = h / h_0 if h_0 != 0 else 0.0   # D1 = (m0 - m1) / r0, r0 = h_0/h
 
     arr = lambda x: jnp.asarray(np.nan_to_num(x, nan=0.0, posinf=0.0, neginf=0.0), dtype=dtype)
+    thr_ratio = cfg.dynamic_thresholding_ratio if (cfg.thresholding and cfg.is_pp) else -1.0
     return DPMSolverSchedule(
         timesteps=jnp.asarray(timesteps, dtype=dtype),
         cvt_x=arr(cvt_x), cvt_m=arr(cvt_m),
         c_x=arr(c_x), c_d0=arr(c_d0), c_d1=arr(c_d1), c_noise=arr(c_noise),
-        inv_r0=arr(inv_r0),
+        inv_r0=arr(inv_r0), c_d2=arr(c_d2), inv_r1=arr(inv_r1), w01=arr(w01),
+        inv_r01=arr(inv_r01),
+        thresh=jnp.asarray([thr_ratio, cfg.sample_max_value], dtype=dtype),
     )
 
 
@@ -346,15 +390,33 @@ def make_schedule(cfg: DPMSolverConfig, num_inference_steps: int,
 # Sampling
 # ---------------------------------------------------------------------------
 
-def solver_step(sched: DPMSolverSchedule, i, x, m_prev, model_out, noise=None):
+def _dynamic_threshold(m: jax.Array, ratio, max_value) -> jax.Array:
+    """Dynamic thresholding of the x0 prediction (dpm_solver.py:426-457)."""
+    flat = m.reshape(m.shape[0], -1)
+    s = jnp.quantile(jnp.abs(flat), ratio, axis=-1, keepdims=True)
+    s = jnp.clip(s, 1.0, max_value)
+    return (jnp.clip(flat, -s, s) / s).reshape(m.shape)
+
+
+def solver_step(sched: DPMSolverSchedule, i, x, m_prev, model_out, noise=None,
+                m_prev2=None):
     """One solver update. All inputs fp32; `i` may be a traced index.
 
-    Returns (x_next, m_cur).  ``m_prev`` must be zeros for i == 0 (ignored there
-    since c_d1[0] == 0).
+    Returns (x_next, m_cur).  ``m_prev`` must be zeros for i == 0 (ignored
+    there since c_d1[0] == 0); ``m_prev2`` is only read on order-3 steps.
     """
     m = sched.cvt_x[i] * x + sched.cvt_m[i] * model_out
-    d1 = (m - m_prev) * sched.inv_r0[i]
-    x_next = sched.c_x[i] * x + sched.c_d0[i] * m + sched.c_d1[i] * d1
+    m = jax.lax.cond(sched.thresh[0] >= 0,
+                     lambda mm: _dynamic_threshold(mm, sched.thresh[0], sched.thresh[1]),
+                     lambda mm: mm, m)
+    d1_0 = (m - m_prev) * sched.inv_r0[i]
+    if m_prev2 is None:
+        m_prev2 = jnp.zeros_like(m)
+    d1_1 = (m_prev - m_prev2) * sched.inv_r1[i]
+    d1 = d1_0 + sched.w01[i] * (d1_0 - d1_1)   # == d1_0 on non-3rd-order steps
+    d2 = sched.inv_r01[i] * (d1_0 - d1_1)
+    x_next = (sched.c_x[i] * x + sched.c_d0[i] * m + sched.c_d1[i] * d1
+              + sched.c_d2[i] * d2)
     if noise is not None:
         x_next = x_next + sched.c_noise[i] * noise
     return x_next, m
@@ -374,16 +436,18 @@ def sample_with_solver(sched: DPMSolverSchedule, denoise_fn: Callable,
     noise_keys = jax.random.split(rng, S)
 
     def body(carry, inp):
-        x, m_prev = carry
+        x, m_prev, m_prev2 = carry
         i, key = inp
         model_out = denoise_fn(x, sched.timesteps[i])
         z = jax.random.normal(key, x.shape, dtype=x.dtype)
-        x_next, m = solver_step(sched, i, x, m_prev, model_out, noise=z)
-        return (x_next, m), None
+        x_next, m = solver_step(sched, i, x, m_prev, model_out, noise=z,
+                                m_prev2=m_prev2)
+        return (x_next, m, m_prev), None
 
     x0 = x_T.astype(jnp.float32)
-    (x_final, _), _ = jax.lax.scan(body, (x0, jnp.zeros_like(x0)),
-                                   (jnp.arange(S), noise_keys))
+    (x_final, _, _), _ = jax.lax.scan(
+        body, (x0, jnp.zeros_like(x0), jnp.zeros_like(x0)),
+        (jnp.arange(S), noise_keys))
     return x_final
 
 
