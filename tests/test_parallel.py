@@ -79,6 +79,40 @@ def test_train_step_sharded_matches_single():
                                float(m2["diffusion_loss"]), rtol=1e-4)
 
 
+def test_sharded_generation_matches_single():
+    """TP/DP-sharded generation on the 8-device mesh must produce the same
+    tokens and audio as single-device generation (VERDICT item 2: sharded
+    inference path for the reference's tp_plan)."""
+    from vibevoice_tpu.generation.generate import VibeVoiceGenerator
+    from vibevoice_tpu.processor.text_tokenizer import ByteFallbackTokenizer
+
+    tk = ByteFallbackTokenizer()
+    params = vibevoice.init_params(jax.random.PRNGKey(7), CFG, jnp.float32)
+    rs = np.random.RandomState(1)
+    b = 2
+    ids = rs.randint(20, 200, (b, 24))
+    ids[:, -1] = tk.speech_start_id
+    kw = dict(cfg_scale=1.3, max_new_tokens=8, chunk_steps=4,
+              max_length_times=1000.0, seed=3)
+
+    gen1 = VibeVoiceGenerator(params, CFG, tk, ddpm_inference_steps=3,
+                              lm_dtype=jnp.float32)
+    out1 = gen1.generate(ids, **kw)
+
+    mesh = make_mesh(8, tp=2)
+    gen2 = VibeVoiceGenerator(params, CFG, tk, ddpm_inference_steps=3,
+                              lm_dtype=jnp.float32, mesh=mesh)
+    assert gen2.kv_tp, "tiny config (2 kv heads) should shard kv on tp=2"
+    out2 = gen2.generate(ids, **kw)
+
+    np.testing.assert_array_equal(out1.sequences, out2.sequences)
+    for a, bw in zip(out1.speech_outputs, out2.speech_outputs):
+        if a is None:
+            assert bw is None
+        else:
+            np.testing.assert_allclose(a, bw, atol=2e-4)
+
+
 def test_graft_dryrun():
     import importlib.util
     import os

@@ -73,12 +73,25 @@ class VibeVoiceGenerationOutput:
 
 
 class VibeVoiceGenerator:
-    """Stateless-parameters generator; jitted programs cached per shape bucket."""
+    """Stateless-parameters generator; jitted programs cached per shape bucket.
+
+    Pass ``mesh`` (a ``jax.sharding.Mesh`` with axes ("dp", "tp")) to serve
+    sharded: LM params get the TP plan (reference tp_plan,
+    configuration_vibevoice.py:175-183), the KV cache shards on its head axis
+    when tp divides the KV-head count, and batches shard on dp.  This is the
+    path that makes 7B bf16 servable (weights + 32k KV do not fit one chip).
+    """
 
     def __init__(self, params: dict, cfg: VibeVoiceConfig, tokenizer,
                  ddpm_inference_steps: Optional[int] = None,
                  solver: Optional[DPMSolverConfig] = None,
-                 lm_dtype=jnp.bfloat16):
+                 lm_dtype=jnp.bfloat16, mesh=None):
+        self.mesh = mesh
+        self.kv_tp = False
+        if mesh is not None:
+            from ..parallel.sharding import infer_kv_tp, shard_params
+            self.kv_tp = infer_kv_tp(cfg.decoder, mesh)
+            params = shard_params(params, mesh, kv_tp=self.kv_tp)
         self.params = params
         self.cfg = cfg
         self.tokenizer = tokenizer
@@ -93,9 +106,15 @@ class VibeVoiceGenerator:
             algorithm_type="sde-dpmsolver++", solver_order=2)
         self.sched = make_schedule(self.solver_cfg, self.ddpm_steps)
         tk = tokenizer
-        self.valid_ids = jnp.asarray(
-            [tk.speech_start_id, tk.speech_end_id, tk.speech_diffusion_id, tk.eos_id],
-            jnp.int32)
+        # constrained-decode token set {start, end, diffusion, eos, bos}
+        # (reference modeling_vibevoice_inference.py:403-418); Qwen2.5 sets
+        # bos == eos, in which case the set collapses to 4 ids
+        vid = [tk.speech_start_id, tk.speech_end_id, tk.speech_diffusion_id,
+               tk.eos_id]
+        bos = getattr(tk, "bos_id", tk.eos_id)
+        if bos is not None and bos not in vid:
+            vid.append(bos)
+        self.valid_ids = jnp.asarray(vid, jnp.int32)
         self.frame_samples = cfg.acoustic_tokenizer.total_stride
         self._prefill_jit: Dict[Any, Callable] = {}
         self._chunk_jit: Dict[Any, Callable] = {}
@@ -112,6 +131,28 @@ class VibeVoiceGenerator:
         self.solver_cfg = dc.replace(self.solver_cfg, **overrides)
         self.sched = make_schedule(self.solver_cfg, self.ddpm_steps)
         self._chunk_jit.clear()
+
+    # ------------------------------------------------------------------
+    # sharding helpers
+    # ------------------------------------------------------------------
+    def _put_batched(self, tree):
+        """device_put leaves with their leading axis on dp (replicate when the
+        axis isn't divisible); identity without a mesh."""
+        if self.mesh is None:
+            return tree
+        from ..parallel.sharding import batch_shardings
+        sh = batch_shardings(self.mesh, tree)
+        return jax.tree.map(
+            lambda x, s: jax.device_put(x, s) if x is not None else None,
+            tree, sh, is_leaf=lambda x: x is None)
+
+    def _cache_sharding(self, b2: int):
+        if self.mesh is None:
+            return None
+        from jax.sharding import NamedSharding
+        from ..parallel.sharding import kv_cache_pspec
+        batch_on_dp = b2 % self.mesh.shape.get("dp", 1) == 0
+        return NamedSharding(self.mesh, kv_cache_pspec(self.kv_tp, batch_on_dp))
 
     # ------------------------------------------------------------------
     # scaling factors
@@ -159,6 +200,10 @@ class VibeVoiceGenerator:
                 embeds = embeds.at[:b].set(pos_embeds.reshape(b, -1, h))
 
             cache = qwen2.init_kv_cache(cfg.decoder, b2, cache_len, self.lm_dtype)
+            c_sh = self._cache_sharding(b2)
+            if c_sh is not None:
+                cache = jax.tree.map(
+                    lambda x: jax.lax.with_sharding_constraint(x, c_sh), cache)
             hidden, cache = qwen2.prefill(params["lm"], cfg.decoder, embeds,
                                           valid2b, cache)
             return hidden[:, -1, :], cache
@@ -396,29 +441,40 @@ class VibeVoiceGenerator:
             self._prefill_jit[pf_key] = self._build_prefill(t_bucket, cache_len, has_speech)
         prefill_fn = self._prefill_jit[pf_key]
         with timer.stage("prefill"):
-            last_hidden, cache = prefill_fn(
-                self.params, jnp.asarray(ids2b), jnp.asarray(valid2b),
+            pf_in = self._put_batched((
+                jnp.asarray(ids2b), jnp.asarray(valid2b),
                 None if not has_speech else jnp.asarray(speech_tensors, jnp.float32),
                 None if not has_speech else jnp.asarray(speech_masks),
-                None if not has_speech else jnp.asarray(smask_pad), k_pre)
+                None if not has_speech else jnp.asarray(smask_pad)))
+            last_hidden, cache = prefill_fn(self.params, *pf_in, k_pre)
             jax.block_until_ready(last_hidden)
 
         kv_start = np.zeros(2 * b, np.int32)
         kv_start[:b] = t_bucket - init_len
         kv_start[b:] = t_bucket - 1
 
+        batched = self._put_batched((
+            jnp.asarray(kv_start),
+            jnp.full((b,), t_bucket, jnp.int32),
+            jnp.zeros((b,), bool),
+            jnp.zeros((b,), bool),
+            jnp.asarray(max_steps_per_sample, jnp.int32),
+            tok.init_decoder_state(cfg.acoustic_tokenizer, b),
+            tok.init_encoder_state(cfg.semantic_tokenizer, b)))
+        (kv_start_a, neg_ptr_a, finished_a, reach_max_a, max_steps_a,
+         ac_state, sem_state) = batched
         state = GenState(
             cache=cache,
-            kv_start=jnp.asarray(kv_start),
+            kv_start=kv_start_a,
             pos_len=jnp.int32(t_bucket),
-            neg_ptr=jnp.full((b,), t_bucket, jnp.int32),
+            neg_ptr=neg_ptr_a,
             last_hidden=last_hidden,
-            finished=jnp.zeros((b,), bool),
-            reach_max=jnp.zeros((b,), bool),
+            finished=finished_a,
+            reach_max=reach_max_a,
             step=jnp.int32(0),
-            max_steps_per_sample=jnp.asarray(max_steps_per_sample, jnp.int32),
-            acoustic_state=tok.init_decoder_state(cfg.acoustic_tokenizer, b),
-            semantic_state=tok.init_encoder_state(cfg.semantic_tokenizer, b),
+            max_steps_per_sample=max_steps_a,
+            acoustic_state=ac_state,
+            semantic_state=sem_state,
             rng=rng)
 
         def get_run_chunk(cur_cache_len: int):

@@ -10,7 +10,6 @@ repeated K/V heads: queries are grouped as [B, T, Hkv, G, D] and contracted
 against the shared KV head.
 """
 
-from functools import partial
 from typing import Optional
 
 import jax
@@ -71,12 +70,3 @@ def decode_attend(q: jax.Array, k_cache: jax.Array, v_cache: jax.Array,
     s = k_cache.shape[1]
     valid = jnp.arange(s)[None, :] < lengths[:, None]           # [B, S]
     return attend(q, k_cache, v_cache, mask=valid[:, None, :], scale=scale)
-
-
-@partial(jax.jit, static_argnames=("impl",))
-def prefill_attend(q, k, v, mask, impl: str = "xla"):
-    """Prefill attention entry point (causal or arbitrary boolean mask)."""
-    if impl == "pallas":
-        from .flash_attention import flash_attention
-        return flash_attention(q, k, v, mask)
-    return attend(q, k, v, mask)

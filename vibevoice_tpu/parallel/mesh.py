@@ -9,11 +9,35 @@ ride ICI.  Multi-host setup goes through ``jax.distributed.initialize()``.
 
 from __future__ import annotations
 
+import os
 from typing import Optional, Sequence
 
 import jax
 import numpy as np
 from jax.sharding import Mesh
+
+
+def force_virtual_cpu_devices(n: int) -> None:
+    """Provision an ``n``-device virtual CPU platform for sharding dry-runs.
+
+    Mirrors tests/conftest.py: must run before any JAX device use.  Safe to
+    call when the backend is already a CPU mesh of >= n devices (no-op);
+    raises a clear error if the backend was already initialized differently.
+    """
+    flags = os.environ.get("XLA_FLAGS", "")
+    if "xla_force_host_platform_device_count" not in flags:
+        os.environ["XLA_FLAGS"] = (
+            flags + f" --xla_force_host_platform_device_count={n}")
+    try:
+        jax.config.update("jax_platforms", "cpu")
+    except Exception:
+        pass
+    devs = jax.devices()
+    if len(devs) < n:
+        raise RuntimeError(
+            f"virtual CPU mesh unavailable: wanted {n} devices, backend "
+            f"initialized with {len(devs)} ({devs[0].platform}). "
+            "force_virtual_cpu_devices must be called before first device use.")
 
 
 def make_mesh(n_devices: Optional[int] = None, dp: Optional[int] = None,

@@ -2,66 +2,100 @@
 
 TP plan (TPU-native rendering of the reference's declarative tp_plan,
 configuration_vibevoice.py:175-183):
-  * attention q / o: colwise / rowwise on the "tp" axis (q heads split; KV
-    heads replicated — GQA has only 2-4 KV heads, replicating them avoids
-    head-dim splits and keeps decode attention local)
-  * MLP gate/up colwise, down rowwise
+  * attention q: colwise on "tp" (head split); k/v colwise too when the tp
+    group size divides the KV-head count (`kv_tp=True`) — then the KV cache
+    shards on its head axis and decode attention is fully shard-local; else
+    KV stays replicated (GQA has only 2-4 KV heads)
+  * o rowwise; MLP gate/up colwise, down rowwise
   * embeddings / lm_head replicated in compute (colwise_rep semantics)
   * everything else (norms, tokenizers, diffusion head, connectors) replicated
     — the conv tokenizers and AdaLN head are tiny relative to the LM
-  * FSDP-style data parallelism: batch on "dp"; optionally shard the *stored*
-    params on dp via `fsdp=True` (optimizer state follows params)
+  * `fsdp=True` additionally shards the *stored* LM params (and therefore
+    optimizer state, which follows params) on "dp" along a non-tp dimension;
+    XLA all-gathers weights per use inside jit (FSDP/ZeRO-3 semantics)
 """
 
 from __future__ import annotations
 
-from typing import Any
+from typing import Any, Optional
 
 import jax
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-from ..config import VibeVoiceConfig
+from ..config import Qwen2DecoderConfig, VibeVoiceConfig
 
 
-def _lm_layer_specs() -> dict:
+def infer_kv_tp(cfg: Qwen2DecoderConfig, mesh: Mesh) -> bool:
+    """KV-head tensor parallelism is usable when tp divides the KV-head count
+    AND the q-head count (so q head groups stay aligned with their kv head)."""
+    tp = mesh.shape.get("tp", 1)
+    return (cfg.num_key_value_heads % tp == 0
+            and cfg.num_attention_heads % tp == 0)
+
+
+def _lm_layer_specs(kv_tp: bool, fsdp: bool) -> dict:
+    dp = "dp" if fsdp else None
+    kv = "tp" if kv_tp else None
     return {
         "ln1": P(),
-        "wq": P(None, None, "tp"), "bq": P(None, "tp"),
-        "wk": P(), "bk": P(),
-        "wv": P(), "bv": P(),
-        "wo": P(None, "tp", None),
+        "wq": P(None, dp, "tp"), "bq": P(None, "tp"),
+        "wk": P(None, dp, kv), "bk": P(None, kv),
+        "wv": P(None, dp, kv), "bv": P(None, kv),
+        "wo": P(None, "tp", dp),
         "ln2": P(),
-        "wg": P(None, None, "tp"),
-        "wu": P(None, None, "tp"),
-        "wd": P(None, "tp", None),
+        "wg": P(None, dp, "tp"),
+        "wu": P(None, dp, "tp"),
+        "wd": P(None, "tp", dp),
     }
 
 
-def param_pspecs(params: dict) -> dict:
+def param_pspecs(params: dict, kv_tp: bool = False, fsdp: bool = False) -> dict:
     """PartitionSpec pytree matching `vibevoice.init_params` structure."""
+    dp = "dp" if fsdp else None
     specs: dict = jax.tree.map(lambda _: P(), params)
-    lm = {"embed": P(), "norm": P(), "layers": _lm_layer_specs()}
+    lm = {"embed": P(dp, None), "norm": P(),
+          "layers": _lm_layer_specs(kv_tp, fsdp)}
     if "lm_head" in params["lm"]:
-        lm["lm_head"] = P(None, "tp")
+        lm["lm_head"] = P(dp, "tp")
     specs = dict(specs)
     specs["lm"] = lm
     return specs
 
 
-def param_shardings(params: dict, mesh: Mesh) -> Any:
-    return jax.tree.map(lambda s: NamedSharding(mesh, s), param_pspecs(params),
+def param_shardings(params: dict, mesh: Mesh, kv_tp: bool = False,
+                    fsdp: bool = False) -> Any:
+    return jax.tree.map(lambda s: NamedSharding(mesh, s),
+                        param_pspecs(params, kv_tp=kv_tp, fsdp=fsdp),
                         is_leaf=lambda x: isinstance(x, P))
 
 
-def shard_params(params: dict, mesh: Mesh) -> dict:
-    """device_put the parameter tree with the TP shardings."""
-    sh = param_shardings(params, mesh)
+def shard_params(params: dict, mesh: Mesh, kv_tp: bool = False,
+                 fsdp: bool = False) -> dict:
+    """device_put the parameter tree with the TP(/FSDP) shardings."""
+    sh = param_shardings(params, mesh, kv_tp=kv_tp, fsdp=fsdp)
     return jax.tree.map(jax.device_put, params, sh)
 
 
-def batch_shardings(mesh: Mesh, tree: Any) -> Any:
-    """Shard every leaf's leading (batch) axis on dp."""
+def kv_cache_pspec(kv_tp: bool, batch_on_dp: bool = True) -> P:
+    """KV cache [L, B, S, Hkv, Dh]: batch on dp, heads on tp when kv_tp."""
+    return P(None, "dp" if batch_on_dp else None, None,
+             "tp" if kv_tp else None, None)
+
+
+def batch_shardings(mesh: Mesh, tree: Any, axis_size: Optional[int] = None) -> Any:
+    """Shard every leaf's leading (batch) axis on dp.
+
+    If ``axis_size`` is given and not divisible by the dp size, leaves are
+    replicated instead (safe fallback for odd inference batch sizes).
+    """
+    dp = mesh.shape.get("dp", 1)
+
     def spec(x):
         nd = getattr(x, "ndim", 0)
-        return NamedSharding(mesh, P("dp", *([None] * (nd - 1)))) if nd else NamedSharding(mesh, P())
+        if not nd:
+            return NamedSharding(mesh, P())
+        lead = x.shape[0] if axis_size is None else axis_size
+        if lead % dp != 0:
+            return NamedSharding(mesh, P())
+        return NamedSharding(mesh, P("dp", *([None] * (nd - 1))))
     return jax.tree.map(spec, tree)

@@ -37,6 +37,13 @@ class _SpeechTokenMixin:
         return EOS_ID
 
     @property
+    def bos_id(self) -> int:
+        # Qwen2.5 sets bos_token_id == eos_token_id (<|endoftext|>); kept as a
+        # distinct accessor because the constrained-decode set names bos
+        # explicitly (reference modeling_vibevoice_inference.py:403-418)
+        return EOS_ID
+
+    @property
     def speech_start_id(self) -> int:
         return SPEECH_START_ID
 
