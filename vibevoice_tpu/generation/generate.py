@@ -50,6 +50,18 @@ def _round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
 
 
+def _bucket_len(n: int, base: int = 64) -> int:
+    """Quarter-octave shape bucket: round n up to the next multiple of
+    2^ceil(log2(n))/4, floored at `base`.  Bounds the number of distinct
+    compiled programs (4 buckets per size octave) while wasting at most 25%
+    padding — the fix for the round-1 exact-shape recompile storm
+    (one prefill program per distinct voice-prompt length)."""
+    n = max(n, base)
+    p = 1 << (n - 1).bit_length()          # next pow2 >= n
+    step = max(p // 4, base)
+    return _round_up(n, step)
+
+
 @partial(jax.jit, static_argnames=("new_len",))
 def _grow_cache_arrays(kv, new_len: int):
     k, v = kv
@@ -86,6 +98,8 @@ class VibeVoiceGenerator:
                  ddpm_inference_steps: Optional[int] = None,
                  solver: Optional[DPMSolverConfig] = None,
                  lm_dtype=jnp.bfloat16, mesh=None):
+        from ..utils.compilation_cache import enable_persistent_compilation_cache
+        enable_persistent_compilation_cache()
         self.mesh = mesh
         self.kv_tp = False
         if mesh is not None:
@@ -114,7 +128,8 @@ class VibeVoiceGenerator:
         bos = getattr(tk, "bos_id", tk.eos_id)
         if bos is not None and bos not in vid:
             vid.append(bos)
-        self.valid_ids = jnp.asarray(vid, jnp.int32)
+        # numpy on purpose: closed over by the jitted step (see make_schedule)
+        self.valid_ids = np.asarray(vid, np.int32)
         self.frame_samples = cfg.acoustic_tokenizer.total_stride
         self._prefill_jit: Dict[Any, Callable] = {}
         self._chunk_jit: Dict[Any, Callable] = {}
@@ -214,7 +229,7 @@ class VibeVoiceGenerator:
     # One generation step (sample -> bookkeeping -> diffuse -> vocode -> LM)
     # ------------------------------------------------------------------
     def _make_step(self, do_sample: bool, temperature: float, top_p: float,
-                   refresh_negative: bool):
+                   refresh_negative: bool, top_k: int = 0):
         cfg = self.cfg
         sched = self.sched
         valid_ids = self.valid_ids
@@ -237,6 +252,12 @@ class VibeVoiceGenerator:
             logits = pos_h.astype(jnp.float32) @ w_valid           # [B, n_valid]
             if do_sample:
                 logits = logits / max(temperature, 1e-5)
+                if top_k and top_k < logits.shape[-1]:
+                    # top_k over the constrained set (reference main.py:1195
+                    # passes top_k into sampling over the full vocab; the
+                    # constrained set makes this a k-of-n_valid cutoff)
+                    kth = jnp.sort(logits, axis=-1)[:, -top_k][:, None]
+                    logits = jnp.where(logits >= kth, logits, -jnp.inf)
                 if top_p < 1.0:
                     probs = jax.nn.softmax(logits, axis=-1)
                     sorted_p = jnp.sort(probs, axis=-1)[:, ::-1]
@@ -248,7 +269,7 @@ class VibeVoiceGenerator:
                 idx = jax.random.categorical(k_tok, logits, axis=-1)
             else:
                 idx = jnp.argmax(logits, axis=-1)
-            token = valid_ids[idx]
+            token = jnp.asarray(valid_ids)[idx]
             token = jnp.where(state.finished, eos, token)
 
             # ---- termination bookkeeping (inference:517-537) ----------------
@@ -267,9 +288,8 @@ class VibeVoiceGenerator:
             diffuse = (~finished) & (token == diff_id)
 
             # negative-context pointer updates (replaces inference:546-622)
-            neg_kv_start = state.kv_start[b:]
             if refresh_negative:
-                neg_ptr = jnp.where(start_mask, neg_kv_start + 1, state.neg_ptr)
+                neg_ptr = jnp.where(start_mask, state.neg_init_ptr, state.neg_ptr)
                 neg_ptr = neg_ptr + diffuse.astype(neg_ptr.dtype)
             else:
                 neg_ptr = state.neg_ptr + 1
@@ -324,7 +344,8 @@ class VibeVoiceGenerator:
 
             new_state = GenState(
                 cache=cache, kv_start=state.kv_start, pos_len=state.pos_len + 1,
-                neg_ptr=neg_ptr, last_hidden=hidden[:, 0, :], finished=finished,
+                neg_ptr=neg_ptr, neg_init_ptr=state.neg_init_ptr,
+                last_hidden=hidden[:, 0, :], finished=finished,
                 reach_max=reach_max, step=state.step + 1,
                 max_steps_per_sample=state.max_steps_per_sample,
                 acoustic_state=ac_state, semantic_state=sem_state, rng=rng)
@@ -336,8 +357,9 @@ class VibeVoiceGenerator:
         return step
 
     def _build_chunk(self, key, chunk: int, do_sample: bool, temperature: float,
-                     top_p: float, refresh_negative: bool):
-        step = self._make_step(do_sample, temperature, top_p, refresh_negative)
+                     top_p: float, refresh_negative: bool, top_k: int = 0):
+        step = self._make_step(do_sample, temperature, top_p, refresh_negative,
+                               top_k=top_k)
 
         @partial(jax.jit, donate_argnums=(1,))
         def run_chunk(params, state: GenState, cfg_scale):
@@ -368,6 +390,9 @@ class VibeVoiceGenerator:
                  do_sample: bool = False,
                  temperature: float = 0.95,
                  top_p: float = 0.95,
+                 top_k: int = 0,
+                 negative_prompt_ids: Optional[np.ndarray] = None,
+                 negative_prompt_attention_mask: Optional[np.ndarray] = None,
                  refresh_negative: bool = True,
                  seed: int = 0,
                  audio_streamer=None,
@@ -404,29 +429,66 @@ class VibeVoiceGenerator:
         # doubles as generation proceeds, so decode attention only ever reads
         # ~2x the live context instead of the worst-case 64k buffer (the
         # long-form killer: at 64k a full-buffer read is ~3.7 GB/step)
-        t_bucket = max(_round_up(t0, 64), 64)
+        t_bucket = min(_bucket_len(t0, 64), cfg.decoder.max_position_embeddings)
+        t_bucket = max(t_bucket, t0)
         cache_len_final = _round_up(t0 + max_steps + 2, 256)
         cache_len = min(_round_up(t_bucket + 4 * chunk_steps + 2, 256), cache_len_final)
         extra = t_bucket - t0
 
         # build 2B prompt: rows [0,B) the real prompt, rows [B,2B) the
-        # negative context = a single speech_start token (inference:377-384)
+        # negative (CFG) context — by default a single speech_start token
+        # (inference:377-384); with negative_prompt_ids, the tokenized
+        # negative prompt (main.py:743, 1177-1198 — accepted but unused by
+        # the reference model; honored here)
         pad_id = tk.pad_id
         ids_pad = np.full((b, t_bucket), pad_id, ids.dtype)
         ids_pad[:, extra:] = ids
         neg_ids = np.full((b, t_bucket), pad_id, ids.dtype)
-        neg_ids[:, -1] = tk.speech_start_id
+        neg_valid = np.zeros((b, t_bucket), bool)
+        neg_lens = np.ones((b,), np.int64)
+        if negative_prompt_ids is not None:
+            nids = np.asarray(negative_prompt_ids)
+            if nids.ndim == 1:
+                nids = nids[None, :]
+            if nids.shape[0] == 1 and b > 1:
+                nids = np.broadcast_to(nids, (b, nids.shape[1]))
+            nmask = (np.asarray(negative_prompt_attention_mask)
+                     if negative_prompt_attention_mask is not None
+                     else np.ones_like(nids))
+            for i in range(b):
+                row = nids[i][nmask[i].astype(bool)][-t_bucket:]
+                ln = len(row)
+                neg_ids[i, t_bucket - ln:] = row
+                neg_valid[i, t_bucket - ln:] = True
+                neg_lens[i] = ln
+        else:
+            neg_ids[:, -1] = tk.speech_start_id
+            neg_valid[:, -1] = True
         ids2b = np.concatenate([ids_pad, neg_ids], axis=0)
 
         valid2b = np.zeros((2 * b, t_bucket), bool)
         valid2b[:b, extra:] = attn.astype(bool)
-        valid2b[b:, -1] = True
+        valid2b[b:] = neg_valid
 
         smask_pad = None
         has_speech = speech_tensors is not None
         if has_speech:
             smask_pad = np.zeros((b, t_bucket), bool)
             smask_pad[:, extra:] = np.asarray(speech_input_mask)
+            # bucket the voice-prompt waveform length (frames, quarter-octave)
+            # so distinct prompt audio lengths share one prefill program; the
+            # padded frames carry mask=False and never reach the scatter
+            speech_tensors = np.asarray(speech_tensors, np.float32)
+            speech_masks = np.asarray(speech_masks, bool)
+            n_frames = speech_masks.shape[1]
+            fb = _bucket_len(n_frames, 8)
+            if fb != n_frames:
+                speech_tensors = np.pad(
+                    speech_tensors,
+                    ((0, 0), (0, max(0, fb * self.frame_samples
+                                     - speech_tensors.shape[1]))))
+                speech_masks = np.pad(speech_masks,
+                                      ((0, 0), (0, fb - n_frames)))
 
         rng = jax.random.PRNGKey(seed)
         rng, k_pre = jax.random.split(rng)
@@ -451,7 +513,7 @@ class VibeVoiceGenerator:
 
         kv_start = np.zeros(2 * b, np.int32)
         kv_start[:b] = t_bucket - init_len
-        kv_start[b:] = t_bucket - 1
+        kv_start[b:] = t_bucket - neg_lens
 
         batched = self._put_batched((
             jnp.asarray(kv_start),
@@ -468,6 +530,9 @@ class VibeVoiceGenerator:
             kv_start=kv_start_a,
             pos_len=jnp.int32(t_bucket),
             neg_ptr=neg_ptr_a,
+            # distinct buffer (not an alias of neg_ptr): the chunk program
+            # donates the state, and XLA rejects donating one buffer twice
+            neg_init_ptr=jnp.array(neg_ptr_a),
             last_hidden=last_hidden,
             finished=finished_a,
             reach_max=reach_max_a,
@@ -478,11 +543,12 @@ class VibeVoiceGenerator:
             rng=rng)
 
         def get_run_chunk(cur_cache_len: int):
-            key = (chunk_steps, do_sample, temperature, top_p, refresh_negative,
-                   b, cur_cache_len)
+            key = (chunk_steps, do_sample, temperature, top_p, top_k,
+                   refresh_negative, b, cur_cache_len)
             if key not in self._chunk_jit:
                 self._chunk_jit[key] = self._build_chunk(
-                    key, chunk_steps, do_sample, temperature, top_p, refresh_negative)
+                    key, chunk_steps, do_sample, temperature, top_p,
+                    refresh_negative, top_k=top_k)
             return self._chunk_jit[key]
 
         run_chunk = get_run_chunk(cache_len)
@@ -511,28 +577,27 @@ class VibeVoiceGenerator:
                 state, out = run_chunk(self.params, state, cfg_scale_arr)
             steps_done += chunk_steps
 
-            k = chunk_steps
-            toks = np.asarray(out.tokens).reshape(k, b)
-            audio = np.asarray(out.audio).reshape(k, b, self.frame_samples)
-            diff = np.asarray(out.diffused).reshape(k, b)
-            fin = np.asarray(out.finished).reshape(k, b)
+            toks = np.asarray(out.tokens).reshape(chunk_steps, b)
+            audio = np.asarray(out.audio).reshape(chunk_steps, b, self.frame_samples)
+            diff = np.asarray(out.diffused).reshape(chunk_steps, b)
+            fin = np.asarray(out.finished).reshape(chunk_steps, b)
             all_tokens.append(toks)
 
-            for k in range(toks.shape[0]):
-                d = diff[k]
+            for si in range(toks.shape[0]):
+                d = diff[si]
                 if d.any():
                     if "ttfa" not in timer.totals:
                         timer.record("ttfa", time.perf_counter() - t_gen0)
                     idxs = np.nonzero(d)[0]
                     for i in idxs:
-                        audio_chunks[i].append(audio[k, i])
+                        audio_chunks[i].append(audio[si, i])
                     if audio_streamer is not None:
-                        audio_streamer.put(audio[k, idxs], idxs)
+                        audio_streamer.put(audio[si, idxs], idxs)
                 if audio_streamer is not None:
-                    newly = fin[k] & ~prev_fin
+                    newly = fin[si] & ~prev_fin
                     if newly.any():
                         audio_streamer.end(np.nonzero(newly)[0])
-                prev_fin = fin[k]
+                prev_fin = fin[si]
 
             if bool(prev_fin.all()):
                 break

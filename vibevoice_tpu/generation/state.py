@@ -32,6 +32,10 @@ class GenState(NamedTuple):
     kv_start: jax.Array       # [2B] first valid absolute index per row
     pos_len: jax.Array        # scalar int32: next write slot for positive rows
     neg_ptr: jax.Array        # [B] next write slot for negative rows
+    neg_init_ptr: jax.Array   # [B] reset target for neg_ptr on speech_start
+                              # (= kv_start[b:] + negative-prompt length; the
+                              # reference's 1-token reset, inference:546-563,
+                              # generalized to arbitrary negative prompts)
     # last LM hidden states (pos/neg) for the *pending* token decision
     last_hidden: jax.Array    # [2B, H]
     # per-sample bookkeeping

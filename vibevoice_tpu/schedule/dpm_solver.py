@@ -374,15 +374,19 @@ def make_schedule(cfg: DPMSolverConfig, num_inference_steps: int,
             h_0 = lam[i] - lam[i - 1]
             inv_r0[i] = h / h_0 if h_0 != 0 else 0.0   # D1 = (m0 - m1) / r0, r0 = h_0/h
 
-    arr = lambda x: jnp.asarray(np.nan_to_num(x, nan=0.0, posinf=0.0, neginf=0.0), dtype=dtype)
+    # host-side numpy, NOT jnp: these are closed over by the jitted step, and
+    # device-resident closure constants force a device->host fetch per array
+    # at trace time (~8 s each over a tunneled TPU — the round-1 "compile
+    # time" was mostly this).  numpy constants embed for free.
+    arr = lambda x: np.nan_to_num(x, nan=0.0, posinf=0.0, neginf=0.0).astype(dtype)
     thr_ratio = cfg.dynamic_thresholding_ratio if (cfg.thresholding and cfg.is_pp) else -1.0
     return DPMSolverSchedule(
-        timesteps=jnp.asarray(timesteps, dtype=dtype),
+        timesteps=np.asarray(timesteps, dtype=dtype),
         cvt_x=arr(cvt_x), cvt_m=arr(cvt_m),
         c_x=arr(c_x), c_d0=arr(c_d0), c_d1=arr(c_d1), c_noise=arr(c_noise),
         inv_r0=arr(inv_r0), c_d2=arr(c_d2), inv_r1=arr(inv_r1), w01=arr(w01),
         inv_r01=arr(inv_r01),
-        thresh=jnp.asarray([thr_ratio, cfg.sample_max_value], dtype=dtype),
+        thresh=np.asarray([thr_ratio, cfg.sample_max_value], dtype=dtype),
     )
 
 
@@ -398,6 +402,15 @@ def _dynamic_threshold(m: jax.Array, ratio, max_value) -> jax.Array:
     return (jnp.clip(flat, -s, s) / s).reshape(m.shape)
 
 
+def _sched_jnp(sched: DPMSolverSchedule) -> DPMSolverSchedule:
+    """Coerce the (numpy) coefficient arrays to jnp for traced indexing.
+    Under jit this embeds them as free constants; the schedule is stored as
+    numpy precisely so this conversion happens at trace time, not via a
+    device->host fetch (see make_schedule)."""
+    return DPMSolverSchedule(*[jnp.asarray(f) if isinstance(f, np.ndarray) else f
+                               for f in sched])
+
+
 def solver_step(sched: DPMSolverSchedule, i, x, m_prev, model_out, noise=None,
                 m_prev2=None):
     """One solver update. All inputs fp32; `i` may be a traced index.
@@ -405,6 +418,7 @@ def solver_step(sched: DPMSolverSchedule, i, x, m_prev, model_out, noise=None,
     Returns (x_next, m_cur).  ``m_prev`` must be zeros for i == 0 (ignored
     there since c_d1[0] == 0); ``m_prev2`` is only read on order-3 steps.
     """
+    sched = _sched_jnp(sched)
     m = sched.cvt_x[i] * x + sched.cvt_m[i] * model_out
     m = jax.lax.cond(sched.thresh[0] >= 0,
                      lambda mm: _dynamic_threshold(mm, sched.thresh[0], sched.thresh[1]),
@@ -431,6 +445,7 @@ def sample_with_solver(sched: DPMSolverSchedule, denoise_fn: Callable,
     always pass one).
     """
     S = sched.num_steps
+    sched = _sched_jnp(sched)
     if rng is None:
         rng = jax.random.PRNGKey(0)
     noise_keys = jax.random.split(rng, S)

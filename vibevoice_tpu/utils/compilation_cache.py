@@ -1,0 +1,44 @@
+"""Persistent XLA compilation cache.
+
+The generation step is one large fused program (LM decode + DPM scan +
+streaming vocode + semantic re-encode); cold-compiling it costs minutes on
+TPU.  The reference has no analogue (PyTorch eager pays per-op dispatch
+instead); on TPU the idiomatic fix is JAX's persistent compilation cache:
+compiled executables are keyed by HLO fingerprint and reloaded across
+processes, so a server restart pays deserialization (~seconds), not
+recompilation (~minutes).
+
+Disable with VIBEVOICE_COMPILATION_CACHE=off.
+"""
+
+from __future__ import annotations
+
+import os
+
+import jax
+
+_ENABLED = False
+
+
+def enable_persistent_compilation_cache(path: str | None = None) -> str | None:
+    """Idempotent; returns the cache dir (or None when disabled)."""
+    global _ENABLED
+    path = path or os.environ.get(
+        "VIBEVOICE_COMPILATION_CACHE",
+        os.path.expanduser("~/.cache/vibevoice_tpu/xla"))
+    if path.lower() in ("0", "off", "none", "disabled", ""):
+        return None
+    if _ENABLED:
+        return path
+    # TPU only: XLA:CPU AOT cache entries are machine-feature-pinned and this
+    # environment's CPU loader warns of potential SIGILL on mismatch; CPU
+    # compiles are cheap anyway
+    if jax.default_backend() != "tpu":
+        return None
+    os.makedirs(path, exist_ok=True)
+    jax.config.update("jax_compilation_cache_dir", path)
+    # cache everything that took noticeable compile time, however small
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+    jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+    _ENABLED = True
+    return path
