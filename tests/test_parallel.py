@@ -121,3 +121,64 @@ def test_graft_dryrun():
     mod = importlib.util.module_from_spec(spec)
     spec.loader.exec_module(mod)
     mod.dryrun_multichip(8)
+
+
+def test_calibration_wired_and_sharded_matches_single():
+    """VERDICT item 6: the first train step must calibrate the NaN scale/bias
+    buffers from batch latent stats (reference modeling_vibevoice.py:307-323),
+    with identical values on 1 device and on the dp-sharded mesh (the implicit
+    GSPMD collective replaces the reference's all_reduce)."""
+    params = vibevoice.init_params(jax.random.PRNGKey(0), CFG, jnp.float32)
+    assert np.isnan(float(params["speech_scaling_factor"]))
+    init_state, train_step = make_train_step(CFG)
+    batch = _batch(4)
+    rngs = jax.random.PRNGKey(5)
+
+    s1 = init_state(params)
+    s1, m1 = jax.jit(train_step)(s1, batch, rngs)
+    sf1 = float(m1["speech_scaling_factor"])
+    bf1 = float(m1["speech_bias_factor"])
+    assert np.isfinite(sf1) and np.isfinite(bf1) and sf1 > 0
+
+    mesh = make_mesh(8, dp=2, tp=4)
+    p_sh = jax.tree.map(jax.device_put, params, param_shardings(params, mesh))
+    s2 = init_state(p_sh)
+    batch_sh = jax.tree.map(jax.device_put, batch, batch_shardings(mesh, batch))
+    with mesh:
+        s2, m2 = jax.jit(train_step)(s2, batch_sh, rngs)
+    np.testing.assert_allclose(sf1, float(m2["speech_scaling_factor"]), rtol=1e-5)
+    np.testing.assert_allclose(bf1, float(m2["speech_bias_factor"]), rtol=1e-5)
+
+    # second step must NOT recalibrate (buffers pinned once non-NaN)
+    s1b, m1b = jax.jit(train_step)(s1, _batch(4, n_frames=3), jax.random.PRNGKey(9))
+    np.testing.assert_allclose(float(m1b["speech_scaling_factor"]), sf1, rtol=0, atol=0)
+
+
+def test_fsdp_param_sharding():
+    """fsdp=True shards the stored LM params (and optimizer state, which
+    follows params) on dp - per-device shard bytes drop ~dp x for the LM."""
+    from vibevoice_tpu.parallel import param_shardings
+
+    params = vibevoice.init_params(jax.random.PRNGKey(0), CFG, jnp.float32)
+    mesh = make_mesh(8, dp=4, tp=2)
+
+    def shard_bytes(p):
+        x = p["lm"]["layers"]["wg"]
+        db = x.sharding.shard_shape(x.shape)
+        return np.prod(db)
+
+    p_rep = jax.tree.map(jax.device_put, params,
+                         param_shardings(params, mesh, fsdp=False))
+    p_fsdp = jax.tree.map(jax.device_put, params,
+                          param_shardings(params, mesh, fsdp=True))
+    assert shard_bytes(p_fsdp) * 4 == shard_bytes(p_rep)
+
+    # the sharded train step still runs and matches the replicated one
+    init_state, train_step = make_train_step(CFG)
+    batch = _batch(4)
+    batch_sh = jax.tree.map(jax.device_put, batch, batch_shardings(mesh, batch))
+    rngs = jax.random.PRNGKey(3)
+    with mesh:
+        _, m_rep = jax.jit(train_step)(init_state(p_rep), batch_sh, rngs)
+        _, m_fsdp = jax.jit(train_step)(init_state(p_fsdp), batch_sh, rngs)
+    np.testing.assert_allclose(float(m_rep["loss"]), float(m_fsdp["loss"]), rtol=1e-4)

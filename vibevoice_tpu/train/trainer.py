@@ -17,6 +17,7 @@ import jax.numpy as jnp
 import optax
 
 from ..config import VibeVoiceConfig
+from ..models import acoustic_tokenizer as tok
 from ..models import vibevoice
 
 IGNORE_INDEX = -100
@@ -75,11 +76,41 @@ def make_train_step(cfg: VibeVoiceConfig, optimizer: Optional[optax.GradientTran
                           step=jnp.int32(0))
 
     def train_step(state: TrainState, batch: Dict[str, jax.Array], rng: jax.Array):
+        params = state.params
+
+        # First-batch latent calibration (reference modeling_vibevoice.py:
+        # 307-323): while the scale/bias buffers are NaN, set
+        # scaling = 1/std, bias = -mean of the masked batch latents.  Under
+        # jit+GSPMD the batch is dp-sharded, so the sums inside
+        # calibrate_scaling are already global — XLA inserts the collective
+        # the reference spells as dist.all_reduce.
+        if batch.get("speech_tensors") is not None:
+            rng, rng_cal = jax.random.split(rng)
+            acfg = cfg.acoustic_tokenizer
+            mean, _ = tok.encode(
+                jax.lax.stop_gradient(params["acoustic"]["encoder"]), acfg,
+                batch["speech_tensors"][..., None].astype(jnp.float32))
+            lat = tok.sample_latents(rng_cal, mean, acfg.fix_std,
+                                     acfg.std_dist_type)
+            scaling, bias = vibevoice.calibrate_scaling(lat, batch["speech_masks"])
+            s0, b0 = params["speech_scaling_factor"], params["speech_bias_factor"]
+            new_s = jax.lax.stop_gradient(jnp.where(jnp.isnan(s0), scaling, s0))
+            new_b = jax.lax.stop_gradient(jnp.where(jnp.isnan(b0), bias, b0))
+            params = {**params, "speech_scaling_factor": new_s,
+                      "speech_bias_factor": new_b}
+
         (_, metrics), grads = jax.value_and_grad(train_loss, has_aux=True)(
-            state.params, cfg, rng, batch, ddpm_batch_mul=mul)
-        updates, opt_state = optimizer.update(grads, state.opt_state, state.params)
-        params = optax.apply_updates(state.params, updates)
+            params, cfg, rng, batch, ddpm_batch_mul=mul)
+        updates, opt_state = optimizer.update(grads, state.opt_state, params)
+        new_params = dict(optax.apply_updates(params, updates))
+        # the factors are buffers, not trainables (reference registers them
+        # with register_buffer) — pin them to the calibrated values
+        new_params["speech_scaling_factor"] = params["speech_scaling_factor"]
+        new_params["speech_bias_factor"] = params["speech_bias_factor"]
         metrics["grad_norm"] = optax.global_norm(grads)
-        return TrainState(params=params, opt_state=opt_state, step=state.step + 1), metrics
+        metrics["speech_scaling_factor"] = new_params["speech_scaling_factor"]
+        metrics["speech_bias_factor"] = new_params["speech_bias_factor"]
+        return TrainState(params=new_params, opt_state=opt_state,
+                          step=state.step + 1), metrics
 
     return init_state, train_step
