@@ -80,3 +80,56 @@ def test_prefill_pallas_matches_xla():
                                rtol=2e-3, atol=2e-3)
     np.testing.assert_allclose(np.asarray(cache_pls.k), np.asarray(cache_xla.k),
                                atol=1e-5)
+
+
+class TestFlashDecode:
+    """ops/flash_decode.py: single-query attention against the head-major
+    cache (SURVEY §2.3 FlashAttention2 decode row)."""
+
+    def _setup(self, b=3, hq=4, hkv=2, d=32, s=256, seed=0):
+        rs = np.random.RandomState(seed)
+        q = jnp.asarray(rs.randn(b, hq, d), jnp.float32)
+        k = jnp.asarray(rs.randn(b, hkv, s, d), jnp.float32)
+        v = jnp.asarray(rs.randn(b, hkv, s, d), jnp.float32)
+        kv_start = jnp.asarray([0, 17, 100], jnp.int32)[:b]
+        kv_len = jnp.asarray([s, 200, 131], jnp.int32)[:b]
+        return q, k, v, kv_start, kv_len
+
+    def test_matches_xla_reference(self):
+        from vibevoice_tpu.ops.flash_decode import (decode_attend_xla,
+                                                    flash_decode_attention)
+        q, k, v, kv_start, kv_len = self._setup()
+        ref = decode_attend_xla(q, k, v, kv_start, kv_len)
+        out = flash_decode_attention(q, k, v, kv_start, kv_len, block_k=64,
+                                     interpret=True)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   rtol=2e-5, atol=2e-5)
+
+    def test_matches_token_major_attend(self):
+        """Equivalence with the original token-major attend path."""
+        from vibevoice_tpu.ops.attention import attend
+        from vibevoice_tpu.ops.flash_decode import flash_decode_attention
+        q, k, v, kv_start, kv_len = self._setup(b=2, s=128)
+        out = flash_decode_attention(q, k, v, kv_start, kv_len, block_k=32,
+                                     interpret=True)
+        s = k.shape[2]
+        j = np.arange(s)[None, :]
+        mask = (j >= np.asarray(kv_start)[:, None]) & (j < np.asarray(kv_len)[:, None])
+        ref = attend(q[:, None], k.swapaxes(1, 2), v.swapaxes(1, 2),
+                     mask=jnp.asarray(mask[:, None, :]))[:, 0]
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   rtol=2e-5, atol=2e-5)
+
+    def test_single_block_and_edge_ranges(self):
+        from vibevoice_tpu.ops.flash_decode import (decode_attend_xla,
+                                                    flash_decode_attention)
+        # range inside one block; range ending exactly at a block boundary
+        q, k, v, _, _ = self._setup(b=2, s=128)
+        for kv_start, kv_len in ([5, 64], [60, 70]), ([0, 64], [64, 128]):
+            st = jnp.asarray(kv_start, jnp.int32)
+            ln = jnp.asarray(kv_len, jnp.int32)
+            ref = decode_attend_xla(q, k, v, st, ln)
+            out = flash_decode_attention(q, k, v, st, ln, block_k=64,
+                                         interpret=True)
+            np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                       rtol=2e-5, atol=2e-5)

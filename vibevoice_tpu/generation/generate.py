@@ -65,8 +65,8 @@ def _bucket_len(n: int, base: int = 64) -> int:
 @partial(jax.jit, static_argnames=("new_len",))
 def _grow_cache_arrays(kv, new_len: int):
     k, v = kv
-    pad = new_len - k.shape[2]
-    cfgpad = [(0, 0), (0, 0), (0, pad), (0, 0), (0, 0)]
+    pad = new_len - k.shape[3]
+    cfgpad = [(0, 0), (0, 0), (0, 0), (0, pad), (0, 0)]
     return jnp.pad(k, cfgpad), jnp.pad(v, cfgpad)
 
 
@@ -131,6 +131,14 @@ class VibeVoiceGenerator:
         # numpy on purpose: closed over by the jitted step (see make_schedule)
         self.valid_ids = np.asarray(vid, np.int32)
         self.frame_samples = cfg.acoustic_tokenizer.total_stride
+        # flash decode only reads the [kv_start, kv_len) live range, so the
+        # cache can be allocated at final size with no growth recompiles; a
+        # pallas_call cannot be auto-partitioned by GSPMD, so meshed serving
+        # uses the XLA decode path (sharded on kv heads)
+        import os as _os
+        self.decode_impl = _os.environ.get("VIBEVOICE_DECODE_IMPL") or (
+            "xla" if mesh is not None
+            else ("pallas" if jax.default_backend() == "tpu" else "xla"))
         self._prefill_jit: Dict[Any, Callable] = {}
         self._chunk_jit: Dict[Any, Callable] = {}
         self.last_metrics: Dict[str, dict] = {}
@@ -340,7 +348,7 @@ class VibeVoiceGenerator:
             hidden, cache = qwen2.decode_step(
                 params["lm"], cfg.decoder, embeds2b, positions=positions,
                 write_idx=w_idx, kv_start=state.kv_start, kv_len=w_idx + 1,
-                cache=state.cache)
+                cache=state.cache, impl=self.decode_impl)
 
             new_state = GenState(
                 cache=cache, kv_start=state.kv_start, pos_len=state.pos_len + 1,
@@ -431,8 +439,14 @@ class VibeVoiceGenerator:
         # long-form killer: at 64k a full-buffer read is ~3.7 GB/step)
         t_bucket = min(_bucket_len(t0, 64), cfg.decoder.max_position_embeddings)
         t_bucket = max(t_bucket, t0)
-        cache_len_final = _round_up(t0 + max_steps + 2, 256)
-        cache_len = min(_round_up(t_bucket + 4 * chunk_steps + 2, 256), cache_len_final)
+        cache_len_final = _round_up(t_bucket + max_steps + 2, 256)
+        if self.decode_impl == "pallas":
+            # flash decode never touches dead slots: allocate final size up
+            # front — one chunk program for the whole run, no growth copies
+            cache_len = cache_len_final
+        else:
+            cache_len = min(_round_up(t_bucket + 4 * chunk_steps + 2, 256),
+                            cache_len_final)
         extra = t_bucket - t0
 
         # build 2B prompt: rows [0,B) the real prompt, rows [B,2B) the

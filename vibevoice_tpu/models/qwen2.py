@@ -33,18 +33,22 @@ from ..ops.rope import apply_rope, rope_cos_sin
 
 
 class KVCache(NamedTuple):
-    """Fixed-size per-layer KV cache: k, v of shape [L, B, S, Hkv, Dh]."""
+    """Fixed-size per-layer KV cache: k, v of shape [L, B, Hkv, S, Dh].
+
+    Head-major layout: each (sample, kv head) owns a contiguous S x Dh plane
+    so the flash decode kernel streams dense KV blocks (ops/flash_decode.py).
+    """
     k: jax.Array
     v: jax.Array
 
     @property
     def max_len(self) -> int:
-        return self.k.shape[2]
+        return self.k.shape[3]
 
 
 def init_kv_cache(cfg: Qwen2DecoderConfig, batch: int, max_len: int,
                   dtype=jnp.bfloat16) -> KVCache:
-    shape = (cfg.num_hidden_layers, batch, max_len, cfg.num_key_value_heads,
+    shape = (cfg.num_hidden_layers, batch, cfg.num_key_value_heads, max_len,
              cfg.resolved_head_dim)
     return KVCache(k=jnp.zeros(shape, dtype), v=jnp.zeros(shape, dtype))
 
@@ -100,8 +104,9 @@ def lm_head_weight(params: dict) -> jax.Array:
 
 
 def _layer(x, lp, cfg: Qwen2DecoderConfig, cos, sin, cache_k, cache_v,
-           write_idx, attn_mask, decode: bool, flash_kv_start=None):
-    """One transformer layer. x: [B, T, H]. cache_k/v: [B, S, Hkv, Dh]."""
+           write_idx, attn_mask, decode: bool, flash_kv_start=None,
+           kv_start=None, kv_len=None, decode_impl: str = "xla"):
+    """One transformer layer. x: [B, T, H]. cache_k/v: [B, Hkv, S, Dh]."""
     b, t, h = x.shape
     dh = cfg.resolved_head_dim
     hq, hkv = cfg.num_attention_heads, cfg.num_key_value_heads
@@ -115,15 +120,25 @@ def _layer(x, lp, cfg: Qwen2DecoderConfig, cos, sin, cache_k, cache_v,
     k = apply_rope(k, cos, sin)
 
     if decode:
-        # write at per-sample pointer, then attend over the cache
+        # write the new token at the per-sample pointer, then attend over the
+        # [kv_start, kv_len) live range of the head-major cache
         bidx = jnp.arange(b)
-        cache_k = cache_k.at[bidx, write_idx].set(k[:, 0])
-        cache_v = cache_v.at[bidx, write_idx].set(v[:, 0])
-        attn = attend(q, cache_k, cache_v, mask=attn_mask)
+        cache_k = cache_k.at[bidx, :, write_idx].set(k[:, 0])
+        cache_v = cache_v.at[bidx, :, write_idx].set(v[:, 0])
+        if decode_impl == "pallas":
+            from ..ops.flash_decode import flash_decode_attention
+            attn = flash_decode_attention(q[:, 0], cache_k, cache_v,
+                                          kv_start, kv_len)[:, None]
+        else:
+            from ..ops.flash_decode import decode_attend_xla
+            attn = decode_attend_xla(q[:, 0], cache_k, cache_v,
+                                     kv_start, kv_len)[:, None]
     else:
-        # prefill: write the whole block at offset 0
-        cache_k = jax.lax.dynamic_update_slice(cache_k, k, (0, 0, 0, 0))
-        cache_v = jax.lax.dynamic_update_slice(cache_v, v, (0, 0, 0, 0))
+        # prefill: write the whole block at offset 0 (head-major transpose)
+        cache_k = jax.lax.dynamic_update_slice(cache_k, k.transpose(0, 2, 1, 3),
+                                               (0, 0, 0, 0))
+        cache_v = jax.lax.dynamic_update_slice(cache_v, v.transpose(0, 2, 1, 3),
+                                               (0, 0, 0, 0))
         if flash_kv_start is not None:
             from ..ops.flash_attention import flash_attention
             attn = flash_attention(q, k, v, flash_kv_start, causal=True)
@@ -142,12 +157,17 @@ def forward(params: dict, cfg: Qwen2DecoderConfig, x: jax.Array,
             positions: jax.Array, cache: Optional[KVCache],
             attn_mask: Optional[jax.Array], write_idx: Optional[jax.Array] = None,
             decode: bool = False,
-            flash_kv_start: Optional[jax.Array] = None) -> Tuple[jax.Array, Optional[KVCache]]:
+            flash_kv_start: Optional[jax.Array] = None,
+            kv_start: Optional[jax.Array] = None,
+            kv_len: Optional[jax.Array] = None,
+            decode_impl: str = "xla") -> Tuple[jax.Array, Optional[KVCache]]:
     """Transformer body.
 
     x: [B, T, H] embeddings; positions: [B, T] int for RoPE;
-    attn_mask: decode -> [B, 1, S] bool over the cache; prefill -> [B, T, T].
+    attn_mask: prefill -> [B, T, T] bool; decode uses kv_start/kv_len [B]
+    (valid cache range) instead of a mask.
     write_idx: [B] cache slot for the new token (decode only).
+    decode_impl: 'pallas' (flash decode kernel) | 'xla' (full-buffer read).
     Returns (hidden [B, T, H], updated cache).
     """
     dh = cfg.resolved_head_dim
@@ -178,7 +198,9 @@ def forward(params: dict, cfg: Qwen2DecoderConfig, x: jax.Array,
     def body(xc, layer_in):
         lp, ck, cv = layer_in
         y, ck, cv = _layer(xc, lp, cfg, cos, sin, ck, cv, write_idx, attn_mask,
-                           decode, flash_kv_start=flash_kv_start)
+                           decode, flash_kv_start=flash_kv_start,
+                           kv_start=kv_start, kv_len=kv_len,
+                           decode_impl=decode_impl)
         return y, (ck, cv)
 
     x, (new_k, new_v) = jax.lax.scan(body, x, (params["layers"], cache.k, cache.v))
@@ -212,15 +234,19 @@ def prefill(params: dict, cfg: Qwen2DecoderConfig, embeds: jax.Array,
 
 def decode_step(params: dict, cfg: Qwen2DecoderConfig, embeds: jax.Array,
                 positions: jax.Array, write_idx: jax.Array, kv_start: jax.Array,
-                kv_len: jax.Array, cache: KVCache) -> Tuple[jax.Array, KVCache]:
+                kv_len: jax.Array, cache: KVCache,
+                impl: str = "auto") -> Tuple[jax.Array, KVCache]:
     """One decode step.
 
     embeds: [B, 1, H]; positions/write_idx/kv_start/kv_len: [B].
     Valid cache entries for attention: kv_start <= j < kv_len (the new token's
     slot must be inside that range).
+    impl: 'auto' (Pallas flash decode on TPU, XLA elsewhere) | 'pallas' |
+    'xla' — mirror of the prefill backend switch.  Use 'xla' under GSPMD
+    sharding (a pallas_call cannot be auto-partitioned).
     """
-    s = cache.max_len
-    j = jnp.arange(s)[None, :]
-    mask = (j >= kv_start[:, None]) & (j < kv_len[:, None])    # [B, S]
+    if impl == "auto":
+        impl = "pallas" if jax.default_backend() == "tpu" else "xla"
     return forward(params, cfg, embeds, positions[:, None], cache,
-                   mask[:, None, :], write_idx=write_idx, decode=True)
+                   None, write_idx=write_idx, decode=True,
+                   kv_start=kv_start, kv_len=kv_len, decode_impl=impl)

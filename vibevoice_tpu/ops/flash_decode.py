@@ -1,0 +1,151 @@
+"""Pallas TPU flash attention — decode path.
+
+Single-query attention against the contiguous KV cache (the FlashAttention2
+decode dependency of the reference, SURVEY.md §2.3 / main.py:65-86), designed
+for the fused generation step:
+
+  * Cache layout is head-major [B, Hkv, S, D]: each (sample, kv-head) owns a
+    contiguous S x D plane, so KV blocks stream as dense DMAs (the token-major
+    layout would stride every Hkv-th row — 50% DMA efficiency at Hkv=2).
+  * grid = (B, Hkv, nK) with the k-block axis innermost; online-softmax
+    scratch (m, l, acc) persists across the k sweep.
+  * GQA without KV repeat: the q block for (b, h) is the G = Hq/Hkv query
+    heads sharing kv head h, contracted against that single head's cache.
+  * Dead blocks are never fetched: the kernel receives per-sample
+    [kv_start, kv_len) bounds as scalar prefetch; the BlockSpec index map
+    CLAMPS the block index into the live range, and Pallas skips the DMA when
+    consecutive grid steps map to the same block.  Compute is skipped with
+    @pl.when.  Net: per-step HBM traffic is proportional to the LIVE context,
+    not the allocated buffer — a 64k-slot cache costs nothing until it fills,
+    which removes the need for bucketed cache growth (and its recompiles).
+"""
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+NEG_INF = float(-2.0 ** 30)
+DEFAULT_BLOCK_K = 512
+
+
+def _decode_kernel(kv_start_ref, kv_len_ref,  # scalar prefetch: [B] int32
+                   q_ref, k_ref, v_ref, o_ref,
+                   m_scr, l_scr, acc_scr,
+                   *, scale: float, block_k: int):
+    b = pl.program_id(0)
+    ki = pl.program_id(2)
+    nk = pl.num_programs(2)
+
+    @pl.when(ki == 0)
+    def _init():
+        m_scr[:] = jnp.full_like(m_scr, NEG_INF)
+        l_scr[:] = jnp.zeros_like(l_scr)
+        acc_scr[:] = jnp.zeros_like(acc_scr)
+
+    start_blk = kv_start_ref[b] // block_k
+    end_blk = (kv_len_ref[b] - 1) // block_k
+
+    @pl.when(jnp.logical_and(ki >= start_blk, ki <= end_blk))
+    def _compute():
+        q = q_ref[0, 0].astype(jnp.float32)          # [G, D]
+        k = k_ref[0, 0].astype(jnp.float32)          # [BK, D]
+        v = v_ref[0, 0].astype(jnp.float32)          # [BK, D]
+        s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
+                                preferred_element_type=jnp.float32) * scale  # [G, BK]
+
+        g = q.shape[0]
+        j = ki * block_k + jax.lax.broadcasted_iota(jnp.int32, (g, block_k), 1)
+        valid = jnp.logical_and(j >= kv_start_ref[b], j < kv_len_ref[b])
+        s = jnp.where(valid, s, NEG_INF)
+
+        m_prev = m_scr[:]                            # [G, 1]
+        m_new = jnp.maximum(m_prev, jnp.max(s, axis=-1, keepdims=True))
+        p = jnp.exp(s - m_new)                       # [G, BK]
+        alpha = jnp.exp(m_prev - m_new)
+        l_scr[:] = l_scr[:] * alpha + jnp.sum(p, axis=-1, keepdims=True)
+        acc_scr[:] = acc_scr[:] * alpha + jax.lax.dot_general(
+            p, v, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32)
+        m_scr[:] = m_new
+
+    @pl.when(ki == nk - 1)
+    def _finalize():
+        l = l_scr[:]
+        l = jnp.where(l == 0.0, 1.0, l)
+        o_ref[0, 0] = (acc_scr[:] / l).astype(o_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("block_k", "interpret"))
+def flash_decode_attention(q: jax.Array, k_cache: jax.Array, v_cache: jax.Array,
+                           kv_start: jax.Array, kv_len: jax.Array,
+                           block_k: int = DEFAULT_BLOCK_K,
+                           interpret: bool | None = None) -> jax.Array:
+    """q: [B, Hq, D]; k_cache/v_cache: [B, Hkv, S, D] (head-major);
+    kv_start/kv_len: [B] — valid cache range is kv_start <= j < kv_len.
+    Returns [B, Hq, D]."""
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    b, hq, d = q.shape
+    hkv, s = k_cache.shape[1], k_cache.shape[2]
+    group = hq // hkv
+    scale = d ** -0.5
+
+    bk = min(block_k, s)
+    while s % bk != 0:
+        bk //= 2
+    bk = max(bk, 8)
+    assert s % bk == 0, (s, bk)
+    nk = s // bk
+
+    # [B, Hkv, G, D] so each grid point owns the query group of one kv head
+    qg = q.reshape(b, hkv, group, d)
+
+    def _kv_index(b_, h, ki, kvs, kvl):
+        start_blk = kvs[b_] // bk
+        end_blk = (kvl[b_] - 1) // bk
+        return (b_, h, jnp.clip(ki, start_blk, end_blk), 0)
+
+    out = pl.pallas_call(
+        functools.partial(_decode_kernel, scale=scale, block_k=bk),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=2,
+            grid=(b, hkv, nk),
+            in_specs=[
+                pl.BlockSpec((1, 1, group, d), lambda b_, h, ki, kvs, kvl: (b_, h, 0, 0)),
+                pl.BlockSpec((1, 1, bk, d), _kv_index),
+                pl.BlockSpec((1, 1, bk, d), _kv_index),
+            ],
+            out_specs=pl.BlockSpec((1, 1, group, d),
+                                   lambda b_, h, ki, kvs, kvl: (b_, h, 0, 0)),
+            scratch_shapes=[
+                pltpu.VMEM((group, 1), jnp.float32),
+                pltpu.VMEM((group, 1), jnp.float32),
+                pltpu.VMEM((group, d), jnp.float32),
+            ],
+        ),
+        out_shape=jax.ShapeDtypeStruct((b, hkv, group, d), q.dtype),
+        interpret=interpret,
+    )(kv_start.astype(jnp.int32), kv_len.astype(jnp.int32), qg, k_cache, v_cache)
+    return out.reshape(b, hq, d)
+
+
+def decode_attend_xla(q: jax.Array, k_cache: jax.Array, v_cache: jax.Array,
+                      kv_start: jax.Array, kv_len: jax.Array) -> jax.Array:
+    """XLA fallback with identical semantics on the head-major cache
+    (used on CPU meshes and under GSPMD sharding, where a pallas_call
+    cannot be auto-partitioned).  Reads the full buffer."""
+    b, hq, d = q.shape
+    hkv, s = k_cache.shape[1], k_cache.shape[2]
+    qg = q.reshape(b, hkv, hq // hkv, d)
+    logits = jnp.einsum("bhgd,bhkd->bhgk", qg.astype(jnp.float32),
+                        k_cache.astype(jnp.float32),
+                        preferred_element_type=jnp.float32) * (d ** -0.5)
+    j = jnp.arange(s)[None, :]
+    valid = (j >= kv_start[:, None]) & (j < kv_len[:, None])    # [B, S]
+    logits = jnp.where(valid[:, None, None, :], logits, NEG_INF)
+    probs = jax.nn.softmax(logits, axis=-1)
+    out = jnp.einsum("bhgk,bhkd->bhgd", probs.astype(v_cache.dtype), v_cache,
+                     preferred_element_type=jnp.float32)
+    return out.reshape(b, hq, d).astype(q.dtype)

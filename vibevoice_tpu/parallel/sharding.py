@@ -77,9 +77,9 @@ def shard_params(params: dict, mesh: Mesh, kv_tp: bool = False,
 
 
 def kv_cache_pspec(kv_tp: bool, batch_on_dp: bool = True) -> P:
-    """KV cache [L, B, S, Hkv, Dh]: batch on dp, heads on tp when kv_tp."""
-    return P(None, "dp" if batch_on_dp else None, None,
-             "tp" if kv_tp else None, None)
+    """KV cache [L, B, Hkv, S, Dh]: batch on dp, heads on tp when kv_tp."""
+    return P(None, "dp" if batch_on_dp else None,
+             "tp" if kv_tp else None, None, None)
 
 
 def batch_shardings(mesh: Mesh, tree: Any, axis_size: Optional[int] = None) -> Any:
