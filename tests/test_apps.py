@@ -133,3 +133,53 @@ def test_streamer_threaded():
     s.end()
     t.join(timeout=2)
     assert len(got) == 5
+
+
+def test_example_library(tmp_path):
+    """Example loader: skips >15-min scripts by filename, counts speakers
+    (reference demo/gradio_demo.py:584-630)."""
+    from vibevoice_tpu.apps.gradio_app import ExampleLibrary
+    d = tmp_path / "text_examples"
+    d.mkdir()
+    (d / "2p_short.txt").write_text("Speaker 1: hi\n\nSpeaker 2: hello\n")
+    (d / "4p_long_45min.txt").write_text("Speaker 1: way too long\n")
+    (d / "empty.txt").write_text("\n\n")
+    lib = ExampleLibrary(str(d))
+    assert lib.names() == ["2p_short"]
+    k, script = lib.get("2p_short")
+    assert k == 2
+    assert "Speaker 2: hello" in script and "\n\n" not in script
+
+
+def test_example_library_repo_examples():
+    """The bundled examples/text_examples load and respect the 15-min cap."""
+    import os
+    from vibevoice_tpu.apps.gradio_app import ExampleLibrary
+    root = os.path.join(os.path.dirname(__file__), "..", "examples",
+                        "text_examples")
+    if not os.path.isdir(root):
+        pytest.skip("no bundled examples")
+    lib = ExampleLibrary(root)
+    assert lib.names(), "bundled examples should load"
+    assert not any("45min" in n or "100min" in n for n in lib.names())
+
+
+def test_offline_mode_and_log_panel(tmp_path, monkeypatch):
+    """Offline manager never attempts downloads; demo log accumulates."""
+    from vibevoice_tpu.apps.gradio_app import VibeVoiceDemo
+    monkeypatch.setenv("HF_HUB_OFFLINE", "1")
+    demo = VibeVoiceDemo(checkpoints_dir=str(tmp_path))
+    assert demo.manager.offline
+    demo.log("hello")
+    demo.log("world")
+    assert "hello" in demo.log_text and "world" in demo.log_text
+    # load falls back to random weights and logs the chain
+    demo.manager.ddpm_steps = 2
+    # use tiny config to keep the fallback fast
+    from vibevoice_tpu.apps import model_manager as mm
+    monkeypatch.setitem(mm.MODEL_REGISTRY, "TinyTest",
+                        {"config": "tiny", "paths": ["nonexistent/TinyTest"]})
+    demo.model_name = "TinyTest"
+    model = demo.manager.ensure_loaded("TinyTest")
+    assert model is not None
+    assert any("random weights" in l for l in demo._log_lines)

@@ -93,6 +93,52 @@ class VoiceLibrary:
         return audio
 
 
+class ExampleLibrary:
+    """Example-script loader (reference demo/gradio_demo.py:584-630): scans a
+    text_examples directory, skips scripts whose filename advertises a
+    duration over 15 minutes ("...45min.txt"), counts speakers."""
+
+    def __init__(self, examples_dir: Optional[str] = None,
+                 max_minutes: int = 15):
+        import re
+        if examples_dir is None:
+            for cand in ("examples/text_examples", "text_examples"):
+                if os.path.isdir(cand):
+                    examples_dir = cand
+                    break
+        self.examples_dir = examples_dir
+        self.max_minutes = max_minutes
+        self.examples: List[tuple] = []   # (name, num_speakers, script)
+        if examples_dir and os.path.isdir(examples_dir):
+            for f in sorted(os.listdir(examples_dir)):
+                if not f.lower().endswith(".txt"):
+                    continue
+                m = re.search(r"(\d+)min", f.lower())
+                if m and int(m.group(1)) > max_minutes:
+                    continue
+                try:
+                    with open(os.path.join(examples_dir, f), encoding="utf-8") as fh:
+                        script = "\n".join(l for l in fh.read().splitlines()
+                                           if l.strip())
+                except OSError:
+                    continue
+                if not script:
+                    continue
+                speakers = {m2.group(1) for m2 in
+                            re.finditer(r"(?im)^\s*speaker\s+(\d+)\s*:", script)}
+                self.examples.append((os.path.splitext(f)[0],
+                                      max(len(speakers), 1), script))
+
+    def names(self) -> List[str]:
+        return [n for n, _, _ in self.examples]
+
+    def get(self, name: str):
+        for n, k, s in self.examples:
+            if n == name:
+                return k, s
+        return None
+
+
 class VibeVoiceDemo:
     """Generation orchestration shared by the UI and headless callers."""
 
@@ -103,19 +149,34 @@ class VibeVoiceDemo:
         self.manager = ModelManager(checkpoints_dir=checkpoints_dir,
                                     load_on_demand=load_on_demand,
                                     quantize=quantize, ddpm_steps=inference_steps,
-                                    debug=debug)
+                                    debug=debug, log_fn=self.log)
         self.model_name = model_name
         self.voices = VoiceLibrary()
+        self.examples = ExampleLibrary()
         self.script_ai = ScriptAIClient(debug=debug)
         self.debug = debug
         self.stop_generation = False
         self.is_generating = False
+        self._log_lines: List[str] = []
+
+    # -- streaming log (reference main.py:808-810, 2469-2475) -----------------
+    def log(self, msg: str) -> None:
+        line = f"[{time.strftime('%H:%M:%S')}] {msg}"
+        self._log_lines.append(line)
+        self._log_lines = self._log_lines[-200:]
+        if self.debug:
+            print(line)
+
+    @property
+    def log_text(self) -> str:
+        return "\n".join(self._log_lines)
 
     # -- streaming generation (main.py:729-1135) -------------------------------
     def generate_podcast_streaming(self, num_speakers: int, script: str,
                                    speaker_voices: List[str], cfg_scale: float = 1.6,
                                    do_sample: bool = True, temperature: float = 0.95,
-                                   top_p: float = 0.95,
+                                   top_p: float = 0.95, top_k: int = 0,
+                                   negative_prompt: str = "",
                                    diffusion_steps: Optional[int] = None,
                                    normalize_voices: bool = False,
                                    min_yield_seconds: float = 2.0,
@@ -125,6 +186,7 @@ class VibeVoiceDemo:
         self.stop_generation = False
         self.is_generating = True
         try:
+            self.log(f"Loading model {self.model_name}...")
             model = self.manager.ensure_loaded(self.model_name)
             if diffusion_steps:
                 model.generator.set_ddpm_inference_steps(diffusion_steps)
@@ -132,6 +194,18 @@ class VibeVoiceDemo:
             voice_wavs = [self.voices.load_voice(v, normalize_rms=normalize_voices)
                           for v in speaker_voices[:num_speakers]] or None
             inputs = model.processor(script, voice_samples=voice_wavs)
+            self.log(f"Prompt: {inputs['input_ids'].shape[1]} tokens, "
+                     f"{num_speakers} speaker(s)")
+
+            # custom negative prompt for CFG (reference main.py:1177-1198)
+            negative_ids = None
+            if negative_prompt.strip():
+                try:
+                    negative_ids = np.asarray(
+                        [model.processor.tokenizer.encode(negative_prompt)])
+                    self.log(f"Negative prompt: {negative_ids.shape[1]} tokens")
+                except Exception as e:  # noqa: BLE001
+                    self.log(f"Negative prompt tokenization failed: {e}")
 
             streamer = AudioStreamer(batch_size=1)
             err: List[Exception] = []
@@ -144,7 +218,8 @@ class VibeVoiceDemo:
                         speech_masks=inputs["speech_masks"],
                         speech_input_mask=inputs["speech_input_mask"],
                         cfg_scale=cfg_scale, do_sample=do_sample,
-                        temperature=temperature, top_p=top_p,
+                        temperature=temperature, top_p=top_p, top_k=int(top_k),
+                        negative_prompt_ids=negative_ids,
                         audio_streamer=streamer,
                         stop_check_fn=lambda: self.stop_generation,
                         chunk_steps=8)
@@ -176,8 +251,14 @@ class VibeVoiceDemo:
 
             thread.join(timeout=30.0)
             if err:
+                self.log(f"Generation failed: {err[0]}")
                 raise err[0]
             if all_chunks:
+                total = sum(len(c) for c in all_chunks) / SAMPLE_RATE
+                m = getattr(model.generator, "last_metrics", {}) or {}
+                gt = m.get("generate_total", {}).get("total_s")
+                self.log(f"Done: {total:.1f}s audio"
+                         + (f" in {gt:.1f}s (RTF {total / gt:.2f})" if gt else ""))
                 yield SAMPLE_RATE, convert_to_16_bit_wav(np.concatenate(all_chunks))
         finally:
             self.is_generating = False
@@ -209,33 +290,57 @@ def create_demo_interface(demo: VibeVoiceDemo):
                 cfg_scale = gr.Slider(1.0, 3.0, value=1.6, step=0.05, label="CFG scale")
                 steps = gr.Slider(5, 30, value=10, step=1, label="Diffusion steps")
                 do_sample = gr.Checkbox(value=True, label="Sample (vs greedy)")
+                temperature = gr.Slider(0.1, 2.0, value=0.95, step=0.05,
+                                        label="Temperature")
+                top_p = gr.Slider(0.1, 1.0, value=0.95, step=0.01, label="Top-p")
+                top_k = gr.Slider(0, 50, value=0, step=1,
+                                  label="Top-k (0 = off)")
                 norm_voices = gr.Checkbox(value=False, label="Normalize voice RMS")
+                negative_box = gr.Textbox(
+                    label="Negative prompt (CFG steers away from this)",
+                    placeholder="optional")
             with gr.Column():
+                example_dd = gr.Dropdown(demo.examples.names() or ["(none)"],
+                                         label="Example scripts")
+                load_example_btn = gr.Button("📄 Load example")
                 topic = gr.Textbox(label="Script AI topic (optional)")
                 gen_script_btn = gr.Button("✨ Generate script with AI")
                 script_box = gr.Textbox(lines=12, label="Script (Speaker N: ...)")
                 gen_btn = gr.Button("🎧 Generate podcast", variant="primary")
                 stop_btn = gr.Button("⏹ Stop")
                 audio_out = gr.Audio(label="Audio", streaming=True, autoplay=True)
-                log_out = gr.Textbox(label="Log", lines=4)
+                log_out = gr.Textbox(label="Log", lines=8)
 
-        def on_generate(model_name, n, script, v1, v2, v3, v4, cfg, st, ds, nv):
+        def on_generate(model_name, n, script, v1, v2, v3, v4, cfg, st, temp,
+                        tp, tk, ds, nv, neg):
             demo.model_name = model_name
             voices = [v for v in (v1, v2, v3, v4) if v and v != "(none)"]
             for sr, chunk in demo.generate_podcast_streaming(
                     int(n), script, voices, cfg_scale=cfg, do_sample=st,
+                    temperature=temp, top_p=tp, top_k=int(tk),
+                    negative_prompt=neg or "",
                     diffusion_steps=int(ds), normalize_voices=nv):
-                yield (sr, chunk), "generating..."
-            yield None, "done"
+                yield (sr, chunk), demo.log_text
+            yield None, demo.log_text
+
+        def on_load_example(name):
+            ex = demo.examples.get(name)
+            if ex is None:
+                return gr.update(), gr.update()
+            k, script = ex
+            return script, k
 
         gen_btn.click(on_generate,
                       [model_dd, num_speakers, script_box, *voice_dds,
-                       cfg_scale, do_sample, steps, norm_voices],
+                       cfg_scale, do_sample, temperature, top_p, top_k, steps,
+                       norm_voices, negative_box],
                       [audio_out, log_out])
         stop_btn.click(lambda: demo.stop())
         gen_script_btn.click(
             lambda t, n: demo.generate_script(t, int(n), 2.0),
             [topic, num_speakers], [script_box])
+        load_example_btn.click(on_load_example, [example_dd],
+                               [script_box, num_speakers])
     return ui
 
 
@@ -250,6 +355,10 @@ def build_argparser() -> argparse.ArgumentParser:
     p.add_argument("--quantize", action="store_true", help="int8 weight-only LM")
     p.add_argument("--inference-steps", type=int, default=10)
     p.add_argument("--debug", action="store_true")
+    p.add_argument("--offline", action="store_true",
+                   help="never download checkpoints (HF_HUB_OFFLINE analogue)")
+    p.add_argument("--check", action="store_true",
+                   help="construct the app headlessly and exit (smoke test)")
     return p
 
 
@@ -266,6 +375,15 @@ def main(argv=None):
                          inference_steps=args.inference_steps,
                          load_on_demand=args.lod, quantize=args.quantize,
                          debug=args.debug)
+    if args.offline:
+        demo.manager.offline = True
+    if args.check:
+        print(f"models: {demo.manager.available_models()}")
+        print(f"voices: {len(demo.voices.names())} preset(s)")
+        print(f"examples: {demo.examples.names()}")
+        print(f"offline: {demo.manager.offline}")
+        print("check ok")
+        return
     ui = create_demo_interface(demo)
     ui.queue().launch(server_name=args.host, server_port=args.port,
                       share=args.share)

@@ -47,13 +47,22 @@ class ModelManager:
 
     def __init__(self, checkpoints_dir: Optional[str] = None,
                  load_on_demand: bool = False, quantize: bool = False,
-                 ddpm_steps: int = 10, debug: bool = False):
+                 ddpm_steps: int = 10, debug: bool = False,
+                 offline: Optional[bool] = None, log_fn=None):
         self.checkpoints_dir = checkpoints_dir or os.environ.get(
             "VIBEVOICE_CHECKPOINTS", os.path.expanduser("~/.cache/vibevoice"))
         self.load_on_demand = load_on_demand
         self.quantize = quantize
         self.ddpm_steps = ddpm_steps
         self.debug = debug
+        self.log = log_fn or print
+        # offline mode (reference main.py:274-289): explicit flag wins, then
+        # HF_HUB_OFFLINE / VIBEVOICE_OFFLINE environment
+        if offline is None:
+            env = (os.environ.get("HF_HUB_OFFLINE", "")
+                   or os.environ.get("VIBEVOICE_OFFLINE", ""))
+            offline = env == "1" or env.lower() in ("true", "yes")
+        self.offline = offline
         self.current: Optional[LoadedModel] = None
 
     # -- path resolution (offline aware, main.py:274-289) ----------------------
@@ -73,20 +82,43 @@ class ModelManager:
     def available_models(self):
         return list(MODEL_REGISTRY.keys())
 
+    def _try_hub_download(self, repo_id: str) -> Optional[str]:
+        """Attempt a hub snapshot download (skipped in offline mode).
+        Mirrors the reference's download step in its fallback chain
+        (main.py:480-541); failures fall through to the next candidate."""
+        if self.offline:
+            self.log(f"📴 Offline mode: not downloading {repo_id}")
+            return None
+        try:
+            from huggingface_hub import snapshot_download
+            self.log(f"⬇️  Downloading {repo_id} from the hub...")
+            return snapshot_download(repo_id, cache_dir=self.checkpoints_dir)
+        except Exception as e:  # noqa: BLE001 — any failure -> next candidate
+            self.log(f"⚠️  Hub download of {repo_id} failed: "
+                     f"{type(e).__name__}: {str(e)[:120]}")
+            return None
+
     def load(self, name: str, quantize: Optional[bool] = None) -> LoadedModel:
         if self.current is not None and self.current.name == name:
             return self.current
         self.unload()
         quantize = self.quantize if quantize is None else quantize
 
-        path = self._resolve_path(name)
         entry = MODEL_REGISTRY.get(name, {})
+        # fallback chain (reference main.py:274-541): local cache for each
+        # registered repo (legacy first, then current) -> hub download unless
+        # offline -> random weights with a loud warning
+        path = self._resolve_path(name)
+        if path is None:
+            for repo in entry.get("paths", []):
+                path = self._try_hub_download(repo)
+                if path is not None:
+                    break
         if path is not None:
             from ..convert import load_pretrained
             params, cfg = load_pretrained(path)
             processor = VibeVoiceProcessor.from_pretrained(path)
-            if self.debug:
-                print(f"Loaded checkpoint from {path}")
+            self.log(f"✅ Loaded checkpoint from {path}")
         else:
             # no checkpoint available: random-weights fallback so the app
             # stays usable for smoke testing (mirrors the reference's
@@ -95,7 +127,7 @@ class ModelManager:
             from ..models import vibevoice
             params = vibevoice.init_params(jax.random.PRNGKey(0), cfg, jnp.bfloat16)
             processor = VibeVoiceProcessor()
-            print(f"⚠️  No checkpoint found for {name}; using random weights")
+            self.log(f"⚠️  No checkpoint found for {name}; using random weights")
 
         if quantize:
             from ..ops.quant import quantize_lm_params
