@@ -112,6 +112,176 @@ class VibeVoiceTextTokenizer(_SpeechTokenMixin):
         return [self.decode(ids, **kwargs) for ids in batch]
 
 
+def _bytes_to_unicode():
+    """GPT-2 byte<->unicode table (the encoding Qwen2's BPE vocab is written
+    in): printable bytes map to themselves, the rest to U+0100+offset."""
+    bs = (list(range(ord("!"), ord("~") + 1))
+          + list(range(0xA1, 0xAD)) + list(range(0xAE, 0x100)))
+    cs = bs[:]
+    n = 0
+    for b in range(256):
+        if b not in bs:
+            bs.append(b)
+            cs.append(256 + n)
+            n += 1
+    return dict(zip(bs, [chr(c) for c in cs]))
+
+
+# Qwen2 pre-tokenization pattern (HF Qwen2Tokenizer PRETOKENIZE_REGEX)
+_QWEN2_PRETOKENIZE = (
+    r"(?i:'s|'t|'re|'ve|'m|'ll|'d)|[^\r\n\p{L}\p{N}]?\p{L}+|\p{N}|"
+    r" ?[^\s\p{L}\p{N}]+[\r\n]*|\s*[\r\n]+|\s+(?!\S)|\s+")
+
+
+class Qwen2BPETokenizer(_SpeechTokenMixin):
+    """Standalone Qwen2-style byte-level BPE (no transformers dependency).
+
+    Loads the standard HF artifacts — vocab.json + merges.txt, or a combined
+    tokenizer.json — and implements GPT-2 byte-level BPE with Qwen2's
+    pre-tokenization regex (reference modular_vibevoice_text_tokenizer.py
+    wraps HF's Qwen2Tokenizer; this is the from-scratch equivalent so the
+    framework tokenizes without the transformers runtime).
+    """
+
+    def __init__(self, vocab: dict, merges: list, specials: Optional[dict] = None):
+        import regex
+        self._re = regex.compile(_QWEN2_PRETOKENIZE)
+        self.vocab = vocab                              # token str -> id
+        self.inv_vocab = {v: k for k, v in vocab.items()}
+        self.ranks = {tuple(m): i for i, m in enumerate(merges)}
+        self.byte_enc = _bytes_to_unicode()
+        self.byte_dec = {v: k for k, v in self.byte_enc.items()}
+        self._specials = specials or {}                 # token str -> id
+        self._cache: dict = {}
+
+    # -- loading -----------------------------------------------------------
+    @classmethod
+    def from_pretrained(cls, path: str) -> "Qwen2BPETokenizer":
+        import json
+        tok_json = os.path.join(path, "tokenizer.json")
+        vocab_json = os.path.join(path, "vocab.json")
+        merges_txt = os.path.join(path, "merges.txt")
+        specials = {}
+        if os.path.isfile(tok_json):
+            with open(tok_json, encoding="utf-8") as f:
+                data = json.load(f)
+            vocab = data["model"]["vocab"]
+            merges = [tuple(m.split(" ") if isinstance(m, str) else m)
+                      for m in data["model"]["merges"]]
+            for t in data.get("added_tokens", []):
+                specials[t["content"]] = t["id"]
+        elif os.path.isfile(vocab_json) and os.path.isfile(merges_txt):
+            with open(vocab_json, encoding="utf-8") as f:
+                vocab = json.load(f)
+            merges = []
+            with open(merges_txt, encoding="utf-8") as f:
+                for line in f:
+                    line = line.rstrip("\n")
+                    if not line or line.startswith("#version"):
+                        continue
+                    merges.append(tuple(line.split(" ")))
+            cfg_json = os.path.join(path, "tokenizer_config.json")
+            if os.path.isfile(cfg_json):
+                with open(cfg_json, encoding="utf-8") as f:
+                    cfg = json.load(f)
+                for tid, t in (cfg.get("added_tokens_decoder") or {}).items():
+                    specials[t["content"]] = int(tid)
+        else:
+            raise FileNotFoundError(f"no tokenizer files under {path}")
+        return cls(vocab, merges, specials)
+
+    # -- BPE ---------------------------------------------------------------
+    def _bpe(self, token: str) -> List[str]:
+        if token in self._cache:
+            return self._cache[token]
+        word = list(token)
+        while len(word) > 1:
+            pairs = [(self.ranks.get((word[i], word[i + 1]), 1 << 60), i)
+                     for i in range(len(word) - 1)]
+            rank, i = min(pairs)
+            if rank >= 1 << 60:
+                break
+            word = word[:i] + [word[i] + word[i + 1]] + word[i + 2:]
+        self._cache[token] = word
+        return word
+
+    def encode(self, text: str, add_special_tokens: bool = False) -> List[int]:
+        ids: List[int] = []
+        for piece in self._re.findall(text):
+            enc = "".join(self.byte_enc[b] for b in piece.encode("utf-8"))
+            for sub in self._bpe(enc):
+                tid = self.vocab.get(sub)
+                if tid is not None:
+                    ids.append(tid)
+                else:
+                    # unknown merge result: fall back to per-character byte
+                    # tokens, silently dropping bytes absent from the vocab
+                    # (complete byte-level vocabs like Qwen2's cover all 256)
+                    ids.extend(t for t in (self.vocab.get(c) for c in sub)
+                               if t is not None)
+        return ids
+
+    def decode(self, ids, skip_special_tokens: bool = True, **kwargs) -> str:
+        inv_special = {v: k for k, v in self._specials.items()}
+        parts: List[str] = []
+        buf: List[str] = []
+
+        def flush():
+            if buf:
+                text = "".join(buf)
+                parts.append(bytes(self.byte_dec[c] for c in text)
+                             .decode("utf-8", errors="replace"))
+                buf.clear()
+
+        for i in ids:
+            i = int(i)
+            if i in inv_special:
+                flush()
+                if not skip_special_tokens:
+                    parts.append(inv_special[i])
+            else:
+                tok = self.inv_vocab.get(i)
+                if tok is not None:
+                    buf.append(tok)
+        flush()
+        return "".join(parts)
+
+    def batch_decode(self, batch, **kwargs):
+        return [self.decode(ids, **kwargs) for ids in batch]
+
+    @property
+    def vocab_size(self) -> int:
+        return max(len(self.vocab),
+                   max(self._specials.values(), default=0) + 1)
+
+    def _special_id(self, token: str, default: int) -> int:
+        return self._specials.get(token, self.vocab.get(token, default))
+
+    @property
+    def eos_id(self) -> int:
+        return self._special_id("<|endoftext|>", EOS_ID)
+
+    @property
+    def bos_id(self) -> int:
+        return self.eos_id
+
+    @property
+    def speech_start_id(self) -> int:
+        return self._special_id("<|vision_start|>", SPEECH_START_ID)
+
+    @property
+    def speech_end_id(self) -> int:
+        return self._special_id("<|vision_end|>", SPEECH_END_ID)
+
+    @property
+    def speech_diffusion_id(self) -> int:
+        return self._special_id("<|vision_pad|>", SPEECH_DIFFUSION_ID)
+
+    @property
+    def pad_id(self) -> int:
+        return self._special_id("<|image_pad|>", PAD_ID)
+
+
 class ByteFallbackTokenizer(_SpeechTokenMixin):
     """Deterministic UTF-8 byte tokenizer with Qwen2.5 special-token ids.
 
@@ -139,8 +309,13 @@ class ByteFallbackTokenizer(_SpeechTokenMixin):
 
 
 def load_text_tokenizer(path: Optional[str] = None) -> _SpeechTokenMixin:
-    """Load the HF tokenizer if local files exist; otherwise the byte fallback."""
+    """Tokenizer fallback chain: standalone Qwen2 BPE (no transformers
+    runtime) -> HF wrapper -> offline byte stand-in."""
     if path and (os.path.isdir(path) or os.path.isfile(path)):
+        try:
+            return Qwen2BPETokenizer.from_pretrained(path)
+        except Exception:  # noqa: BLE001
+            pass
         try:
             return VibeVoiceTextTokenizer.from_pretrained(path)
         except Exception:  # noqa: BLE001 - fall through to offline stand-in
