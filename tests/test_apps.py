@@ -183,3 +183,17 @@ def test_offline_mode_and_log_panel(tmp_path, monkeypatch):
     model = demo.manager.ensure_loaded("TinyTest")
     assert model is not None
     assert any("random weights" in l for l in demo._log_lines)
+
+
+def test_gradio_demo_build(monkeypatch, tmp_path):
+    """Upstream-style demo: builds headlessly with the tiny config and
+    switches the solver to sde-dpmsolver++ (reference gradio_demo.py:173-179)."""
+    from vibevoice_tpu.apps import model_manager as mm
+    from vibevoice_tpu.apps.gradio_demo import build_demo
+    monkeypatch.setenv("HF_HUB_OFFLINE", "1")
+    monkeypatch.setitem(mm.MODEL_REGISTRY, "TinyDemo",
+                        {"config": "tiny", "paths": []})
+    demo = build_demo("TinyDemo", checkpoints_dir=str(tmp_path),
+                      inference_steps=2)
+    gen = demo.manager.current.generator
+    assert gen.solver_cfg.algorithm_type == "sde-dpmsolver++"
