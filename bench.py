@@ -84,11 +84,12 @@ def main():
     bench_steps = int(os.environ.get("BENCH_STEPS", "192"))
     chunk = int(os.environ.get("BENCH_CHUNK", "64"))
     with_extras = os.environ.get("BENCH_EXTRAS", "1") == "1"
+    quant = os.environ.get("BENCH_QUANT", "0") == "1"  # int8 LM (7B fits one chip)
     t0_len = 64
 
     cfg = VibeVoiceConfig.named(model_name)
     frame_sec = cfg.acoustic_tokenizer.total_stride / 24000.0
-    gen = build_generator(cfg, ddpm_steps)
+    gen = build_generator(cfg, ddpm_steps, quantize=quant)
 
     rs = np.random.RandomState(0)
     ids = rs.randint(20, 200, (1, t0_len))
@@ -112,9 +113,11 @@ def main():
 
     extras = {}
     if with_extras:
-        # config 2: CFG 1.3 with 10 diffusion steps (2-speaker regime)
+        # config 2: CFG 1.3 with 10 diffusion steps (2-speaker regime);
+        # warm up with the EXACT step count so cache_len matches and no
+        # compile leaks into the measured run
         gen.set_ddpm_inference_steps(10)
-        run_config(gen, ids, chunk, chunk, 1.3, frame_sec)  # compile
+        run_config(gen, ids, bench_steps, chunk, 1.3, frame_sec)  # compile
         w2, _, d2, a2 = run_config(gen, ids, bench_steps, chunk, 1.3, frame_sec)
         extras["config2_ddpm10_rtf"] = round(a2 / w2, 3)
         gen.set_ddpm_inference_steps(ddpm_steps)
@@ -144,7 +147,8 @@ def main():
                 len(arrivals) * frame_sec / (arrivals[-1] - t_s0), 3)
 
     print(json.dumps({
-        "metric": f"rtf_{model_name}_b1_cfg_ddpm{ddpm_steps}",
+        "metric": (f"rtf_{model_name}_b1_cfg_ddpm{ddpm_steps}"
+                   + ("_int8" if quant else "")),
         "value": round(rtf, 4),
         "unit": "audio_sec_per_wall_sec",
         "vs_baseline": round(rtf / 0.3, 3),

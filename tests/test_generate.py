@@ -197,3 +197,29 @@ def test_top_k_sampling(model):
     topk1 = model.generate(ids, do_sample=True, top_k=1, temperature=1.0,
                            top_p=1.0, seed=5, **kw)
     np.testing.assert_array_equal(greedy.sequences, topk1.sequences)
+
+
+def test_max_steps_per_sample_ragged_batch(model):
+    """Per-sample budget with a ragged (left-padded) batch: the short sample
+    must hit its own cap (times * its valid length) while the long sample
+    keeps going to its larger cap (reference per-sample max-step semantics,
+    inference:528-537). Budget test previously covered only b=1."""
+    tk = TinyTokenizer()
+    rs = np.random.RandomState(2)
+    b, t = 2, 16
+    ids = rs.randint(20, 200, (b, t))
+    ids[:, -1] = tk.speech_start_id
+    attn = np.ones((b, t), np.int64)
+    attn[0, :10] = 0          # sample 0 valid length 6; sample 1 length 16
+    ids[0, :10] = tk.pad_id
+    out = model.generate(ids, attention_mask=attn, cfg_scale=1.3,
+                         max_new_tokens=64, max_length_times=1.0,
+                         chunk_steps=4, do_sample=False)
+    # caps: sample0 = 1.0*6 = 6, sample1 = 1.0*16 = 16
+    assert bool(out.reach_max_step_sample[0])
+    seq0 = out.sequences[0]
+    # after its cap the short sample must be forced to eos
+    assert (seq0[6:] == tk.eos_id).all()
+    # the long sample must NOT have been eos-forced at step 6
+    seq1 = out.sequences[1]
+    assert not (seq1[6:] == tk.eos_id).all() or bool(out.reach_max_step_sample[1])

@@ -182,3 +182,53 @@ def test_fsdp_param_sharding():
         _, m_rep = jax.jit(train_step)(init_state(p_rep), batch_sh, rngs)
         _, m_fsdp = jax.jit(train_step)(init_state(p_fsdp), batch_sh, rngs)
     np.testing.assert_allclose(float(m_rep["loss"]), float(m_fsdp["loss"]), rtol=1e-4)
+
+
+def test_7b_sharded_decode_lowers():
+    """The 7B config's CFG-paired decode step must lower with real TP
+    shardings (VERDICT item 2 done-criterion) — abstract params, no weight
+    materialization, tp=4 matches 28q/4kv head counts."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+    from vibevoice_tpu.parallel import infer_kv_tp, kv_cache_pspec, param_pspecs
+
+    cfg7 = VibeVoiceConfig.named("7b")
+    mesh = make_mesh(8, tp=4)
+    assert infer_kv_tp(cfg7.decoder, mesh)
+
+    from vibevoice_tpu.models import qwen2
+
+    shapes = jax.eval_shape(
+        lambda k: vibevoice.init_params(k, cfg7, jnp.bfloat16),
+        jax.random.PRNGKey(0))
+    pspecs = param_pspecs(shapes, kv_tp=True)
+    p_avals = jax.tree.map(
+        lambda s, sp: jax.ShapeDtypeStruct(
+            s.shape, s.dtype, sharding=NamedSharding(mesh, sp)),
+        dict(shapes), pspecs,
+        is_leaf=lambda x: isinstance(x, (jax.ShapeDtypeStruct, P)))
+
+    b2, s = 2, 1024
+    cache_sh = NamedSharding(mesh, kv_cache_pspec(True, batch_on_dp=False))
+    dc = cfg7.decoder
+    cache_aval = qwen2.KVCache(
+        k=jax.ShapeDtypeStruct((dc.num_hidden_layers, b2, dc.num_key_value_heads,
+                                s, dc.resolved_head_dim), jnp.bfloat16,
+                               sharding=cache_sh),
+        v=jax.ShapeDtypeStruct((dc.num_hidden_layers, b2, dc.num_key_value_heads,
+                                s, dc.resolved_head_dim), jnp.bfloat16,
+                               sharding=cache_sh))
+
+    def step(lm, embeds, positions, widx, kvs, kvl, cache):
+        return qwen2.decode_step(lm, dc, embeds, positions, widx, kvs, kvl,
+                                 cache, impl="xla")
+
+    lowered = jax.jit(step).lower(
+        p_avals["lm"],
+        jax.ShapeDtypeStruct((b2, 1, dc.hidden_size), jnp.bfloat16),
+        jax.ShapeDtypeStruct((b2,), jnp.int32),
+        jax.ShapeDtypeStruct((b2,), jnp.int32),
+        jax.ShapeDtypeStruct((b2,), jnp.int32),
+        jax.ShapeDtypeStruct((b2,), jnp.int32),
+        cache_aval)
+    hlo = lowered.as_text()
+    assert "sharding" in hlo  # shardings survived into the lowered module
