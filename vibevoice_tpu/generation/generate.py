@@ -572,29 +572,49 @@ class VibeVoiceGenerator:
         cfg_scale_arr = jnp.float32(cfg_scale)
         prev_fin = np.zeros((b,), bool)
 
-        steps_done = 0
-        while steps_done < max_steps:
+        def should_stop() -> bool:
             if stop_check_fn is not None and stop_check_fn():
-                break
+                return True
             if audio_streamer is not None and getattr(audio_streamer, "finished_flags", None):
                 if any(audio_streamer.finished_flags):
-                    break
-            # grow the cache before it would overflow in the next chunk
-            need = t_bucket + steps_done + chunk_steps + 2
+                    return True
+            return False
+
+        def dispatch(state, dispatched):
+            """Enqueue one chunk (async — JAX dispatch returns futures)."""
+            nonlocal cache_len, run_chunk
+            need = t_bucket + dispatched + chunk_steps + 2
             if need > cache_len and cache_len < cache_len_final:
                 new_len = min(max(cache_len * 2, _round_up(need, 256)), cache_len_final)
                 with timer.stage("cache_grow"):
                     state = _grow_cache(state, new_len)
                 cache_len = new_len
                 run_chunk = get_run_chunk(cache_len)
-            with timer.stage("decode_chunk"):
-                state, out = run_chunk(self.params, state, cfg_scale_arr)
-            steps_done += chunk_steps
+            return run_chunk(self.params, state, cfg_scale_arr)
 
-            toks = np.asarray(out.tokens).reshape(chunk_steps, b)
-            audio = np.asarray(out.audio).reshape(chunk_steps, b, self.frame_samples)
-            diff = np.asarray(out.diffused).reshape(chunk_steps, b)
-            fin = np.asarray(out.finished).reshape(chunk_steps, b)
+        # double-buffered loop: chunk k+1 is dispatched BEFORE chunk k's
+        # results are pulled to the host, so host-side numpy conversion and
+        # streamer pushes overlap with device compute of the next chunk.  If
+        # termination is discovered in chunk k, the in-flight chunk k+1 is
+        # discarded (its steps are all-eos no-ops past `finished`).
+        steps_done = 0
+        out = None
+        if max_steps > 0 and not should_stop():
+            state, out = dispatch(state, 0)
+            steps_done = chunk_steps
+        while out is not None:
+            pending = None
+            if steps_done < max_steps and not should_stop():
+                state, pending = dispatch(state, steps_done)
+                steps_done += chunk_steps
+
+            # blocks until the device finishes this chunk (the next one is
+            # already in flight)
+            with timer.stage("decode_chunk"):
+                toks = np.asarray(out.tokens).reshape(chunk_steps, b)
+                audio = np.asarray(out.audio).reshape(chunk_steps, b, self.frame_samples)
+                diff = np.asarray(out.diffused).reshape(chunk_steps, b)
+                fin = np.asarray(out.finished).reshape(chunk_steps, b)
             all_tokens.append(toks)
 
             for si in range(toks.shape[0]):
@@ -615,6 +635,7 @@ class VibeVoiceGenerator:
 
             if bool(prev_fin.all()):
                 break
+            out = pending
 
         if audio_streamer is not None:
             audio_streamer.end()
