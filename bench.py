@@ -54,11 +54,24 @@ def build_generator(cfg, ddpm_steps, quantize=False):
     # matching the trained-weights regime.
     shapes = jax.eval_shape(lambda k: vibevoice.init_params(k, cfg, jnp.bfloat16),
                             jax.random.PRNGKey(0))
-    params = jax.tree.map(lambda s: jnp.full(s.shape, 0.01, s.dtype), shapes)
-    params = dict(params)
     if quantize:
-        from vibevoice_tpu.ops.quant import quantize_lm_params
-        params["lm"] = quantize_lm_params(params["lm"])
+        # synthesize the int8 leaves directly from shapes — materializing the
+        # bf16 7B tree first (~15 GB) would not leave room to quantize on a
+        # 16 GB chip; values are irrelevant to timing
+        from vibevoice_tpu.ops.quant import _LM_QUANT_KEYS
+        lm_shapes = dict(shapes["lm"])
+        layers = dict(lm_shapes["layers"])
+        for k in _LM_QUANT_KEYS:
+            sl = layers[k]
+            layers[k] = {"q": jnp.ones(sl.shape, jnp.int8),
+                         "s": jnp.full(sl.shape[:-2] + sl.shape[-1:], 1e-4,
+                                       jnp.float32)}
+        lm_shapes["layers"] = layers
+        shapes = dict(shapes)
+        shapes["lm"] = lm_shapes
+    params = dict(jax.tree.map(
+        lambda s: (s if isinstance(s, jax.Array)
+                   else jnp.full(s.shape, 0.01, s.dtype)), shapes))
     return VibeVoiceGenerator(params, cfg, BenchTokenizer(),
                               ddpm_inference_steps=ddpm_steps,
                               lm_dtype=jnp.bfloat16)
