@@ -134,11 +134,12 @@ class VibeVoiceGenerator:
         # flash decode only reads the [kv_start, kv_len) live range, so the
         # cache can be allocated at final size with no growth recompiles; a
         # pallas_call cannot be auto-partitioned by GSPMD, so meshed serving
-        # uses the XLA decode path (sharded on kv heads)
+        # maps the kernel per-shard with shard_map ('pallas_shmap')
         import os as _os
+        on_tpu = jax.default_backend() == "tpu"
         self.decode_impl = _os.environ.get("VIBEVOICE_DECODE_IMPL") or (
-            "xla" if mesh is not None
-            else ("pallas" if jax.default_backend() == "tpu" else "xla"))
+            ("pallas_shmap" if self.kv_tp else "xla") if mesh is not None
+            else ("pallas" if on_tpu else "xla"))
         self._prefill_jit: Dict[Any, Callable] = {}
         self._chunk_jit: Dict[Any, Callable] = {}
         self.last_metrics: Dict[str, dict] = {}
@@ -248,8 +249,8 @@ class VibeVoiceGenerator:
 
         def step(params, state: GenState, cfg_scale):
             # [H, n_valid] slice of the lm head — constrained decoding without
-            # the full-vocab matmul
-            w_valid = qwen2.lm_head_weight(params["lm"])[:, valid_ids].astype(jnp.float32)
+            # the full-vocab matmul (row gather: no embed.T materialization)
+            w_valid = qwen2.lm_head_rows(params["lm"], valid_ids).T.astype(jnp.float32)
             b2 = state.last_hidden.shape[0]
             b = b2 // 2
             rng, k_tok, k_lat, k_sde = jax.random.split(state.rng, 4)
@@ -345,10 +346,14 @@ class VibeVoiceGenerator:
             w_idx = jnp.concatenate([jnp.full((b,), state.pos_len, jnp.int32),
                                      neg_ptr.astype(jnp.int32)])
             positions = w_idx - state.kv_start
+            shard_ctx = None
+            if self.decode_impl == "pallas_shmap" and self.mesh is not None:
+                shard_ctx = (self.mesh, self.kv_tp,
+                             b2 % self.mesh.shape.get("dp", 1) == 0)
             hidden, cache = qwen2.decode_step(
                 params["lm"], cfg.decoder, embeds2b, positions=positions,
                 write_idx=w_idx, kv_start=state.kv_start, kv_len=w_idx + 1,
-                cache=state.cache, impl=self.decode_impl)
+                cache=state.cache, impl=self.decode_impl, shard_ctx=shard_ctx)
 
             new_state = GenState(
                 cache=cache, kv_start=state.kv_start, pos_len=state.pos_len + 1,

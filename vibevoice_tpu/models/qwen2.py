@@ -91,6 +91,23 @@ def embed_tokens(params: dict, ids: jax.Array) -> jax.Array:
     return params["embed"][ids]
 
 
+def lm_head_rows(params: dict, ids) -> jax.Array:
+    """[n, H] lm-head rows for the given token ids — the constrained-decode
+    slice.  Gathers rows instead of slicing columns of the [H, V] weight so
+    the tied-embedding case never materializes a transpose of the 152k-row
+    embedding inside the decode step."""
+    if "lm_head" in params:
+        w = params["lm_head"]
+        if is_quantized(w):
+            return (w["q"][:, ids].astype(jnp.float32) * w["s"][ids]).T
+        return w[:, ids].T
+    emb = params["embed"]
+    if is_quantized(emb):
+        from ..ops.quant import dequantize_weight
+        return dequantize_weight({"q": emb["q"][ids], "s": emb["s"]}, jnp.float32)
+    return emb[ids]
+
+
 def lm_head_weight(params: dict) -> jax.Array:
     """[H, V] projection; tied models reuse the embedding."""
     if "lm_head" in params:
@@ -105,7 +122,8 @@ def lm_head_weight(params: dict) -> jax.Array:
 
 def _layer(x, lp, cfg: Qwen2DecoderConfig, cos, sin, cache_k, cache_v,
            write_idx, attn_mask, decode: bool, flash_kv_start=None,
-           kv_start=None, kv_len=None, decode_impl: str = "xla"):
+           kv_start=None, kv_len=None, decode_impl: str = "xla",
+           shard_ctx=None):
     """One transformer layer. x: [B, T, H]. cache_k/v: [B, Hkv, S, Dh]."""
     b, t, h = x.shape
     dh = cfg.resolved_head_dim
@@ -125,7 +143,13 @@ def _layer(x, lp, cfg: Qwen2DecoderConfig, cos, sin, cache_k, cache_v,
         bidx = jnp.arange(b)
         cache_k = cache_k.at[bidx, :, write_idx].set(k[:, 0])
         cache_v = cache_v.at[bidx, :, write_idx].set(v[:, 0])
-        if decode_impl == "pallas":
+        if decode_impl == "pallas_shmap":
+            from ..ops.flash_decode import flash_decode_attention_sharded
+            mesh, kv_tp, batch_on_dp = shard_ctx
+            attn = flash_decode_attention_sharded(
+                q[:, 0], cache_k, cache_v, kv_start, kv_len,
+                mesh, kv_tp, batch_on_dp)[:, None]
+        elif decode_impl == "pallas":
             from ..ops.flash_decode import flash_decode_attention
             attn = flash_decode_attention(q[:, 0], cache_k, cache_v,
                                           kv_start, kv_len)[:, None]
@@ -160,7 +184,8 @@ def forward(params: dict, cfg: Qwen2DecoderConfig, x: jax.Array,
             flash_kv_start: Optional[jax.Array] = None,
             kv_start: Optional[jax.Array] = None,
             kv_len: Optional[jax.Array] = None,
-            decode_impl: str = "xla") -> Tuple[jax.Array, Optional[KVCache]]:
+            decode_impl: str = "xla",
+            shard_ctx=None) -> Tuple[jax.Array, Optional[KVCache]]:
     """Transformer body.
 
     x: [B, T, H] embeddings; positions: [B, T] int for RoPE;
@@ -200,7 +225,7 @@ def forward(params: dict, cfg: Qwen2DecoderConfig, x: jax.Array,
         y, ck, cv = _layer(xc, lp, cfg, cos, sin, ck, cv, write_idx, attn_mask,
                            decode, flash_kv_start=flash_kv_start,
                            kv_start=kv_start, kv_len=kv_len,
-                           decode_impl=decode_impl)
+                           decode_impl=decode_impl, shard_ctx=shard_ctx)
         return y, (ck, cv)
 
     x, (new_k, new_v) = jax.lax.scan(body, x, (params["layers"], cache.k, cache.v))
@@ -235,18 +260,19 @@ def prefill(params: dict, cfg: Qwen2DecoderConfig, embeds: jax.Array,
 def decode_step(params: dict, cfg: Qwen2DecoderConfig, embeds: jax.Array,
                 positions: jax.Array, write_idx: jax.Array, kv_start: jax.Array,
                 kv_len: jax.Array, cache: KVCache,
-                impl: str = "auto") -> Tuple[jax.Array, KVCache]:
+                impl: str = "auto", shard_ctx=None) -> Tuple[jax.Array, KVCache]:
     """One decode step.
 
     embeds: [B, 1, H]; positions/write_idx/kv_start/kv_len: [B].
     Valid cache entries for attention: kv_start <= j < kv_len (the new token's
     slot must be inside that range).
     impl: 'auto' (Pallas flash decode on TPU, XLA elsewhere) | 'pallas' |
-    'xla' — mirror of the prefill backend switch.  Use 'xla' under GSPMD
-    sharding (a pallas_call cannot be auto-partitioned).
+    'pallas_shmap' (sharded kernel via shard_map; requires shard_ctx =
+    (mesh, kv_tp, batch_on_dp)) | 'xla'.
     """
     if impl == "auto":
         impl = "pallas" if jax.default_backend() == "tpu" else "xla"
     return forward(params, cfg, embeds, positions[:, None], cache,
                    None, write_idx=write_idx, decode=True,
-                   kv_start=kv_start, kv_len=kv_len, decode_impl=impl)
+                   kv_start=kv_start, kv_len=kv_len, decode_impl=impl,
+                   shard_ctx=shard_ctx)

@@ -131,6 +131,43 @@ def flash_decode_attention(q: jax.Array, k_cache: jax.Array, v_cache: jax.Array,
     return out.reshape(b, hq, d)
 
 
+def flash_decode_attention_sharded(q: jax.Array, k_cache: jax.Array,
+                                   v_cache: jax.Array, kv_start: jax.Array,
+                                   kv_len: jax.Array, mesh, kv_tp: bool,
+                                   batch_on_dp: bool,
+                                   block_k: int = DEFAULT_BLOCK_K) -> jax.Array:
+    """TP/DP-sharded wrapper: a pallas_call is opaque to GSPMD, so the kernel
+    is mapped per-shard with shard_map.  With the cache sharded on (dp batch,
+    tp kv-heads) the attention is fully shard-local — each tp shard owns the
+    query group of its kv heads, no collectives.  The head-sharded output
+    feeds the rowwise (tp) o-projection, exactly the Megatron dataflow."""
+    from jax.sharding import PartitionSpec as P
+    try:
+        from jax import shard_map
+    except ImportError:  # older jax
+        from jax.experimental.shard_map import shard_map
+
+    dp = "dp" if batch_on_dp else None
+    tp = "tp" if kv_tp else None
+    qspec = P(dp, tp, None)              # [B, Hq, D] — heads split with kv
+    kvspec = P(dp, tp, None, None)       # [B, Hkv, S, D]
+    sspec = P(dp)                        # [B]
+
+    kwargs = dict(mesh=mesh, in_specs=(qspec, kvspec, kvspec, sspec, sspec),
+                  out_specs=qspec)
+    try:
+        fn = shard_map(
+            lambda q_, k_, v_, s_, l_: flash_decode_attention(
+                q_, k_, v_, s_, l_, block_k=block_k),
+            check_vma=False, **kwargs)
+    except TypeError:  # older jax spells it check_rep
+        fn = shard_map(
+            lambda q_, k_, v_, s_, l_: flash_decode_attention(
+                q_, k_, v_, s_, l_, block_k=block_k),
+            check_rep=False, **kwargs)
+    return fn(q, k_cache, v_cache, kv_start, kv_len)
+
+
 def decode_attend_xla(q: jax.Array, k_cache: jax.Array, v_cache: jax.Array,
                       kv_start: jax.Array, kv_len: jax.Array) -> jax.Array:
     """XLA fallback with identical semantics on the head-major cache
