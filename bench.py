@@ -98,6 +98,7 @@ def main():
     chunk = int(os.environ.get("BENCH_CHUNK", "64"))
     with_extras = os.environ.get("BENCH_EXTRAS", "1") == "1"
     quant = os.environ.get("BENCH_QUANT", "0") == "1"  # int8 LM (7B fits one chip)
+    batch = int(os.environ.get("BENCH_BATCH", "1"))
     t0_len = 64
 
     cfg = VibeVoiceConfig.named(model_name)
@@ -105,7 +106,7 @@ def main():
     gen = build_generator(cfg, ddpm_steps, quantize=quant)
 
     rs = np.random.RandomState(0)
-    ids = rs.randint(20, 200, (1, t0_len))
+    ids = rs.randint(20, 200, (batch, t0_len))
     ids[:, -1] = BenchTokenizer.speech_start_id
 
     # warmup / compile with the exact shape buckets of the measured runs
@@ -160,7 +161,7 @@ def main():
                 len(arrivals) * frame_sec / (arrivals[-1] - t_s0), 3)
 
     print(json.dumps({
-        "metric": (f"rtf_{model_name}_b1_cfg_ddpm{ddpm_steps}"
+        "metric": (f"rtf_{model_name}_b{batch}_cfg_ddpm{ddpm_steps}"
                    + ("_int8" if quant else "")),
         "value": round(rtf, 4),
         "unit": "audio_sec_per_wall_sec",

@@ -19,14 +19,13 @@ Idioms:
 
 from __future__ import annotations
 
-import math
 from typing import NamedTuple, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
 
 from ..config import Qwen2DecoderConfig
-from ..ops.attention import attend, decode_attend
+from ..ops.attention import attend
 from ..ops.norms import rms_norm
 from ..ops.quant import is_quantized, qmatmul
 from ..ops.rope import apply_rope, rope_cos_sin

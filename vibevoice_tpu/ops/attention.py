@@ -60,13 +60,6 @@ def causal_mask(tq: int, tk: int, q_offset=0) -> jax.Array:
     return kj <= qi
 
 
-def decode_attend(q: jax.Array, k_cache: jax.Array, v_cache: jax.Array,
-                  lengths: jax.Array, scale: Optional[float] = None) -> jax.Array:
-    """Single-token decode attention against a fixed-size KV cache.
-
-    q: [B, 1, Hq, D]; k_cache/v_cache: [B, S, Hkv, D]; lengths: [B] valid prefix
-    length per sample (entries at index >= length are masked out).
-    """
-    s = k_cache.shape[1]
-    valid = jnp.arange(s)[None, :] < lengths[:, None]           # [B, S]
-    return attend(q, k_cache, v_cache, mask=valid[:, None, :], scale=scale)
+# decode attention lives in ops/flash_decode.py (Pallas kernel + head-major
+# XLA fallback); this module keeps the general masked GQA path used by
+# prefill, training, and tests.
