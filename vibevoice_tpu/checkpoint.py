@@ -33,16 +33,31 @@ def save_checkpoint(path: str, params: dict, cfg: VibeVoiceConfig,
 
 
 def load_checkpoint(path: str, shardings=None) -> Tuple[dict, VibeVoiceConfig]:
-    """Restore params (+config). `shardings`: optional pytree of NamedShardings
-    to restore directly onto a mesh (single-pass sharded load)."""
+    """Restore params (+config).
+
+    `shardings`: optional pytree of NamedShardings — the restore then streams
+    each shard straight onto its device (single-pass sharded load; the 7B
+    tree never materializes on one host/device).  The abstract target is
+    derived from the config, so shapes never round-trip through the host.
+    """
+    import jax.numpy as jnp
     import orbax.checkpoint as ocp
 
     path = os.path.abspath(path)
     cfg = VibeVoiceConfig.from_json(os.path.join(path, "config.json"))
     with ocp.StandardCheckpointer() as ckptr:
-        params = ckptr.restore(os.path.join(path, "params"))
-        if shardings is not None:
-            params = jax.tree.map(jax.device_put, params, shardings)
+        if shardings is None:
+            params = ckptr.restore(os.path.join(path, "params"))
+        else:
+            from .models import vibevoice
+            dtype = jnp.dtype(cfg.dtype)
+            shapes = jax.eval_shape(
+                lambda k: vibevoice.init_params(k, cfg, dtype),
+                jax.random.PRNGKey(0))
+            target = jax.tree.map(
+                lambda s, sh: jax.ShapeDtypeStruct(s.shape, s.dtype, sharding=sh),
+                dict(shapes), shardings)
+            params = ckptr.restore(os.path.join(path, "params"), target)
     return params, cfg
 
 
