@@ -99,7 +99,7 @@ def main():
     with_extras = os.environ.get("BENCH_EXTRAS", "1") == "1"
     quant = os.environ.get("BENCH_QUANT", "0") == "1"  # int8 LM (7B fits one chip)
     batch = int(os.environ.get("BENCH_BATCH", "1"))
-    t0_len = 64
+    t0_len = int(os.environ.get("BENCH_PROMPT", "64"))  # prompt tokens
 
     cfg = VibeVoiceConfig.named(model_name)
     frame_sec = cfg.acoustic_tokenizer.total_stride / 24000.0

@@ -92,8 +92,18 @@ def test_sharded_generation_matches_single():
     b = 2
     ids = rs.randint(20, 200, (b, 24))
     ids[:, -1] = tk.speech_start_id
+    # voice prompt: covers the prefill speech-encode + scatter under GSPMD
+    frame = CFG.acoustic_tokenizer.total_stride
+    ids[:, 2] = tk.speech_start_id
+    ids[:, 3:6] = tk.speech_diffusion_id
+    ids[:, 6] = tk.speech_end_id
+    smask = np.zeros((b, 24), bool)
+    smask[:, 3:6] = True
     kw = dict(cfg_scale=1.3, max_new_tokens=8, chunk_steps=4,
-              max_length_times=1000.0, seed=3)
+              max_length_times=1000.0, seed=3,
+              speech_tensors=rs.randn(b, 3 * frame).astype(np.float32) * 0.1,
+              speech_masks=np.ones((b, 3), bool),
+              speech_input_mask=smask)
 
     gen1 = VibeVoiceGenerator(params, CFG, tk, ddpm_inference_steps=3,
                               lm_dtype=jnp.float32)
