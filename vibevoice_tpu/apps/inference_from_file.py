@@ -97,6 +97,14 @@ def build_argparser() -> argparse.ArgumentParser:
     p.add_argument("--top_p", type=float, default=0.95)
     p.add_argument("--max_length_times", type=float, default=2.0)
     p.add_argument("--chunk_steps", type=int, default=32)
+    p.add_argument("--top_k", type=int, default=0)
+    p.add_argument("--negative_prompt", type=str, default="")
+    p.add_argument("--quantize", action="store_true",
+                   help="int8 weight-only LM (fits 7B on one chip)")
+    p.add_argument("--tp", type=int, default=0,
+                   help="tensor-parallel size (>0 builds a ('dp','tp') mesh "
+                        "over all visible devices; the TP serving path)")
+    p.add_argument("--dp", type=int, default=0, help="data-parallel size")
     return p
 
 
@@ -121,8 +129,19 @@ def main(argv=None):
         params = vibevoice.init_params(jax.random.PRNGKey(0), cfg, jnp.bfloat16)
         proc = VibeVoiceProcessor()
 
+    if args.quantize:
+        from ..ops.quant import quantize_lm_params
+        params = dict(params)
+        params["lm"] = quantize_lm_params(params["lm"])
+
+    mesh = None
+    if args.tp or args.dp:
+        from ..parallel import make_mesh
+        mesh = make_mesh(tp=args.tp or None, dp=args.dp or None)
+        print(f"Serving on mesh {dict(mesh.shape)}")
+
     gen = VibeVoiceGenerator(params, cfg, proc.tokenizer,
-                             ddpm_inference_steps=args.ddpm_steps)
+                             ddpm_inference_steps=args.ddpm_steps, mesh=mesh)
 
     with open(args.txt_path, encoding="utf-8") as f:
         txt = f.read()
@@ -144,6 +163,9 @@ def main(argv=None):
         speech_tensors=inputs["speech_tensors"], speech_masks=inputs["speech_masks"],
         speech_input_mask=inputs["speech_input_mask"], cfg_scale=args.cfg_scale,
         do_sample=args.do_sample, temperature=args.temperature, top_p=args.top_p,
+        top_k=args.top_k,
+        negative_prompt_ids=(np.asarray([proc.tokenizer.encode(args.negative_prompt)])
+                             if args.negative_prompt else None),
         max_length_times=args.max_length_times, seed=args.seed,
         chunk_steps=args.chunk_steps)
     gen_time = time.time() - t0
