@@ -101,9 +101,15 @@ class ScriptAIClient:
         for attempt in range(self.config.retries):
             try:
                 if self.debug:
-                    print(f"[script-ai] POST {url} attempt {attempt + 1}")
+                    # request/response dumps (reference main.py:1394-1470);
+                    # the API key never reaches the log
+                    print(f"[script-ai] POST {url} attempt {attempt + 1}\n"
+                          f"[script-ai] request: {json.dumps(payload)[:2000]}")
                 with urllib.request.urlopen(req, timeout=self.config.timeout) as resp:
-                    return json.loads(resp.read().decode())
+                    out = json.loads(resp.read().decode())
+                    if self.debug:
+                        print(f"[script-ai] response: {json.dumps(out)[:2000]}")
+                    return out
             except (urllib.error.URLError, urllib.error.HTTPError, TimeoutError,
                     json.JSONDecodeError) as e:  # noqa: PERF203
                 last_err = e

@@ -96,9 +96,15 @@ class VibeVoiceGenerator:
     def __init__(self, params: dict, cfg: VibeVoiceConfig, tokenizer,
                  ddpm_inference_steps: Optional[int] = None,
                  solver: Optional[DPMSolverConfig] = None,
-                 lm_dtype=jnp.bfloat16, mesh=None):
+                 lm_dtype=None, mesh=None):
         from ..utils.compilation_cache import enable_persistent_compilation_cache
         enable_persistent_compilation_cache()
+        if lm_dtype is None:
+            # follow the parameter dtype (fp32 params + bf16 activations
+            # would silently promote and break the KV-cache/scan dtypes)
+            embed = params["lm"]["embed"]
+            lm_dtype = (jnp.bfloat16 if isinstance(embed, dict)
+                        else embed.dtype)
         self.mesh = mesh
         self.kv_tp = False
         if mesh is not None:

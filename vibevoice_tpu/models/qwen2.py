@@ -140,8 +140,8 @@ def _layer(x, lp, cfg: Qwen2DecoderConfig, cos, sin, cache_k, cache_v,
         # write the new token at the per-sample pointer, then attend over the
         # [kv_start, kv_len) live range of the head-major cache
         bidx = jnp.arange(b)
-        cache_k = cache_k.at[bidx, :, write_idx].set(k[:, 0])
-        cache_v = cache_v.at[bidx, :, write_idx].set(v[:, 0])
+        cache_k = cache_k.at[bidx, :, write_idx].set(k[:, 0].astype(cache_k.dtype))
+        cache_v = cache_v.at[bidx, :, write_idx].set(v[:, 0].astype(cache_v.dtype))
         if decode_impl == "pallas_shmap":
             from ..ops.flash_decode import flash_decode_attention_sharded
             mesh, kv_tp, batch_on_dp = shard_ctx
@@ -158,10 +158,10 @@ def _layer(x, lp, cfg: Qwen2DecoderConfig, cos, sin, cache_k, cache_v,
                                      kv_start, kv_len)[:, None]
     else:
         # prefill: write the whole block at offset 0 (head-major transpose)
-        cache_k = jax.lax.dynamic_update_slice(cache_k, k.transpose(0, 2, 1, 3),
-                                               (0, 0, 0, 0))
-        cache_v = jax.lax.dynamic_update_slice(cache_v, v.transpose(0, 2, 1, 3),
-                                               (0, 0, 0, 0))
+        cache_k = jax.lax.dynamic_update_slice(
+            cache_k, k.transpose(0, 2, 1, 3).astype(cache_k.dtype), (0, 0, 0, 0))
+        cache_v = jax.lax.dynamic_update_slice(
+            cache_v, v.transpose(0, 2, 1, 3).astype(cache_v.dtype), (0, 0, 0, 0))
         if flash_kv_start is not None:
             from ..ops.flash_attention import flash_attention
             attn = flash_attention(q, k, v, flash_kv_start, causal=True)
