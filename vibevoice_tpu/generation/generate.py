@@ -379,14 +379,22 @@ class VibeVoiceGenerator:
         step = self._make_step(do_sample, temperature, top_p, refresh_negative,
                                top_k=top_k)
 
+        import os as _os
+        f16_transfer = _os.environ.get("VIBEVOICE_TRANSFER_F16", "0") == "1"
+
         @partial(jax.jit, donate_argnums=(1,))
         def run_chunk(params, state: GenState, cfg_scale):
             state, outs = jax.lax.scan(lambda s, _: step(params, s, cfg_scale),
                                        state, None, length=chunk)
             # flatten outputs: ragged/tiled layouts (e.g. [K, 1, 3200]) transfer
-            # pathologically slowly host-ward; 1-D compact buffers do not
+            # pathologically slowly host-ward; 1-D compact buffers do not.
+            # Optional f16 audio transfer halves the host-bound bytes (f16's
+            # 11-bit mantissa exceeds 16-bit PCM precision on [-1, 1]).
+            audio = outs.audio.reshape(-1)
+            if f16_transfer:
+                audio = audio.astype(jnp.float16)
             flat = StepOutput(tokens=outs.tokens.reshape(-1),
-                              audio=outs.audio.reshape(-1),
+                              audio=audio,
                               diffused=outs.diffused.reshape(-1),
                               finished=outs.finished.reshape(-1))
             return state, flat
@@ -622,7 +630,8 @@ class VibeVoiceGenerator:
             # already in flight)
             with timer.stage("decode_chunk"):
                 toks = np.asarray(out.tokens).reshape(chunk_steps, b)
-                audio = np.asarray(out.audio).reshape(chunk_steps, b, self.frame_samples)
+                audio = np.asarray(out.audio).astype(np.float32).reshape(
+                    chunk_steps, b, self.frame_samples)
                 diff = np.asarray(out.diffused).reshape(chunk_steps, b)
                 fin = np.asarray(out.finished).reshape(chunk_steps, b)
             all_tokens.append(toks)
