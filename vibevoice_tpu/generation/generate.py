@@ -458,7 +458,7 @@ class VibeVoiceGenerator:
         t_bucket = min(_bucket_len(t0, 64), cfg.decoder.max_position_embeddings)
         t_bucket = max(t_bucket, t0)
         cache_len_final = _round_up(t_bucket + max_steps + 2, 256)
-        if self.decode_impl == "pallas":
+        if self.decode_impl in ("pallas", "pallas_shmap"):
             # flash decode never touches dead slots: allocate final size up
             # front — one chunk program for the whole run, no growth copies
             cache_len = cache_len_final
