@@ -43,7 +43,7 @@ class BenchTokenizer:
     bos_id = EOS_ID
 
 
-def build_generator(cfg, ddpm_steps, quantize=False):
+def build_generator(cfg, ddpm_steps, quantize=False, quantize_head=False):
     from vibevoice_tpu.generation import VibeVoiceGenerator
     from vibevoice_tpu.models import vibevoice
 
@@ -72,6 +72,10 @@ def build_generator(cfg, ddpm_steps, quantize=False):
     params = dict(jax.tree.map(
         lambda s: (s if isinstance(s, jax.Array)
                    else jnp.full(s.shape, 0.01, s.dtype)), shapes))
+    if quantize_head:
+        from vibevoice_tpu.ops.quant import quantize_diffusion_head_params
+        params["diffusion_head"] = quantize_diffusion_head_params(
+            params["diffusion_head"])
     return VibeVoiceGenerator(params, cfg, BenchTokenizer(),
                               ddpm_inference_steps=ddpm_steps,
                               lm_dtype=jnp.bfloat16)
@@ -98,12 +102,14 @@ def main():
     chunk = int(os.environ.get("BENCH_CHUNK", "64"))
     with_extras = os.environ.get("BENCH_EXTRAS", "1") == "1"
     quant = os.environ.get("BENCH_QUANT", "0") == "1"  # int8 LM (7B fits one chip)
+    quant_head = os.environ.get("BENCH_QUANT_HEAD", "0") == "1"  # int8 AdaLN head
     batch = int(os.environ.get("BENCH_BATCH", "1"))
     t0_len = int(os.environ.get("BENCH_PROMPT", "64"))  # prompt tokens
 
     cfg = VibeVoiceConfig.named(model_name)
     frame_sec = cfg.acoustic_tokenizer.total_stride / 24000.0
-    gen = build_generator(cfg, ddpm_steps, quantize=quant)
+    gen = build_generator(cfg, ddpm_steps, quantize=quant,
+                          quantize_head=quant_head)
 
     rs = np.random.RandomState(0)
     ids = rs.randint(20, 200, (batch, t0_len))

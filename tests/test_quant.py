@@ -56,3 +56,32 @@ def test_quantized_lm_forward_close_to_dense():
     denom = np.abs(np.asarray(h_dense)).max()
     rel = np.abs(np.asarray(h_quant) - np.asarray(h_dense)).max() / denom
     assert rel < 0.1, rel
+
+
+def test_quantized_diffusion_head_error_bounded():
+    """int8 weight-only AdaLN head: output error bounded relative to fp32
+    (ops/quant.py quantize_diffusion_head_params)."""
+    import jax
+    import jax.numpy as jnp
+    from vibevoice_tpu.config import DiffusionHeadConfig
+    from vibevoice_tpu.models import diffusion_head
+    from vibevoice_tpu.ops.quant import quantize_diffusion_head_params
+
+    cfg = DiffusionHeadConfig(hidden_size=64, head_layers=2, latent_size=16,
+                              freq_embed_size=32)
+    rs = np.random.RandomState(0)
+    params = diffusion_head.init_params(jax.random.PRNGKey(0), cfg, jnp.float32)
+    # non-zero AdaLN/output so quantization has signal to distort
+    params = jax.tree.map(
+        lambda x: jnp.asarray(rs.randn(*x.shape).astype(np.float32) * 0.05),
+        params)
+    qparams = quantize_diffusion_head_params(params)
+
+    noisy = jnp.asarray(rs.randn(4, 16), jnp.float32)
+    t = jnp.asarray([10., 500., 900., 40.])
+    cond = jnp.asarray(rs.randn(4, 64), jnp.float32)
+    ref = diffusion_head.apply(params, cfg, noisy, t, cond)
+    out = diffusion_head.apply(qparams, cfg, noisy, t, cond)
+    scale = float(jnp.max(jnp.abs(ref))) + 1e-9
+    err = float(jnp.max(jnp.abs(out - ref)))
+    assert err <= 0.05 * scale, (err, scale)

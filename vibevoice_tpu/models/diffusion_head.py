@@ -21,6 +21,7 @@ import jax.numpy as jnp
 
 from ..config import DiffusionHeadConfig
 from ..ops.norms import rms_norm
+from ..ops.quant import qmatmul
 
 
 def init_params(rng: jax.Array, cfg: DiffusionHeadConfig, dtype=jnp.bfloat16) -> dict:
@@ -67,10 +68,11 @@ def apply(params: dict, cfg: DiffusionHeadConfig, noisy: jax.Array,
     c = condition @ params["cond_proj"] + t_emb
 
     def body(xc, lp):
-        mod = jax.nn.silu(c) @ lp["ada"]
+        mod = qmatmul(jax.nn.silu(c), lp["ada"])
         shift, scale, gate = jnp.split(mod, 3, axis=-1)
         y = rms_norm(xc, lp["norm"], cfg.rms_norm_eps) * (1 + scale) + shift
-        y = (jax.nn.silu(y @ lp["wg"]) * (y @ lp["wu"])) @ lp["wd"]
+        y = qmatmul(jax.nn.silu(qmatmul(y, lp["wg"])) * qmatmul(y, lp["wu"]),
+                    lp["wd"])
         return xc + gate * y, None
 
     x, _ = jax.lax.scan(body, x, params["layers"])
