@@ -278,15 +278,26 @@ class VibeVoiceDemo:
 def create_demo_interface(demo: VibeVoiceDemo):
     import gradio as gr
 
+    def status_text() -> str:
+        import jax
+        cur = demo.manager.current
+        loaded = (f"{cur.name}" + (" (int8)" if cur.quantized else "")
+                  if cur else "none (load on demand)")
+        return (f"**Model:** {loaded} · **Device:** {jax.devices()[0].platform} "
+                f"× {len(jax.devices())} · "
+                f"**Offline:** {'yes' if demo.manager.offline else 'no'}")
+
     with gr.Blocks(title="VibeVoice-TPU", theme=gr.themes.Soft()) as ui:
         gr.Markdown("# 🎙️ VibeVoice-TPU — long-form multi-speaker TTS on TPU")
+        status_md = gr.Markdown(status_text())
         with gr.Row():
             with gr.Column():
                 model_dd = gr.Dropdown(demo.manager.available_models(),
                                        value=demo.model_name, label="Model")
                 num_speakers = gr.Slider(1, 4, value=2, step=1, label="Speakers")
                 voice_dds = [gr.Dropdown(demo.voices.names() or ["(none)"],
-                                         label=f"Voice {i + 1}") for i in range(4)]
+                                         label=f"Voice {i + 1}", visible=i < 2)
+                             for i in range(4)]
                 cfg_scale = gr.Slider(1.0, 3.0, value=1.6, step=0.05, label="CFG scale")
                 steps = gr.Slider(5, 30, value=10, step=1, label="Diffusion steps")
                 do_sample = gr.Checkbox(value=True, label="Sample (vs greedy)")
@@ -310,6 +321,7 @@ def create_demo_interface(demo: VibeVoiceDemo):
                 stop_btn = gr.Button("⏹ Stop")
                 audio_out = gr.Audio(label="Audio", streaming=True, autoplay=True)
                 log_out = gr.Textbox(label="Log", lines=8)
+                clear_log_btn = gr.Button("🧹 Clear log", size="sm")
 
         def on_generate(model_name, n, script, v1, v2, v3, v4, cfg, st, temp,
                         tp, tk, ds, nv, neg):
@@ -320,8 +332,8 @@ def create_demo_interface(demo: VibeVoiceDemo):
                     temperature=temp, top_p=tp, top_k=int(tk),
                     negative_prompt=neg or "",
                     diffusion_steps=int(ds), normalize_voices=nv):
-                yield (sr, chunk), demo.log_text
-            yield None, demo.log_text
+                yield (sr, chunk), demo.log_text, status_text()
+            yield None, demo.log_text, status_text()
 
         def on_load_example(name):
             ex = demo.examples.get(name)
@@ -330,17 +342,28 @@ def create_demo_interface(demo: VibeVoiceDemo):
             k, script = ex
             return script, k
 
+        def on_num_speakers(n):
+            # per-speaker voice cards appear/disappear with the slider
+            # (reference main.py speaker-section visibility behavior)
+            return [gr.update(visible=i < int(n)) for i in range(4)]
+
+        def on_clear_log():
+            demo._log_lines = []
+            return ""
+
         gen_btn.click(on_generate,
                       [model_dd, num_speakers, script_box, *voice_dds,
                        cfg_scale, do_sample, temperature, top_p, top_k, steps,
                        norm_voices, negative_box],
-                      [audio_out, log_out])
+                      [audio_out, log_out, status_md])
         stop_btn.click(lambda: demo.stop())
         gen_script_btn.click(
             lambda t, n: demo.generate_script(t, int(n), 2.0),
             [topic, num_speakers], [script_box])
         load_example_btn.click(on_load_example, [example_dd],
                                [script_box, num_speakers])
+        num_speakers.change(on_num_speakers, [num_speakers], voice_dds)
+        clear_log_btn.click(on_clear_log, [], [log_out])
     return ui
 
 
