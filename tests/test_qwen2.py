@@ -221,3 +221,79 @@ def test_parity_with_hf_qwen2_bf16():
     # the decisions that drive generation must agree
     agree = (logits[:, -1].argmax(-1) == hf_logits[:, -1].argmax(-1)).mean()
     assert agree == 1.0
+
+
+@pytest.mark.parametrize("hq,hkv,dh", [(12, 2, 16), (28, 4, 8)])
+def test_parity_with_hf_qwen2_gqa_geometries(hq, hkv, dh):
+    """HF logit parity at the REAL model GQA geometries: 12q/2kv (1.5B,
+    group 6) and 28q/4kv (7B, group 7) — the tiny test only covers group 2,
+    and the grouped-attention einsum is geometry-sensitive."""
+    torch = pytest.importorskip("torch")
+    from transformers import Qwen2Config as HFQwen2Config
+    from transformers.models.qwen2 import Qwen2ForCausalLM
+
+    h = hq * dh
+    cfg = Qwen2DecoderConfig(
+        vocab_size=160, hidden_size=h, intermediate_size=2 * h,
+        num_hidden_layers=2, num_attention_heads=hq, num_key_value_heads=hkv,
+        max_position_embeddings=256, rope_theta=1e6, tie_word_embeddings=True)
+    hf_cfg = HFQwen2Config(
+        vocab_size=cfg.vocab_size, hidden_size=h, intermediate_size=2 * h,
+        num_hidden_layers=2, num_attention_heads=hq, num_key_value_heads=hkv,
+        max_position_embeddings=256, rope_theta=1e6, rms_norm_eps=cfg.rms_norm_eps,
+        tie_word_embeddings=True, attn_implementation="eager", use_cache=False)
+    torch.manual_seed(1)
+    hf = Qwen2ForCausalLM(hf_cfg).eval().float()
+    sd = hf.state_dict()
+    t2j = lambda t: jnp.asarray(t.detach().numpy())
+
+    def stack(fmt, transpose=False):
+        ws = [t2j(sd[fmt.format(i)]) for i in range(2)]
+        return jnp.stack([w.T if transpose else w for w in ws])
+
+    params = {
+        "embed": t2j(sd["model.embed_tokens.weight"]),
+        "layers": {
+            "ln1": stack("model.layers.{}.input_layernorm.weight"),
+            "wq": stack("model.layers.{}.self_attn.q_proj.weight", True),
+            "bq": stack("model.layers.{}.self_attn.q_proj.bias"),
+            "wk": stack("model.layers.{}.self_attn.k_proj.weight", True),
+            "bk": stack("model.layers.{}.self_attn.k_proj.bias"),
+            "wv": stack("model.layers.{}.self_attn.v_proj.weight", True),
+            "bv": stack("model.layers.{}.self_attn.v_proj.bias"),
+            "wo": stack("model.layers.{}.self_attn.o_proj.weight", True),
+            "ln2": stack("model.layers.{}.post_attention_layernorm.weight"),
+            "wg": stack("model.layers.{}.mlp.gate_proj.weight", True),
+            "wu": stack("model.layers.{}.mlp.up_proj.weight", True),
+            "wd": stack("model.layers.{}.mlp.down_proj.weight", True),
+        },
+        "norm": t2j(sd["model.norm.weight"]),
+    }
+
+    ids_np = np.random.RandomState(2).randint(0, cfg.vocab_size, (2, 11))
+    with torch.no_grad():
+        hf_logits = hf(torch.tensor(ids_np)).logits.numpy()
+    x = qwen2.embed_tokens(params, jnp.asarray(ids_np))
+    t = ids_np.shape[1]
+    causal = jnp.arange(t)[None, :, None] >= jnp.arange(t)[None, None, :]
+    hidden, _ = qwen2.forward(params, cfg, x,
+                              positions=jnp.broadcast_to(jnp.arange(t), (2, t)),
+                              cache=None, attn_mask=causal)
+    logits = np.asarray(hidden @ qwen2.lm_head_weight(params))
+    np.testing.assert_allclose(logits, hf_logits, rtol=3e-4, atol=3e-4)
+
+    # flash-decode at the same geometry: one decode step against the cache
+    # must match the full-forward last position (pallas interpret on CPU)
+    cache = qwen2.init_kv_cache(cfg, 2, 16, jnp.float32)
+    emb = qwen2.embed_tokens(params, jnp.asarray(ids_np))
+    cache_state = cache
+    for i in range(t):
+        hdec, cache_state = qwen2.decode_step(
+            params, cfg, emb[:, i:i + 1],
+            positions=jnp.full((2,), i, jnp.int32),
+            write_idx=jnp.full((2,), i, jnp.int32),
+            kv_start=jnp.zeros((2,), jnp.int32),
+            kv_len=jnp.full((2,), i + 1, jnp.int32),
+            cache=cache_state, impl="pallas")
+    np.testing.assert_allclose(np.asarray(hdec[:, 0]), np.asarray(hidden[:, -1]),
+                               rtol=3e-4, atol=3e-4)
