@@ -8,6 +8,7 @@ checkpointing and resume.
 
 from __future__ import annotations
 
+import contextlib
 import os
 import time
 from typing import Callable, Dict, Iterable, Optional
@@ -65,16 +66,18 @@ def train_loop(cfg: VibeVoiceConfig,
         state = state._replace(step=jnp.int32(start_step))
     jitted = jax.jit(train_step, donate_argnums=(0,))
 
+    if mesh is not None:
+        from ..parallel import batch_shardings
+
     t0 = time.perf_counter()
     last_saved = -1
-    ctx = mesh if mesh is not None else _nullcontext()
+    ctx = mesh if mesh is not None else contextlib.nullcontext()
     with ctx:
         for i, batch in enumerate(batches):
             step_no = start_step + i + 1
             if num_steps is not None and i >= num_steps:
                 break
             if mesh is not None:
-                from ..parallel import batch_shardings
                 batch = jax.tree.map(jax.device_put, batch,
                                      batch_shardings(mesh, batch))
             rng, k = jax.random.split(rng)
@@ -108,11 +111,3 @@ def _latest_checkpoint(ckpt_dir: Optional[str]) -> Optional[str]:
         if d.startswith("step_") and d.split("_")[-1].isdigit():
             steps.append((int(d.split("_")[-1]), os.path.join(ckpt_dir, d)))
     return max(steps)[1] if steps else None
-
-
-class _nullcontext:
-    def __enter__(self):
-        return None
-
-    def __exit__(self, *a):
-        return False
