@@ -48,8 +48,11 @@ class VoiceLibrary:
     """Voice presets: voices/ + recursive custom_voices/ scan
     (reference main.py:560-658)."""
 
-    def __init__(self, voices_dir: str = "voices",
+    def __init__(self, voices_dir: Optional[str] = None,
                  custom_dir: str = "custom_voices"):
+        if voices_dir is None:
+            voices_dir = next((d for d in ("voices", "examples/voices")
+                               if os.path.isdir(d)), "voices")
         self.voices_dir = voices_dir
         self.custom_dir = custom_dir
         self.presets: Dict[str, str] = {}
