@@ -76,6 +76,10 @@ def build_generator(cfg, ddpm_steps, quantize=False, quantize_head=False):
         from vibevoice_tpu.ops.quant import quantize_diffusion_head_params
         params["diffusion_head"] = quantize_diffusion_head_params(
             params["diffusion_head"])
+    if os.environ.get("BENCH_QUANT_TOK", "0") == "1":
+        from vibevoice_tpu.ops.quant import quantize_tokenizer_params
+        params["acoustic"] = quantize_tokenizer_params(params["acoustic"])
+        params["semantic"] = quantize_tokenizer_params(params["semantic"])
     return VibeVoiceGenerator(params, cfg, BenchTokenizer(),
                               ddpm_inference_steps=ddpm_steps,
                               lm_dtype=jnp.bfloat16)

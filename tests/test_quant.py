@@ -85,3 +85,33 @@ def test_quantized_diffusion_head_error_bounded():
     scale = float(jnp.max(jnp.abs(ref))) + 1e-9
     err = float(jnp.max(jnp.abs(out - ref)))
     assert err <= 0.05 * scale, (err, scale)
+
+
+def test_quantized_tokenizer_error_bounded():
+    """int8 FFN tokenizer: decode output error bounded vs dense, and the
+    streaming step still matches batch decoding."""
+    import jax
+    import jax.numpy as jnp
+    from vibevoice_tpu.config import VibeVoiceConfig
+    from vibevoice_tpu.models import acoustic_tokenizer as tok
+    from vibevoice_tpu.ops.quant import quantize_tokenizer_params
+
+    cfg = VibeVoiceConfig.named("tiny").acoustic_tokenizer
+    params = tok.init_acoustic_params(jax.random.PRNGKey(0), cfg, jnp.float32)
+    qparams = quantize_tokenizer_params(params)
+
+    rs = np.random.RandomState(0)
+    lat = jnp.asarray(rs.randn(2, 3, cfg.vae_dim), jnp.float32)
+    ref, _ = tok.decode(params["decoder"], cfg, lat, None)
+    out, _ = tok.decode(qparams["decoder"], cfg, lat, None)
+    scale = float(jnp.max(jnp.abs(ref))) + 1e-9
+    assert float(jnp.max(jnp.abs(out - ref))) <= 0.1 * scale
+
+    # streaming == batch must still hold with quantized weights
+    state = tok.init_decoder_state(cfg, 2)
+    chunks = []
+    for i in range(lat.shape[1]):
+        y, state = tok.decode(qparams["decoder"], cfg, lat[:, i:i + 1], state)
+        chunks.append(y)
+    np.testing.assert_allclose(np.asarray(jnp.concatenate(chunks, axis=1)),
+                               np.asarray(out), rtol=2e-4, atol=2e-5)

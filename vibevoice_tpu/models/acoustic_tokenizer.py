@@ -37,6 +37,7 @@ from ..ops.conv import (
     conv_weight_shape,
 )
 from ..ops.norms import rms_norm
+from ..ops.quant import qmatmul
 
 TokCfg = Union[AcousticTokenizerConfig, SemanticTokenizerConfig]
 
@@ -206,7 +207,8 @@ def _block(x, bp, cfg: TokCfg, state):
 
     resid = x
     y = rms_norm(x, bp["ffn_norm"], cfg.layernorm_eps)
-    y = jax.nn.gelu(y @ bp["ffn_w1"], approximate=False) @ bp["ffn_w2"]
+    y = qmatmul(jax.nn.gelu(qmatmul(y, bp["ffn_w1"]), approximate=False),
+                bp["ffn_w2"])
     if bp["ffn_gamma"] is not None:
         y = y * bp["ffn_gamma"]
     return resid + y, new_state

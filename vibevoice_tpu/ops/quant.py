@@ -77,6 +77,26 @@ def quantize_diffusion_head_params(head_params: dict) -> dict:
     return out
 
 
+_TOKENIZER_FFN_KEYS = ("ffn_w1", "ffn_w2")
+
+
+def quantize_tokenizer_params(tok_params: dict) -> dict:
+    """Quantize the ConvNeXt FFN matmuls of the acoustic/semantic tokenizers
+    (the FFNs hold ~95% of the ~2 GB tokenizer weights; the vocode and
+    semantic re-encode stages read them every generated frame).  Depthwise
+    mixer convs and norms stay dense."""
+    def rec(node):
+        if isinstance(node, dict):
+            return {k: (quantize_weight(v)
+                        if k in _TOKENIZER_FFN_KEYS and getattr(v, "ndim", 0) >= 2
+                        else rec(v))
+                    for k, v in node.items()}
+        if isinstance(node, (list, tuple)):
+            return type(node)(rec(v) for v in node)
+        return node
+    return rec(tok_params)
+
+
 def dequantize_lm_params(lm_params: dict, dtype=jnp.bfloat16) -> dict:
     out = dict(lm_params)
     layers = dict(lm_params["layers"])
