@@ -23,7 +23,7 @@ import time
 import urllib.error
 import urllib.request
 from dataclasses import dataclass
-from typing import List, Optional
+from typing import Optional
 
 
 def load_dotenv(path: str = ".env") -> dict:

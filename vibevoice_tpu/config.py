@@ -12,7 +12,7 @@ import dataclasses
 import json
 import os
 from dataclasses import dataclass, field
-from typing import Any, List, Optional, Sequence, Tuple
+from typing import Optional, Tuple
 
 
 def _filter_kwargs(cls, d: dict) -> dict:

@@ -21,7 +21,6 @@ from __future__ import annotations
 import glob
 import json
 import os
-import re
 from typing import Callable, Dict, Optional, Tuple
 
 import jax.numpy as jnp

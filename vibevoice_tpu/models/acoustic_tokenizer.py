@@ -21,8 +21,7 @@ step mode (state pytree in / out).
 
 from __future__ import annotations
 
-import dataclasses
-from typing import List, NamedTuple, Optional, Tuple, Union
+from typing import List, Optional, Tuple, Union
 
 import jax
 import jax.numpy as jnp

@@ -14,8 +14,6 @@ exactly the batched-small-matmul regime the MXU handles well.
 from __future__ import annotations
 
 import math
-from typing import Tuple
-
 import jax
 import jax.numpy as jnp
 

@@ -19,7 +19,6 @@ Design:
 """
 
 import functools
-import math
 
 import jax
 import jax.numpy as jnp

@@ -22,7 +22,7 @@ from typing import Any, Optional
 import jax
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-from ..config import Qwen2DecoderConfig, VibeVoiceConfig
+from ..config import Qwen2DecoderConfig
 
 
 def infer_kv_tp(cfg: Qwen2DecoderConfig, mesh: Mesh) -> bool:

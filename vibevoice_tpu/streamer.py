@@ -14,7 +14,7 @@ from __future__ import annotations
 
 import asyncio
 import queue
-from typing import Iterable, Iterator, List, Optional
+from typing import List, Optional
 
 import numpy as np
 
