@@ -242,3 +242,33 @@ def test_7b_sharded_decode_lowers():
         cache_aval)
     hlo = lowered.as_text()
     assert "sharding" in hlo  # shardings survived into the lowered module
+
+
+def test_quantized_sharded_generation():
+    """int8 LM + TP mesh: quantized {q, s} leaves get matching shardings
+    (the 7B multi-chip int8 serving combination) and sharded generation
+    matches the single-device quantized run."""
+    from vibevoice_tpu.generation.generate import VibeVoiceGenerator
+    from vibevoice_tpu.ops.quant import quantize_lm_params
+    from vibevoice_tpu.processor.text_tokenizer import ByteFallbackTokenizer
+
+    tk = ByteFallbackTokenizer()
+    params = vibevoice.init_params(jax.random.PRNGKey(3), CFG, jnp.float32)
+    params = dict(params)
+    params["lm"] = quantize_lm_params(params["lm"])
+    rs = np.random.RandomState(5)
+    ids = rs.randint(20, 200, (2, 20))
+    ids[:, -1] = tk.speech_start_id
+    kw = dict(cfg_scale=1.3, max_new_tokens=6, chunk_steps=3,
+              max_length_times=1000.0, seed=2)
+
+    out1 = VibeVoiceGenerator(params, CFG, tk, ddpm_inference_steps=3,
+                              lm_dtype=jnp.float32).generate(ids, **kw)
+    mesh = make_mesh(8, tp=2)
+    gen2 = VibeVoiceGenerator(params, CFG, tk, ddpm_inference_steps=3,
+                              lm_dtype=jnp.float32, mesh=mesh)
+    # the int8 projection shardings actually landed on tp
+    wq = gen2.params["lm"]["layers"]["wq"]
+    assert wq["q"].sharding.spec[-1] == "tp"
+    out2 = gen2.generate(ids, **kw)
+    np.testing.assert_array_equal(out1.sequences, out2.sequences)

@@ -49,14 +49,30 @@ def _lm_layer_specs(kv_tp: bool, fsdp: bool) -> dict:
     }
 
 
+def _is_quantized(leaf) -> bool:
+    return isinstance(leaf, dict) and set(leaf.keys()) == {"q", "s"}
+
+
+def _quantize_spec(spec: P) -> dict:
+    """Spec for an int8 {q, s} leaf: q inherits the weight spec; the
+    per-output-channel scale [..., out] keeps the leading and output axes."""
+    return {"q": spec, "s": P(*([*spec][:-2] + [spec[-1]]))}
+
+
 def param_pspecs(params: dict, kv_tp: bool = False, fsdp: bool = False) -> dict:
-    """PartitionSpec pytree matching `vibevoice.init_params` structure."""
+    """PartitionSpec pytree matching `vibevoice.init_params` structure
+    (including int8-quantized {q, s} leaves from ops/quant.py)."""
     dp = "dp" if fsdp else None
     specs: dict = jax.tree.map(lambda _: P(), params)
     lm = {"embed": P(dp, None), "norm": P(),
-          "layers": _lm_layer_specs(kv_tp, fsdp)}
+          "layers": dict(_lm_layer_specs(kv_tp, fsdp))}
     if "lm_head" in params["lm"]:
         lm["lm_head"] = P(dp, "tp")
+    for k, leaf in params["lm"]["layers"].items():
+        if _is_quantized(leaf):
+            lm["layers"][k] = _quantize_spec(lm["layers"][k])
+    if _is_quantized(params["lm"].get("lm_head")):
+        lm["lm_head"] = _quantize_spec(lm["lm_head"])
     specs = dict(specs)
     specs["lm"] = lm
     return specs
