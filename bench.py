@@ -139,6 +139,22 @@ def main():
     rtf = audio_sec / wall
 
     extras = {}
+    if with_extras and not quant:
+        # full-int8 serving tier (LM + diffusion head + tokenizer FFNs) —
+        # opt-in in production pending quality validation on real weights,
+        # measured here as the speed headroom of the bandwidth-bound step
+        from vibevoice_tpu.ops.quant import quantize_tokenizer_params
+        gen_q = build_generator(cfg, ddpm_steps, quantize=True,
+                                quantize_head=True)
+        gen_q.params["acoustic"] = quantize_tokenizer_params(
+            gen_q.params["acoustic"])
+        gen_q.params["semantic"] = quantize_tokenizer_params(
+            gen_q.params["semantic"])
+        run_config(gen_q, ids, bench_steps, chunk, 1.3, frame_sec)  # compile
+        wq_, _, _, aq_ = run_config(gen_q, ids, bench_steps, chunk, 1.3,
+                                    frame_sec)
+        extras["int8_rtf"] = round(aq_ / wq_, 3)
+        del gen_q
     if with_extras:
         # config 2: CFG 1.3 with 10 diffusion steps (2-speaker regime);
         # warm up with the EXACT step count so cache_len matches and no
