@@ -197,3 +197,42 @@ def test_gradio_demo_build(monkeypatch, tmp_path):
                       inference_steps=2)
     gen = demo.manager.current.generator
     assert gen.solver_cfg.algorithm_type == "sde-dpmsolver++"
+
+
+def test_streamer_batch_iterator():
+    """Round-robin batch iterator yields (idx, chunk) across live samples."""
+    from vibevoice_tpu.streamer import AudioStreamer
+    st = AudioStreamer(batch_size=3)
+    st.put(np.ones((2, 4), np.float32), [0, 2])
+    st.put(np.full((1, 4), 2.0, np.float32), [1])
+    st.end()
+    got = sorted((i, float(c[0])) for i, c in st)
+    assert got == [(0, 1.0), (1, 2.0), (2, 1.0)]
+
+
+def test_async_streamer():
+    """AsyncAudioStreamer: thread-safe puts consumed from an asyncio loop
+    (reference streamer.py:150-264)."""
+    import asyncio
+    import threading
+    from vibevoice_tpu.streamer import AsyncAudioStreamer
+
+    async def main():
+        st = AsyncAudioStreamer(batch_size=2, loop=asyncio.get_running_loop())
+
+        def producer():
+            st.put(np.ones((2, 8), np.float32), [0, 1])
+            st.put(np.full((1, 8), 3.0, np.float32), [1])
+            st.end()
+
+        threading.Thread(target=producer).start()
+        got0, got1 = [], []
+        async for c in st.get_stream(0):
+            got0.append(c)
+        async for c in st.get_stream(1):
+            got1.append(c)
+        return got0, got1
+
+    got0, got1 = asyncio.run(main())
+    assert len(got0) == 1 and len(got1) == 2
+    assert float(got1[1][0]) == 3.0
