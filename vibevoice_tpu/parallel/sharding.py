@@ -78,11 +78,27 @@ def param_pspecs(params: dict, kv_tp: bool = False, fsdp: bool = False) -> dict:
     return specs
 
 
+def _fit_spec(x, spec: P, mesh: Mesh) -> P:
+    """Drop mesh axes from a spec wherever the dimension isn't divisible by
+    the axis size (e.g. fsdp on a dp=3 mesh with a 512-row embed) — the leaf
+    falls back to replication on that axis instead of an error."""
+    parts = []
+    shape = getattr(x, "shape", ())
+    for i, ax in enumerate(spec):
+        if ax is None or i >= len(shape):
+            parts.append(None)
+            continue
+        size = mesh.shape.get(ax, 1) if isinstance(ax, str) else 1
+        parts.append(ax if size and shape[i] % size == 0 else None)
+    return P(*parts)
+
+
 def param_shardings(params: dict, mesh: Mesh, kv_tp: bool = False,
                     fsdp: bool = False) -> Any:
-    return jax.tree.map(lambda s: NamedSharding(mesh, s),
-                        param_pspecs(params, kv_tp=kv_tp, fsdp=fsdp),
-                        is_leaf=lambda x: isinstance(x, P))
+    specs = param_pspecs(params, kv_tp=kv_tp, fsdp=fsdp)
+    return jax.tree.map(
+        lambda x, s: NamedSharding(mesh, _fit_spec(x, s, mesh)),
+        params, specs)
 
 
 def shard_params(params: dict, mesh: Mesh, kv_tp: bool = False,
