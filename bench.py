@@ -85,10 +85,12 @@ def build_generator(cfg, ddpm_steps, quantize=False, quantize_head=False):
                               lm_dtype=jnp.bfloat16)
 
 
-def run_config(gen, ids, steps, chunk, cfg_scale, frame_sec, streamer=None):
+def run_config(gen, ids, steps, chunk, cfg_scale, frame_sec, streamer=None,
+               chunk_max=None):
     t0 = time.perf_counter()
     out = gen.generate(ids, cfg_scale=cfg_scale, max_new_tokens=steps,
-                       chunk_steps=chunk, max_length_times=1000.0,
+                       chunk_steps=chunk, chunk_steps_max=chunk_max,
+                       max_length_times=1000.0,
                        refresh_negative=False, audio_streamer=streamer)
     wall = time.perf_counter() - t0
     diffused = sum(len(a) // gen.frame_samples
@@ -165,9 +167,10 @@ def main():
         extras["config2_ddpm10_rtf"] = round(a2 / w2, 3)
         gen.set_ddpm_inference_steps(ddpm_steps)
 
-        # config 4: streaming path — p50 gap between audio chunks at the
-        # AudioStreamer boundary, chunked decode (8-step chunks)
-        run_config(gen, ids, 8, 8, 1.3, frame_sec)  # compile 8-chunk
+        # config 4: streaming path — adaptive chunking (8-step first chunks
+        # for latency, then 64-step for throughput), timed at the
+        # AudioStreamer boundary
+        run_config(gen, ids, 128, 8, 1.3, frame_sec, chunk_max=chunk)  # compile
         streamer = AudioStreamer(batch_size=1)
         arrivals = []
         import threading
@@ -179,7 +182,8 @@ def main():
         th = threading.Thread(target=consume)
         th.start()
         t_s0 = time.perf_counter()
-        run_config(gen, ids, 128, 8, 1.3, frame_sec, streamer=streamer)
+        run_config(gen, ids, 128, 8, 1.3, frame_sec, streamer=streamer,
+                   chunk_max=chunk)
         th.join(timeout=30)
         if len(arrivals) > 2:
             gaps = np.diff(arrivals)

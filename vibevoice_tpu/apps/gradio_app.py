@@ -225,7 +225,9 @@ class VibeVoiceDemo:
                         negative_prompt_ids=negative_ids,
                         audio_streamer=streamer,
                         stop_check_fn=lambda: self.stop_generation,
-                        chunk_steps=8)
+                        # small first chunks -> fast first audio; big chunks
+                        # afterwards -> steady-state throughput
+                        chunk_steps=8, chunk_steps_max=64)
                 except Exception as e:  # noqa: BLE001
                     err.append(e)
                 finally:

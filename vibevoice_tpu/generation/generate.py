@@ -424,6 +424,7 @@ class VibeVoiceGenerator:
                  audio_streamer=None,
                  stop_check_fn: Optional[Callable[[], bool]] = None,
                  chunk_steps: int = 8,
+                 chunk_steps_max: Optional[int] = None,
                  return_speech: bool = True,
                  show_progress_bar: bool = False,
                  verbose: bool = False,
@@ -574,16 +575,14 @@ class VibeVoiceGenerator:
             semantic_state=sem_state,
             rng=rng)
 
-        def get_run_chunk(cur_cache_len: int):
-            key = (chunk_steps, do_sample, temperature, top_p, top_k,
+        def get_run_chunk(k_steps: int, cur_cache_len: int):
+            key = (k_steps, do_sample, temperature, top_p, top_k,
                    refresh_negative, b, cur_cache_len)
             if key not in self._chunk_jit:
                 self._chunk_jit[key] = self._build_chunk(
-                    key, chunk_steps, do_sample, temperature, top_p,
+                    key, k_steps, do_sample, temperature, top_p,
                     refresh_negative, top_k=top_k)
             return self._chunk_jit[key]
-
-        run_chunk = get_run_chunk(cache_len)
 
         all_tokens: List[np.ndarray] = []
         audio_chunks: List[List[np.ndarray]] = [[] for _ in range(b)]
@@ -598,17 +597,27 @@ class VibeVoiceGenerator:
                     return True
             return False
 
+        # adaptive chunking: the first two chunks use the small `chunk_steps`
+        # (fast first audio), then switch to `chunk_steps_max` for steady-state
+        # throughput (fewer host syncs) — both programs cache independently
+        big_chunk = max(chunk_steps_max or chunk_steps, chunk_steps)
+        n_dispatched = 0
+
         def dispatch(state, dispatched):
-            """Enqueue one chunk (async — JAX dispatch returns futures)."""
-            nonlocal cache_len, run_chunk
-            need = t_bucket + dispatched + chunk_steps + 2
+            """Enqueue one chunk (async — JAX dispatch returns futures).
+            Returns (state, out_future, chunk_len)."""
+            nonlocal cache_len, n_dispatched
+            k_steps = chunk_steps if n_dispatched < 2 else big_chunk
+            n_dispatched += 1
+            need = t_bucket + dispatched + k_steps + 2
             if need > cache_len and cache_len < cache_len_final:
                 new_len = min(max(cache_len * 2, _round_up(need, 256)), cache_len_final)
                 with timer.stage("cache_grow"):
                     state = _grow_cache(state, new_len)
                 cache_len = new_len
-                run_chunk = get_run_chunk(cache_len)
-            return run_chunk(self.params, state, cfg_scale_arr)
+            run_chunk = get_run_chunk(k_steps, cache_len)
+            state, out = run_chunk(self.params, state, cfg_scale_arr)
+            return state, out, k_steps
 
         # double-buffered loop: chunk k+1 is dispatched BEFORE chunk k's
         # results are pulled to the host, so host-side numpy conversion and
@@ -618,22 +627,22 @@ class VibeVoiceGenerator:
         steps_done = 0
         out = None
         if max_steps > 0 and not should_stop():
-            state, out = dispatch(state, 0)
-            steps_done = chunk_steps
+            state, out, out_k = dispatch(state, 0)
+            steps_done = out_k
         while out is not None:
-            pending = None
+            pending = pending_k = None
             if steps_done < max_steps and not should_stop():
-                state, pending = dispatch(state, steps_done)
-                steps_done += chunk_steps
+                state, pending, pending_k = dispatch(state, steps_done)
+                steps_done += pending_k
 
             # blocks until the device finishes this chunk (the next one is
             # already in flight)
             with timer.stage("decode_chunk"):
-                toks = np.asarray(out.tokens).reshape(chunk_steps, b)
+                toks = np.asarray(out.tokens).reshape(out_k, b)
                 audio = np.asarray(out.audio).astype(np.float32).reshape(
-                    chunk_steps, b, self.frame_samples)
-                diff = np.asarray(out.diffused).reshape(chunk_steps, b)
-                fin = np.asarray(out.finished).reshape(chunk_steps, b)
+                    out_k, b, self.frame_samples)
+                diff = np.asarray(out.diffused).reshape(out_k, b)
+                fin = np.asarray(out.finished).reshape(out_k, b)
             all_tokens.append(toks)
 
             for si in range(toks.shape[0]):
@@ -654,7 +663,7 @@ class VibeVoiceGenerator:
 
             if bool(prev_fin.all()):
                 break
-            out = pending
+            out, out_k = pending, pending_k
 
         if audio_streamer is not None:
             audio_streamer.end()
