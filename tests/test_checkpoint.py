@@ -68,3 +68,35 @@ def test_sharded_restore_onto_mesh(tmp_path):
     np.testing.assert_array_equal(np.asarray(wq),
                                   np.asarray(params["lm"]["layers"]["wq"]))
     assert cfg2.decoder.hidden_size == cfg.decoder.hidden_size
+
+
+def test_quantized_checkpoint_roundtrip(tmp_path):
+    """int8-quantized params ({q, s} pytree leaves) survive Orbax
+    save/restore and still generate identically."""
+    import dataclasses
+    import jax.numpy as jnp
+    from vibevoice_tpu import checkpoint as ckpt
+    from vibevoice_tpu.config import VibeVoiceConfig
+    from vibevoice_tpu.generation.generate import VibeVoiceGenerator
+    from vibevoice_tpu.models import vibevoice
+    from vibevoice_tpu.ops.quant import quantize_lm_params
+    from vibevoice_tpu.processor.text_tokenizer import ByteFallbackTokenizer
+
+    cfg = dataclasses.replace(VibeVoiceConfig.named("tiny"), dtype="float32")
+    params = dict(vibevoice.init_params(jax.random.PRNGKey(1), cfg, jnp.float32))
+    params["lm"] = quantize_lm_params(params["lm"])
+    ckpt.save_checkpoint(str(tmp_path / "q"), params, cfg)
+    restored, cfg2 = ckpt.load_checkpoint(str(tmp_path / "q"))
+    np.testing.assert_array_equal(np.asarray(restored["lm"]["layers"]["wq"]["q"]),
+                                  np.asarray(params["lm"]["layers"]["wq"]["q"]))
+
+    tk = ByteFallbackTokenizer()
+    ids = np.random.RandomState(0).randint(20, 200, (1, 12))
+    ids[:, -1] = tk.speech_start_id
+    kw = dict(cfg_scale=1.3, max_new_tokens=4, chunk_steps=2,
+              max_length_times=1000.0, seed=1)
+    o1 = VibeVoiceGenerator(params, cfg, tk, ddpm_inference_steps=2,
+                            lm_dtype=jnp.float32).generate(ids, **kw)
+    o2 = VibeVoiceGenerator(restored, cfg2, tk, ddpm_inference_steps=2,
+                            lm_dtype=jnp.float32).generate(ids, **kw)
+    np.testing.assert_array_equal(o1.sequences, o2.sequences)
