@@ -43,7 +43,8 @@ class BenchTokenizer:
     bos_id = EOS_ID
 
 
-def build_generator(cfg, ddpm_steps, quantize=False, quantize_head=False):
+def build_generator(cfg, ddpm_steps, quantize=False, quantize_head=False,
+                    bits=8):
     from vibevoice_tpu.generation import VibeVoiceGenerator
     from vibevoice_tpu.models import vibevoice
 
@@ -55,17 +56,27 @@ def build_generator(cfg, ddpm_steps, quantize=False, quantize_head=False):
     shapes = jax.eval_shape(lambda k: vibevoice.init_params(k, cfg, jnp.bfloat16),
                             jax.random.PRNGKey(0))
     if quantize:
-        # synthesize the int8 leaves directly from shapes — materializing the
-        # bf16 7B tree first (~15 GB) would not leave room to quantize on a
-        # 16 GB chip; values are irrelevant to timing
+        # synthesize the quantized leaves directly from shapes — materializing
+        # the bf16 7B tree first (~15 GB) would not leave room to quantize on
+        # a 16 GB chip; values are irrelevant to timing
+        from vibevoice_tpu.ops.int4 import quantizable_int4
         from vibevoice_tpu.ops.quant import _LM_QUANT_KEYS
+
+        def synth(sl):
+            if bits == 4 and quantizable_int4(sl.shape):
+                inn = sl.shape[-2]
+                return {"q4": jnp.ones(sl.shape[:-2] + (inn // 2,) + sl.shape[-1:],
+                                       jnp.int8),
+                        "s4": jnp.full(sl.shape[:-2] + (inn // 16,) + sl.shape[-1:],
+                                       1e-4, jnp.bfloat16)}
+            return {"q": jnp.ones(sl.shape, jnp.int8),
+                    "s": jnp.full(sl.shape[:-2] + sl.shape[-1:], 1e-4,
+                                  jnp.float32)}
+
         lm_shapes = dict(shapes["lm"])
         layers = dict(lm_shapes["layers"])
         for k in _LM_QUANT_KEYS:
-            sl = layers[k]
-            layers[k] = {"q": jnp.ones(sl.shape, jnp.int8),
-                         "s": jnp.full(sl.shape[:-2] + sl.shape[-1:], 1e-4,
-                                       jnp.float32)}
+            layers[k] = synth(layers[k])
         lm_shapes["layers"] = layers
         shapes = dict(shapes)
         shapes["lm"] = lm_shapes
@@ -75,11 +86,11 @@ def build_generator(cfg, ddpm_steps, quantize=False, quantize_head=False):
     if quantize_head:
         from vibevoice_tpu.ops.quant import quantize_diffusion_head_params
         params["diffusion_head"] = quantize_diffusion_head_params(
-            params["diffusion_head"])
+            params["diffusion_head"], bits=bits)
     if os.environ.get("BENCH_QUANT_TOK", "0") == "1":
         from vibevoice_tpu.ops.quant import quantize_tokenizer_params
-        params["acoustic"] = quantize_tokenizer_params(params["acoustic"])
-        params["semantic"] = quantize_tokenizer_params(params["semantic"])
+        params["acoustic"] = quantize_tokenizer_params(params["acoustic"], bits=bits)
+        params["semantic"] = quantize_tokenizer_params(params["semantic"], bits=bits)
     return VibeVoiceGenerator(params, cfg, BenchTokenizer(),
                               ddpm_inference_steps=ddpm_steps,
                               lm_dtype=jnp.bfloat16)
@@ -107,15 +118,18 @@ def main():
     bench_steps = int(os.environ.get("BENCH_STEPS", "192"))
     chunk = int(os.environ.get("BENCH_CHUNK", "64"))
     with_extras = os.environ.get("BENCH_EXTRAS", "1") == "1"
-    quant = os.environ.get("BENCH_QUANT", "0") == "1"  # int8 LM (7B fits one chip)
-    quant_head = os.environ.get("BENCH_QUANT_HEAD", "0") == "1"  # int8 AdaLN head
+    # BENCH_QUANT: 0 = bf16; 1/8 = int8 LM (7B fits one chip); 4 = int4 LM
+    quant_env = os.environ.get("BENCH_QUANT", "0")
+    quant = quant_env in ("1", "8", "4")
+    bits = 4 if quant_env == "4" else 8
+    quant_head = os.environ.get("BENCH_QUANT_HEAD", "0") == "1"  # quantized AdaLN head
     batch = int(os.environ.get("BENCH_BATCH", "1"))
     t0_len = int(os.environ.get("BENCH_PROMPT", "64"))  # prompt tokens
 
     cfg = VibeVoiceConfig.named(model_name)
     frame_sec = cfg.acoustic_tokenizer.total_stride / 24000.0
     gen = build_generator(cfg, ddpm_steps, quantize=quant,
-                          quantize_head=quant_head)
+                          quantize_head=quant_head, bits=bits)
 
     rs = np.random.RandomState(0)
     ids = rs.randint(20, 200, (batch, t0_len))
@@ -142,21 +156,24 @@ def main():
 
     extras = {}
     if with_extras and not quant:
-        # full-int8 serving tier (LM + diffusion head + tokenizer FFNs) —
-        # opt-in in production pending quality validation on real weights,
-        # measured here as the speed headroom of the bandwidth-bound step
+        # full-int8 and full-int4 serving tiers (LM + diffusion head +
+        # tokenizer FFNs) — opt-in in production pending quality validation
+        # on real weights, measured here as the speed headroom of the
+        # bandwidth-bound step.  int4 runs the Pallas dequant-matmul kernel
+        # (ops/int4.py) at the same weight width as the reference's NF4.
         from vibevoice_tpu.ops.quant import quantize_tokenizer_params
-        gen_q = build_generator(cfg, ddpm_steps, quantize=True,
-                                quantize_head=True)
-        gen_q.params["acoustic"] = quantize_tokenizer_params(
-            gen_q.params["acoustic"])
-        gen_q.params["semantic"] = quantize_tokenizer_params(
-            gen_q.params["semantic"])
-        run_config(gen_q, ids, bench_steps, chunk, 1.3, frame_sec)  # compile
-        wq_, _, _, aq_ = run_config(gen_q, ids, bench_steps, chunk, 1.3,
-                                    frame_sec)
-        extras["int8_rtf"] = round(aq_ / wq_, 3)
-        del gen_q
+        for tier_bits, key in ((8, "int8_rtf"), (4, "int4_rtf")):
+            gen_q = build_generator(cfg, ddpm_steps, quantize=True,
+                                    quantize_head=True, bits=tier_bits)
+            gen_q.params["acoustic"] = quantize_tokenizer_params(
+                gen_q.params["acoustic"], bits=tier_bits)
+            gen_q.params["semantic"] = quantize_tokenizer_params(
+                gen_q.params["semantic"], bits=tier_bits)
+            run_config(gen_q, ids, bench_steps, chunk, 1.3, frame_sec)  # compile
+            wq_, _, _, aq_ = run_config(gen_q, ids, bench_steps, chunk, 1.3,
+                                        frame_sec)
+            extras[key] = round(aq_ / wq_, 3)
+            del gen_q
     if with_extras:
         # config 2: CFG 1.3 with 10 diffusion steps (2-speaker regime);
         # warm up with the EXACT step count so cache_len matches and no
@@ -195,7 +212,7 @@ def main():
 
     print(json.dumps({
         "metric": (f"rtf_{model_name}_b{batch}_cfg_ddpm{ddpm_steps}"
-                   + ("_int8" if quant else "")),
+                   + (f"_int{bits}" if quant else "")),
         "value": round(rtf, 4),
         "unit": "audio_sec_per_wall_sec",
         "vs_baseline": round(rtf / 0.3, 3),

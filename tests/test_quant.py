@@ -1,4 +1,4 @@
-"""Weight-only int8 quantization tests."""
+"""Weight-only int8/int4 quantization tests."""
 
 import numpy as np
 
@@ -115,3 +115,151 @@ def test_quantized_tokenizer_error_bounded():
         chunks.append(y)
     np.testing.assert_allclose(np.asarray(jnp.concatenate(chunks, axis=1)),
                                np.asarray(out), rtol=2e-4, atol=2e-5)
+
+
+# ---------------------------------------------------------------------------
+# int4 tier (ops/int4.py)
+# ---------------------------------------------------------------------------
+
+def test_int4_roundtrip_error_within_half_step():
+    from vibevoice_tpu.ops.int4 import (dequantize_weight_int4,
+                                        quantize_weight_int4)
+    rs = np.random.RandomState(0)
+    w = jnp.asarray(rs.randn(512, 128), jnp.float32)
+    qw = quantize_weight_int4(w)                  # default group 16
+    assert qw["q4"].shape == (256, 128) and qw["q4"].dtype == jnp.int8
+    assert qw["s4"].shape == (32, 128) and qw["s4"].dtype == jnp.bfloat16
+    back = np.asarray(dequantize_weight_int4(qw, jnp.float32))
+    # max error <= half a quantization step per group (+ bf16 scale rounding)
+    wg = np.asarray(w).reshape(32, 16, 128)
+    step = np.abs(wg).max(axis=1, keepdims=True) / 7.0
+    err = np.abs(back.reshape(32, 16, 128) - wg)
+    assert (err <= step * (0.5 + 2 ** -8) + 1e-6).all()
+
+
+def test_int4_pack_layout_split_half():
+    """Packed row j = orig row j (low nibble) | orig row j + in/2 (high)."""
+    from vibevoice_tpu.ops.int4 import quantize_weight_int4
+    rs = np.random.RandomState(1)
+    w = jnp.asarray(rs.randn(256, 128), jnp.float32)
+    qw = quantize_weight_int4(w, group_size=128)
+    p = np.asarray(qw["q4"]).astype(np.int32)
+    lo = ((p & 15) ^ 8) - 8
+    hi = p >> 4
+    s = np.asarray(qw["s4"]).astype(np.float32)   # [2, 128]
+    wq = np.concatenate([lo, hi], axis=0).astype(np.float32)
+    wq = wq.reshape(2, 128, 128) * s[:, None, :]
+    np.testing.assert_allclose(wq.reshape(256, 128),
+                               np.asarray(w), atol=float(s.max()) * 0.51 + 1e-6)
+
+
+def test_int4_matmul_xla_matches_dense():
+    from vibevoice_tpu.ops.int4 import int4_matmul, quantize_weight_int4
+    rs = np.random.RandomState(2)
+    x = jnp.asarray(rs.randn(4, 512), jnp.float32)
+    w = jnp.asarray(rs.randn(512, 128), jnp.float32)
+    y = int4_matmul(x, quantize_weight_int4(w))     # CPU -> XLA path
+    ref = x @ w
+    # 4-bit on normal weights: per-element step ~ amax/7, error accumulates
+    # as sqrt(in) — an RMS-relative bound is the meaningful contract
+    err = np.asarray(y - ref)
+    rms_rel = float(np.sqrt((err ** 2).mean()) / np.sqrt((np.asarray(ref) ** 2).mean()))
+    assert rms_rel < 0.15, rms_rel
+    # and int4 must be strictly more accurate than... a zero weight ;) plus
+    # sanity: dequantized matmul equals the fallback exactly
+    from vibevoice_tpu.ops.int4 import dequantize_weight_int4
+    np.testing.assert_allclose(np.asarray(y),
+                               np.asarray(x @ dequantize_weight_int4(
+                                   quantize_weight_int4(w), jnp.float32)),
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_int4_pallas_kernel_matches_xla_interpret():
+    """The Pallas kernel (interpret mode) computes the same numbers as the
+    XLA dequant path — per-block unpack/scale/accumulate is exact math."""
+    from vibevoice_tpu.ops.int4 import (_int4_matmul_2d,
+                                        dequantize_weight_int4,
+                                        quantize_weight_int4)
+    rs = np.random.RandomState(3)
+    for m, inn, out in [(2, 512, 256), (8, 1024, 384), (300, 512, 128)]:
+        x = jnp.asarray(rs.randn(m, inn), jnp.float32)
+        qw = quantize_weight_int4(jnp.asarray(rs.randn(inn, out), jnp.float32))
+        pad = (-m) % 256 if m > 256 else 0
+        xp = jnp.pad(x, ((0, pad), (0, 0)))
+        y = _int4_matmul_2d(xp, qw["q4"], qw["s4"], interpret=True)[:m]
+        ref = x @ dequantize_weight_int4(qw, jnp.float32)
+        # same math, different f32 accumulation order (blockwise vs XLA dot)
+        np.testing.assert_allclose(np.asarray(y), np.asarray(ref),
+                                   rtol=1e-3, atol=1e-4)
+
+
+def test_int4_lm_forward_close_to_dense():
+    cfg = Qwen2DecoderConfig(
+        vocab_size=128, hidden_size=256, intermediate_size=512,
+        num_hidden_layers=2, num_attention_heads=4, num_key_value_heads=2,
+        max_position_embeddings=256)
+    params = qwen2.init_params(jax.random.PRNGKey(0), cfg, jnp.float32)
+    qlm = quantize_lm_params(params, bits=4)
+    from vibevoice_tpu.ops.int4 import is_quantized_int4
+    assert is_quantized_int4(qlm["layers"]["wq"])
+
+    ids = jnp.asarray(np.random.RandomState(2).randint(0, 128, (2, 6)))
+    x = qwen2.embed_tokens(params, ids)
+    causal = jnp.arange(6)[None, :, None] >= jnp.arange(6)[None, None, :]
+    pos = jnp.broadcast_to(jnp.arange(6), (2, 6))
+    h_dense, _ = qwen2.forward(params, cfg, x, pos, None, causal)
+    h_q, _ = qwen2.forward(qlm, cfg, x, pos, None, causal)
+    # 4-bit error compounds across 2 residual layers; this documents the
+    # closeness contract rather than asserting production quality (which is
+    # a real-weights validation, see ops/int4.py docstring)
+    denom = np.abs(np.asarray(h_dense)).max()
+    rel = np.abs(np.asarray(h_q) - np.asarray(h_dense)).max() / denom
+    assert rel < 0.35, rel
+
+
+def test_int4_fallback_to_int8_on_odd_shapes():
+    from vibevoice_tpu.ops.int4 import is_quantized_int4
+    from vibevoice_tpu.ops.quant import quantize_any
+    rs = np.random.RandomState(4)
+    qa = quantize_any(jnp.asarray(rs.randn(96, 64), jnp.float32), bits=4)
+    assert set(qa.keys()) == {"q", "s"}          # 96 < 2*128 -> int8
+    qb = quantize_any(jnp.asarray(rs.randn(256, 64), jnp.float32), bits=4)
+    assert is_quantized_int4(qb)
+
+
+def test_int4_diffusion_head_error_bounded():
+    from vibevoice_tpu.config import DiffusionHeadConfig
+    from vibevoice_tpu.models import diffusion_head
+    from vibevoice_tpu.ops.quant import quantize_diffusion_head_params
+
+    cfg = DiffusionHeadConfig(hidden_size=256, head_layers=2, latent_size=16,
+                              freq_embed_size=32)
+    rs = np.random.RandomState(0)
+    params = diffusion_head.init_params(jax.random.PRNGKey(0), cfg, jnp.float32)
+    params = jax.tree.map(
+        lambda x: jnp.asarray(rs.randn(*x.shape).astype(np.float32) * 0.05),
+        params)
+    qparams = quantize_diffusion_head_params(params, bits=4)
+
+    noisy = jnp.asarray(rs.randn(4, 16), jnp.float32)
+    t = jnp.asarray([10., 500., 900., 40.])
+    cond = jnp.asarray(rs.randn(4, 256), jnp.float32)
+    ref = diffusion_head.apply(params, cfg, noisy, t, cond)
+    out = diffusion_head.apply(qparams, cfg, noisy, t, cond)
+    scale = float(jnp.max(jnp.abs(ref))) + 1e-9
+    err = float(jnp.max(jnp.abs(out - ref)))
+    assert err <= 0.15 * scale, (err, scale)
+
+
+def test_int4_sharding_specs_cover_leaves():
+    """param_pspecs yields a spec for every int4 sub-leaf (structure match)."""
+    from vibevoice_tpu.parallel.sharding import param_pspecs
+    cfg = Qwen2DecoderConfig(
+        vocab_size=128, hidden_size=256, intermediate_size=512,
+        num_hidden_layers=2, num_attention_heads=4, num_key_value_heads=2,
+        max_position_embeddings=256)
+    lm = quantize_lm_params(
+        qwen2.init_params(jax.random.PRNGKey(0), cfg, jnp.float32), bits=4)
+    params = {"lm": lm}
+    specs = param_pspecs(params, kv_tp=True, fsdp=True)
+    jax.tree.map(lambda a, b: None, params, specs)  # raises on mismatch

@@ -108,9 +108,13 @@ class VibeVoiceGenerator:
         self.mesh = mesh
         self.kv_tp = False
         if mesh is not None:
+            from ..ops import int4
             from ..parallel.sharding import infer_kv_tp, shard_params
             self.kv_tp = infer_kv_tp(cfg.decoder, mesh)
             params = shard_params(params, mesh, kv_tp=self.kv_tp)
+            # GSPMD cannot auto-partition a pallas_call: int4 matmuls lower
+            # through the XLA dequant path when serving sharded
+            int4.set_impl("xla")
         self.params = params
         self.cfg = cfg
         self.tokenizer = tokenizer

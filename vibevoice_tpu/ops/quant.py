@@ -1,13 +1,19 @@
-"""Weight-only int8 quantization for the LM.
+"""Weight-only quantization for the LM (int8 and int4 tiers).
 
 TPU-native analogue of the reference's bitsandbytes NF4 4-bit loading
-(reference: main.py:97-103, 349-397): per-output-channel symmetric int8 with
-dequant fused into the matmul by XLA (int8 weights stay in HBM; the scale
-multiply folds into the MXU epilogue).  Halves LM weight bandwidth — the
-decode step is weight-bandwidth-bound, so this directly raises RTF.
+(reference: main.py:97-103, 349-397), as two tiers:
 
-Quantized tensors are stored as {"q": int8 [in, out], "s": f32 [out]} in place
-of the bf16 [in, out] leaf; `maybe_dequant_matmul` dispatches on leaf type.
+  * **int8** (this module): per-output-channel symmetric, dequant fused into
+    the matmul by XLA (int8 weights stay in HBM; the scale multiply folds
+    into the MXU epilogue).  Halves LM weight bandwidth — the decode step is
+    weight-bandwidth-bound, so this directly raises RTF.
+  * **int4** (ops/int4.py): group-wise symmetric, nibble-packed, dequantized
+    in-register by a Pallas kernel — the same 4-bit width as the reference's
+    NF4, halving bandwidth again.
+
+Quantized tensors are stored as {"q": int8 [in, out], "s": f32 [out]} (int8)
+or {"q4", "s4"} (int4) in place of the bf16 [in, out] leaf; `qmatmul`
+dispatches on leaf type.
 """
 
 from __future__ import annotations
@@ -36,22 +42,37 @@ def is_quantized(leaf: Any) -> bool:
 
 
 def qmatmul(x: jax.Array, w: Any) -> jax.Array:
-    """x @ w where w is either a dense array or a quantized dict."""
+    """x @ w where w is dense, int8 {q, s}, or int4 {q4, s4}."""
     if is_quantized(w):
         y = jnp.dot(x, w["q"].astype(x.dtype), preferred_element_type=jnp.float32)
         return (y * w["s"]).astype(x.dtype)
+    from .int4 import int4_matmul, is_quantized_int4
+    if is_quantized_int4(w):
+        return int4_matmul(x, w)
     return x @ w
+
+
+def quantize_any(w: jax.Array, bits: int = 8) -> Any:
+    """Quantize one weight at the requested width; int4 falls back to int8
+    when the in-dimension doesn't split into whole nibble-half groups."""
+    if bits == 4:
+        from .int4 import quantizable_int4, quantize_weight_int4
+        if quantizable_int4(w.shape):
+            return quantize_weight_int4(w)
+    return quantize_weight(w)
 
 
 _LM_QUANT_KEYS = ("wq", "wk", "wv", "wo", "wg", "wu", "wd")
 
 
-def quantize_lm_params(lm_params: dict) -> dict:
-    """Quantize the LM projection weights (layers stacked [L, in, out])."""
+def quantize_lm_params(lm_params: dict, bits: int = 8) -> dict:
+    """Quantize the LM projection weights (layers stacked [L, in, out]).
+    The lm_head stays int8 at every tier: constrained decoding gathers ~5
+    rows from it per step (qwen2.lm_head_rows), never a full matmul."""
     out = dict(lm_params)
     layers = dict(lm_params["layers"])
     for k in _LM_QUANT_KEYS:
-        layers[k] = quantize_weight(layers[k])
+        layers[k] = quantize_any(layers[k], bits)
     out["layers"] = layers
     if "lm_head" in lm_params:
         out["lm_head"] = quantize_weight(lm_params["lm_head"])
@@ -61,7 +82,7 @@ def quantize_lm_params(lm_params: dict) -> dict:
 _HEAD_QUANT_KEYS = ("wg", "wu", "wd", "ada")
 
 
-def quantize_diffusion_head_params(head_params: dict) -> dict:
+def quantize_diffusion_head_params(head_params: dict, bits: int = 8) -> dict:
     """Quantize the AdaLN-MLP projections (stacked [L, in, out]).
 
     The diffusion scan re-reads ~226 MB of head weights per solver iteration
@@ -72,7 +93,7 @@ def quantize_diffusion_head_params(head_params: dict) -> dict:
     out = dict(head_params)
     layers = dict(head_params["layers"])
     for k in _HEAD_QUANT_KEYS:
-        layers[k] = quantize_weight(layers[k])
+        layers[k] = quantize_any(layers[k], bits)
     out["layers"] = layers
     return out
 
@@ -80,14 +101,15 @@ def quantize_diffusion_head_params(head_params: dict) -> dict:
 _TOKENIZER_FFN_KEYS = ("ffn_w1", "ffn_w2")
 
 
-def quantize_tokenizer_params(tok_params: dict) -> dict:
+def quantize_tokenizer_params(tok_params: dict, bits: int = 8) -> dict:
     """Quantize the ConvNeXt FFN matmuls of the acoustic/semantic tokenizers
     (the FFNs hold ~95% of the ~2 GB tokenizer weights; the vocode and
     semantic re-encode stages read them every generated frame).  Depthwise
-    mixer convs and norms stay dense."""
+    mixer convs and norms stay dense; int4-ineligible shapes (narrow early
+    stages) fall back to int8 per weight."""
     def rec(node):
         if isinstance(node, dict):
-            return {k: (quantize_weight(v)
+            return {k: (quantize_any(v, bits)
                         if k in _TOKENIZER_FFN_KEYS and getattr(v, "ndim", 0) >= 2
                         else rec(v))
                     for k, v in node.items()}
@@ -98,12 +120,20 @@ def quantize_tokenizer_params(tok_params: dict) -> dict:
 
 
 def dequantize_lm_params(lm_params: dict, dtype=jnp.bfloat16) -> dict:
+    from .int4 import dequantize_weight_int4, is_quantized_int4
+
+    def deq(leaf):
+        if is_quantized(leaf):
+            return dequantize_weight(leaf, dtype)
+        if is_quantized_int4(leaf):
+            return dequantize_weight_int4(leaf, dtype)
+        return leaf
+
     out = dict(lm_params)
     layers = dict(lm_params["layers"])
     for k in _LM_QUANT_KEYS:
-        if is_quantized(layers[k]):
-            layers[k] = dequantize_weight(layers[k], dtype)
+        layers[k] = deq(layers[k])
     out["layers"] = layers
-    if "lm_head" in out and is_quantized(out["lm_head"]):
-        out["lm_head"] = dequantize_weight(out["lm_head"], dtype)
+    if "lm_head" in out:
+        out["lm_head"] = deq(out["lm_head"])
     return out

@@ -53,10 +53,21 @@ def _is_quantized(leaf) -> bool:
     return isinstance(leaf, dict) and set(leaf.keys()) == {"q", "s"}
 
 
+def _is_quantized4(leaf) -> bool:
+    return isinstance(leaf, dict) and set(leaf.keys()) == {"q4", "s4"}
+
+
 def _quantize_spec(spec: P) -> dict:
     """Spec for an int8 {q, s} leaf: q inherits the weight spec; the
     per-output-channel scale [..., out] keeps the leading and output axes."""
     return {"q": spec, "s": P(*([*spec][:-2] + [spec[-1]]))}
+
+
+def _quantize_spec4(spec: P) -> dict:
+    """Spec for an int4 {q4, s4} leaf: both keep the weight's [..., in, out]
+    rank (q4's in-axis is nibble-halved, s4's is group-divided; _fit_spec
+    drops any axis whose shard count no longer divides)."""
+    return {"q4": spec, "s4": spec}
 
 
 def param_pspecs(params: dict, kv_tp: bool = False, fsdp: bool = False) -> dict:
@@ -71,8 +82,12 @@ def param_pspecs(params: dict, kv_tp: bool = False, fsdp: bool = False) -> dict:
     for k, leaf in params["lm"]["layers"].items():
         if _is_quantized(leaf):
             lm["layers"][k] = _quantize_spec(lm["layers"][k])
+        elif _is_quantized4(leaf):
+            lm["layers"][k] = _quantize_spec4(lm["layers"][k])
     if _is_quantized(params["lm"].get("lm_head")):
         lm["lm_head"] = _quantize_spec(lm["lm_head"])
+    elif _is_quantized4(params["lm"].get("lm_head")):
+        lm["lm_head"] = _quantize_spec4(lm["lm_head"])
     specs = dict(specs)
     specs["lm"] = lm
     return specs
