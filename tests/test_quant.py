@@ -263,3 +263,30 @@ def test_int4_sharding_specs_cover_leaves():
     params = {"lm": lm}
     specs = param_pspecs(params, kv_tp=True, fsdp=True)
     jax.tree.map(lambda a, b: None, params, specs)  # raises on mismatch
+
+
+def test_w8a8_matches_weight_only_closely():
+    """W8A8 (native s8 x s8 MXU dots) stays close to the W8A16 weight-only
+    path — the extra error is the activation quantization step."""
+    from vibevoice_tpu.ops import quant
+    rs = np.random.RandomState(5)
+    x = jnp.asarray(rs.randn(4, 256), jnp.float32)
+    w = jnp.asarray(rs.randn(256, 128), jnp.float32)
+    qw = quantize_weight(w)
+    y_ref = qmatmul(x, qw)
+    quant.set_w8a8(True)
+    try:
+        y_a8 = qmatmul(x, qw)
+    finally:
+        quant.set_w8a8(False)
+    err = np.abs(np.asarray(y_a8) - np.asarray(y_ref))
+    rms_rel = float(np.sqrt((err ** 2).mean())
+                    / np.sqrt((np.asarray(y_ref) ** 2).mean()))
+    assert rms_rel < 0.02, rms_rel
+    # dense weights are untouched by the flag
+    quant.set_w8a8(True)
+    try:
+        np.testing.assert_array_equal(np.asarray(qmatmul(x, w)),
+                                      np.asarray(x @ w))
+    finally:
+        quant.set_w8a8(False)

@@ -18,10 +18,26 @@ dispatches on leaf type.
 
 from __future__ import annotations
 
+import os
 from typing import Any, Dict
 
 import jax
 import jax.numpy as jnp
+
+# W8A8 mode: quantize activations per-row to int8 at each quantized matmul so
+# the dot runs in the MXU's NATIVE s8 x s8 -> s32 mode.  The weight-only path
+# (W8A16) converts every int8 weight element to bf16 on the VPU inside the
+# dot fusion — at decode batch sizes that convert stream, not HBM, bounds the
+# matmul.  Activation rows are tiny ([2B, H] per decode step), so the dynamic
+# quantization itself is ~free.  Opt-in pending real-weights validation
+# (per-token dynamic W8A8 is standard serving practice; outlier channels are
+# the known risk).
+_W8A8 = os.environ.get("VIBEVOICE_W8A8", "0") == "1"
+
+
+def set_w8a8(enabled: bool) -> None:
+    global _W8A8
+    _W8A8 = bool(enabled)
 
 
 def quantize_weight(w: jax.Array) -> Dict[str, jax.Array]:
@@ -44,6 +60,15 @@ def is_quantized(leaf: Any) -> bool:
 def qmatmul(x: jax.Array, w: Any) -> jax.Array:
     """x @ w where w is dense, int8 {q, s}, or int4 {q4, s4}."""
     if is_quantized(w):
+        if _W8A8:
+            sx = jnp.max(jnp.abs(x.astype(jnp.float32)), axis=-1, keepdims=True)
+            sx = jnp.maximum(sx / 127.0, 1e-12)
+            xq = jnp.clip(jnp.round(x.astype(jnp.float32) / sx),
+                          -127, 127).astype(jnp.int8)
+            y = jax.lax.dot_general(xq, w["q"], (((xq.ndim - 1,), (w["q"].ndim - 2,)),
+                                                 ((), ())),
+                                    preferred_element_type=jnp.int32)
+            return (y.astype(jnp.float32) * sx * w["s"]).astype(x.dtype)
         y = jnp.dot(x, w["q"].astype(x.dtype), preferred_element_type=jnp.float32)
         return (y * w["s"]).astype(x.dtype)
     from .int4 import int4_matmul, is_quantized_int4
