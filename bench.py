@@ -146,6 +146,16 @@ def main():
     run_config(gen, ids, 1, 1, 1.3, frame_sec)
     ttfa_s = time.perf_counter() - t_t0
 
+    if os.environ.get("BENCH_PROFILE", "0") == "1":
+        # op-level attribution of one run (slower under instrumentation;
+        # relative shares are the signal) — printed to stderr, JSON stays
+        # the only stdout line
+        import sys
+        from vibevoice_tpu.utils.profile_report import profile_callable
+        rep = profile_callable(lambda: run_config(gen, ids, bench_steps, chunk,
+                                                  1.3, frame_sec))
+        print(rep["table"], file=sys.stderr)
+
     # config 1: steady state, 5 diffusion steps — median of 3 runs (the
     # host<->device link adds ~±10% run-to-run noise)
     runs = [run_config(gen, ids, bench_steps, chunk, 1.3, frame_sec)

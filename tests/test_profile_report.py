@@ -1,0 +1,47 @@
+"""Op-level profile report aggregation (utils/profile_report.py)."""
+
+import gzip
+import json
+import os
+
+from vibevoice_tpu.utils.profile_report import aggregate_trace, format_report
+
+
+def _write_trace(tmp_path, events):
+    d = tmp_path / "plugins" / "profile" / "2026_01_01_00_00_00"
+    os.makedirs(d)
+    with gzip.open(d / "vm.trace.json.gz", "wt") as f:
+        json.dump({"traceEvents": events}, f)
+    return str(tmp_path)
+
+
+def test_aggregate_trace_sums_device_ops(tmp_path):
+    events = [
+        {"ph": "M", "pid": 3, "name": "process_name",
+         "args": {"name": "/device:TPU:0"}},
+        {"ph": "M", "pid": 7, "name": "process_name",
+         "args": {"name": "/host:CPU"}},
+        {"ph": "X", "pid": 3, "name": "fusion.1", "dur": 100,
+         "args": {"long_name": "%fusion.1 = bf16[2,8960] ..."}},
+        {"ph": "X", "pid": 3, "name": "fusion.1", "dur": 50},
+        {"ph": "X", "pid": 3, "name": "while.84", "dur": 9999},   # wrapper: skip
+        {"ph": "X", "pid": 3, "name": "jit_run(123)", "dur": 9999},
+        {"ph": "X", "pid": 7, "name": "host_thing", "dur": 9999},  # host: skip
+        {"ph": "X", "pid": 3, "name": "convert.2", "dur": 30},
+    ]
+    rows = aggregate_trace(_write_trace(tmp_path, events))
+    assert [r["name"] for r in rows] == ["fusion.1", "convert.2"]
+    assert rows[0]["total_ms"] == 0.15 and rows[0]["count"] == 2
+    assert "bf16[2,8960]" in rows[0]["example"]
+    table = format_report(rows, top=1)
+    assert "fusion.1" in table and "+1 more" in table
+
+
+def test_aggregate_trace_host_included_when_asked(tmp_path):
+    events = [
+        {"ph": "M", "pid": 7, "name": "process_name",
+         "args": {"name": "/host:CPU"}},
+        {"ph": "X", "pid": 7, "name": "host_thing", "dur": 10},
+    ]
+    rows = aggregate_trace(_write_trace(tmp_path, events), device_only=False)
+    assert rows and rows[0]["name"] == "host_thing"
