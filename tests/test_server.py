@@ -1,0 +1,99 @@
+"""Serving daemon tests: routes, WAV framing, queueing, streaming.
+
+The reference has no HTTP serving surface (Gradio only, reference
+main.py:2982-3150); these tests pin ours: an OpenAI-style TTS REST API.
+"""
+
+import json
+import struct
+import threading
+import urllib.error
+import urllib.request
+
+import pytest
+
+from vibevoice_tpu.apps.server import ServingApp, serve, wav_header
+
+
+def test_wav_header_fields():
+    h = wav_header(1200)
+    assert h[:4] == b"RIFF" and h[8:12] == b"WAVE"
+    riff_size, = struct.unpack("<I", h[4:8])
+    assert riff_size == 36 + 2400
+    fmt = struct.unpack("<IHHIIHH", h[16:36])
+    assert fmt == (16, 1, 1, 24000, 48000, 2, 16)
+    assert h[36:40] == b"data"
+    data_size, = struct.unpack("<I", h[40:44])
+    assert data_size == 2400
+    # streaming header: unknown-length convention
+    hs = wav_header(0, streaming=True)
+    assert struct.unpack("<I", hs[4:8])[0] == 0xFFFFFFFF
+
+
+@pytest.fixture(scope="module")
+def server():
+    app = ServingApp(model_name="tiny", log_fn=lambda *_: None)
+    httpd = serve(app, port=0)
+    th = threading.Thread(target=httpd.serve_forever, daemon=True)
+    th.start()
+    yield f"http://127.0.0.1:{httpd.server_address[1]}", app
+    httpd.shutdown()
+
+
+def _get(base, path):
+    with urllib.request.urlopen(base + path, timeout=60) as r:
+        return r.status, json.loads(r.read())
+
+
+def _post(base, body: dict):
+    req = urllib.request.Request(
+        base + "/v1/audio/speech", data=json.dumps(body).encode(),
+        headers={"Content-Type": "application/json"})
+    with urllib.request.urlopen(req, timeout=600) as r:
+        return r.status, r.read(), dict(r.headers)
+
+
+def test_healthz_voices_models(server):
+    base, app = server
+    code, h = _get(base, "/healthz")
+    assert code == 200 and h["status"] == "ok" and "device" in h
+    code, v = _get(base, "/v1/voices")
+    assert code == 200 and isinstance(v["voices"], list)
+    code, m = _get(base, "/v1/models")
+    assert code == 200 and "tiny" in m["models"]
+
+
+def test_unknown_route_404(server):
+    base, _ = server
+    with pytest.raises(urllib.error.HTTPError) as ei:
+        urllib.request.urlopen(base + "/nope", timeout=30)
+    assert ei.value.code == 404
+
+
+def test_missing_input_400(server):
+    base, _ = server
+    req = urllib.request.Request(
+        base + "/v1/audio/speech", data=b"{}",
+        headers={"Content-Type": "application/json"})
+    with pytest.raises(urllib.error.HTTPError) as ei:
+        urllib.request.urlopen(req, timeout=30)
+    assert ei.value.code == 400
+
+
+def test_speech_complete_and_stream(server):
+    base, app = server
+    body = {"input": "Speaker 1: Hello from the server test.",
+            "model": "tiny", "max_new_tokens": 6,
+            "max_length_times": 1000.0}
+    code, wav, headers = _post(base, body)
+    assert code == 200 and wav[:4] == b"RIFF"
+    assert len(wav) > 44, "no audio samples in the complete response"
+    metrics = json.loads(headers["X-VibeVoice-Metrics"])
+    # steps run in chunk_steps-sized device chunks; token count rounds up
+    assert metrics["tokens"] >= 6 and metrics["audio_s"] > 0
+
+    code, swav, _ = _post(base, dict(body, stream=True))
+    assert code == 200 and swav[:4] == b"RIFF" and len(swav) > 44
+    # streamed PCM equals the complete-response PCM (same seed/model)
+    assert swav[44:] == wav[44:]
+    assert app.served >= 2

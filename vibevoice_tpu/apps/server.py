@@ -1,0 +1,382 @@
+"""Production serving daemon: OpenAI-style TTS REST API.
+
+The reference serves only through Gradio (reference: main.py:2982-3150);
+this adds the missing production surface: a dependency-free HTTP server
+(stdlib ``http.server``) exposing
+
+  POST /v1/audio/speech   — generate speech from a script
+                            body: {"input": "Speaker 1: ...", "voices": [...],
+                                   "cfg_scale", "ddpm_steps", "seed",
+                                   "do_sample", "temperature", "top_p",
+                                   "top_k", "negative_prompt",
+                                   "max_length_times", "stream": bool}
+                            returns audio/wav (complete file, or chunked
+                            streaming WAV when "stream" is true — audio
+                            starts flowing at time-to-first-chunk)
+  GET  /v1/voices          — voice presets (examples/voices + custom_voices)
+  GET  /v1/models          — model registry + loaded state
+  GET  /healthz            — liveness + device info
+
+Design: requests enqueue into a single-worker generation queue — the TPU is
+a single-stream device, and the fused generation step already batches the
+CFG pair; concurrent requests are served fairly in FIFO order while each
+response streams from its own AudioStreamer.  A client disconnect ends its
+streamer, which the generation loop observes as a stop signal
+(generation/generate.py should_stop), so abandoned requests free the device
+immediately.
+
+Security: binds 127.0.0.1 unless --host is given explicitly (the share-gate
+spirit of reference main.py:3072-3094).
+"""
+
+from __future__ import annotations
+
+import io
+import json
+import os
+import queue
+import struct
+import threading
+import time
+from dataclasses import dataclass, field
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+from typing import Dict, List, Optional
+
+import numpy as np
+
+from ..streamer import AudioStreamer
+from .gradio_app import VoiceLibrary, convert_to_16_bit_wav
+from .model_manager import MODEL_REGISTRY, ModelManager
+
+SAMPLE_RATE = 24000
+
+
+def wav_header(n_samples: int, sample_rate: int = SAMPLE_RATE,
+               streaming: bool = False) -> bytes:
+    """16-bit mono PCM WAV header.  Streaming mode uses the 0xFFFFFFFF
+    unknown-length convention (players treat it as 'read until EOF')."""
+    data_bytes = 0xFFFFFFFF - 36 if streaming else n_samples * 2
+    riff_size = 0xFFFFFFFF if streaming else 36 + data_bytes
+    return (b"RIFF" + struct.pack("<I", riff_size) + b"WAVE"
+            + b"fmt " + struct.pack("<IHHIIHH", 16, 1, 1, sample_rate,
+                                    sample_rate * 2, 2, 16)
+            + b"data" + struct.pack("<I", data_bytes))
+
+
+def pcm16(chunk: np.ndarray) -> bytes:
+    return convert_to_16_bit_wav(np.asarray(chunk)).astype("<i2").tobytes()
+
+
+@dataclass
+class Job:
+    """One queued generation request."""
+    request: dict
+    streamer: AudioStreamer
+    done: threading.Event = field(default_factory=threading.Event)
+    error: Optional[str] = None
+    result: Optional[dict] = None
+
+
+class ServingApp:
+    """Model + voice state shared by the HTTP handlers and the worker."""
+
+    def __init__(self, model_name: str = "VibeVoice-1.5B",
+                 quantize: bool = False, ddpm_steps: int = 10,
+                 load_on_demand: bool = False, offline: Optional[bool] = None,
+                 voices_dir: Optional[str] = None, log_fn=print):
+        self.log = log_fn
+        self.model_name = model_name
+        self.manager = ModelManager(load_on_demand=load_on_demand,
+                                    quantize=quantize, ddpm_steps=ddpm_steps,
+                                    offline=offline, log_fn=log_fn)
+        self.voices = VoiceLibrary(voices_dir=voices_dir)
+        self.jobs: "queue.Queue[Job]" = queue.Queue()
+        self.worker = threading.Thread(target=self._worker_loop, daemon=True)
+        self.worker.start()
+        self.started_at = time.time()
+        self.served = 0
+
+    # -- tiny-model path for smoke tests / --check -------------------------
+    def _load(self, name: str):
+        if name == "tiny":
+            if (self.manager.current is None
+                    or self.manager.current.name != "tiny"):
+                import jax
+                import jax.numpy as jnp
+                from ..config import VibeVoiceConfig
+                from ..generation import VibeVoiceGenerator
+                from ..models import vibevoice
+                from ..processor import VibeVoiceProcessor
+                from ..processor.text_tokenizer import ByteFallbackTokenizer
+                from .model_manager import LoadedModel
+
+                class _TinyTokenizer(ByteFallbackTokenizer):
+                    """Small-id specials fitting the tiny config's 512-token
+                    vocab (the real Qwen2 ids at ~151k would silently clamp);
+                    speech_start aliased to the diffusion id so constant-
+                    weight greedy decoding deterministically emits audio
+                    (same device regime as bench.py)."""
+                    eos_id = 256
+                    bos_id = 256
+                    speech_diffusion_id = 257
+                    speech_start_id = 257   # alias -> every step diffuses
+                    speech_end_id = 258
+                    pad_id = 259
+
+                cfg = VibeVoiceConfig.named("tiny")
+                shapes = jax.eval_shape(
+                    lambda k: vibevoice.init_params(k, cfg, jnp.float32),
+                    jax.random.PRNGKey(0))
+                params = jax.tree.map(
+                    lambda s: jnp.full(s.shape, 0.01, s.dtype), shapes)
+                proc = VibeVoiceProcessor(tokenizer=_TinyTokenizer())
+                gen = VibeVoiceGenerator(params, cfg, proc.tokenizer,
+                                         ddpm_inference_steps=3,
+                                         lm_dtype=jnp.float32)
+                self.manager.current = LoadedModel(
+                    name="tiny", cfg=cfg, generator=gen, processor=proc)
+            return self.manager.current
+        return self.manager.load(name)
+
+    def _worker_loop(self):
+        while True:
+            job = self.jobs.get()
+            try:
+                self._run(job)
+            except Exception as e:  # noqa: BLE001 — reported to the client
+                job.error = f"{type(e).__name__}: {e}"
+                self.log(f"❌ generation failed: {job.error}")
+            finally:
+                job.streamer.end()
+                job.done.set()
+                self.manager.after_generate()
+
+    def _run(self, job: Job):
+        req = job.request
+        model = self._load(req.get("model") or self.model_name)
+        proc, gen = model.processor, model.generator
+
+        script = req["input"]
+        voices = req.get("voices") or ([req["voice"]] if req.get("voice") else [])
+        voice_wavs = [self.voices.load_voice(v) for v in voices] or None
+        inputs = proc(script, voice_samples=voice_wavs)
+
+        ddpm = req.get("ddpm_steps")
+        if ddpm and int(ddpm) != gen.ddpm_steps:
+            gen.set_ddpm_inference_steps(int(ddpm))
+        neg = req.get("negative_prompt") or None
+        t0 = time.perf_counter()
+        out = gen.generate(
+            inputs["input_ids"], attention_mask=inputs["attention_mask"],
+            speech_tensors=inputs.get("speech_tensors"),
+            speech_masks=inputs.get("speech_masks"),
+            speech_input_mask=inputs.get("speech_input_mask"),
+            cfg_scale=float(req.get("cfg_scale", 1.3)),
+            do_sample=bool(req.get("do_sample", False)),
+            temperature=float(req.get("temperature", 0.95)),
+            top_p=float(req.get("top_p", 0.95)),
+            top_k=int(req.get("top_k", 0)),
+            negative_prompt_ids=(np.asarray([proc.tokenizer.encode(neg)])
+                                 if neg else None),
+            max_length_times=float(req.get("max_length_times", 2.0)),
+            max_new_tokens=(int(req["max_new_tokens"])
+                            if req.get("max_new_tokens") else None),
+            seed=int(req.get("seed", 0)),
+            chunk_steps=int(req.get("chunk_steps", 8)),
+            chunk_steps_max=int(req.get("chunk_steps_max", 64)),
+            audio_streamer=job.streamer)
+        wall = time.perf_counter() - t0
+        wav = out.speech_outputs[0]
+        audio_s = 0.0 if wav is None else len(wav) / SAMPLE_RATE
+        job.result = {"tokens": int(out.sequences.shape[1]),
+                      "audio_s": round(audio_s, 3), "wall_s": round(wall, 3),
+                      "rtf": round(audio_s / wall, 3) if wall > 0 else None}
+        self.served += 1
+        self.log(f"🎧 served: {job.result}")
+
+    def submit(self, request: dict) -> Job:
+        job = Job(request=request, streamer=AudioStreamer(batch_size=1))
+        self.jobs.put(job)
+        return job
+
+    def info(self) -> dict:
+        import jax
+        cur = self.manager.current
+        return {"status": "ok", "uptime_s": round(time.time() - self.started_at, 1),
+                "served": self.served,
+                "device": str(jax.devices()[0]),
+                "loaded_model": cur.name if cur else None,
+                "queue_depth": self.jobs.qsize()}
+
+
+def make_handler(app: ServingApp):
+    class Handler(BaseHTTPRequestHandler):
+        protocol_version = "HTTP/1.1"
+
+        def log_message(self, fmt, *args):  # route through the app logger
+            app.log(f"🌐 {self.address_string()} {fmt % args}")
+
+        def _json(self, code: int, obj: dict):
+            body = json.dumps(obj).encode()
+            self.send_response(code)
+            self.send_header("Content-Type", "application/json")
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+        def do_GET(self):
+            if self.path == "/healthz":
+                return self._json(200, app.info())
+            if self.path == "/v1/voices":
+                return self._json(200, {"voices": app.voices.names()})
+            if self.path == "/v1/models":
+                cur = app.manager.current
+                return self._json(200, {
+                    "models": list(MODEL_REGISTRY) + ["tiny"],
+                    "loaded": cur.name if cur else None})
+            return self._json(404, {"error": f"no route {self.path}"})
+
+        def do_POST(self):
+            if self.path not in ("/v1/audio/speech", "/v1/audio/speech/"):
+                return self._json(404, {"error": f"no route {self.path}"})
+            try:
+                n = int(self.headers.get("Content-Length", "0"))
+                req = json.loads(self.rfile.read(n) or b"{}")
+                if not req.get("input"):
+                    return self._json(400, {"error": "missing 'input'"})
+            except (ValueError, json.JSONDecodeError) as e:
+                return self._json(400, {"error": f"bad request: {e}"})
+
+            job = app.submit(req)
+            if req.get("stream"):
+                return self._stream_response(job)
+            return self._complete_response(job)
+
+        def _complete_response(self, job: Job):
+            chunks: List[np.ndarray] = list(job.streamer.get_stream(0))
+            job.done.wait()
+            if job.error:
+                return self._json(500, {"error": job.error})
+            pcm = b"".join(pcm16(c) for c in chunks)
+            self.send_response(200)
+            self.send_header("Content-Type", "audio/wav")
+            self.send_header("Content-Length", str(44 + len(pcm)))
+            if job.result:
+                self.send_header("X-VibeVoice-Metrics", json.dumps(job.result))
+            self.end_headers()
+            self.wfile.write(wav_header(len(pcm) // 2))
+            self.wfile.write(pcm)
+
+        def _stream_response(self, job: Job):
+            self.send_response(200)
+            self.send_header("Content-Type", "audio/wav")
+            self.send_header("Transfer-Encoding", "chunked")
+            self.end_headers()
+
+            def write_chunk(data: bytes):
+                self.wfile.write(f"{len(data):X}\r\n".encode() + data + b"\r\n")
+
+            try:
+                write_chunk(wav_header(0, streaming=True))
+                for chunk in job.streamer.get_stream(0):
+                    write_chunk(pcm16(chunk))
+                job.done.wait()
+                self.wfile.write(b"0\r\n\r\n")        # terminal chunk
+            except (BrokenPipeError, ConnectionResetError):
+                # client went away: end the streamer so the generation loop's
+                # stop check fires and the device is freed
+                job.streamer.end()
+                job.done.wait()
+
+    return Handler
+
+
+def serve(app: ServingApp, host: str = "127.0.0.1", port: int = 8200):
+    httpd = ThreadingHTTPServer((host, port), make_handler(app))
+    app.log(f"🚀 vibevoice-serve on http://{host}:{httpd.server_address[1]} "
+            f"(model={app.model_name})")
+    return httpd
+
+
+def build_argparser():
+    import argparse
+    p = argparse.ArgumentParser(description="VibeVoice-TPU serving daemon")
+    p.add_argument("--model", default="VibeVoice-1.5B",
+                   help="registry name, or 'tiny' for a random-weights smoke model")
+    p.add_argument("--host", default="127.0.0.1",
+                   help="bind address (non-loopback exposes the API — "
+                        "put a real gateway in front first)")
+    p.add_argument("--port", type=int, default=8200)
+    p.add_argument("--quantize", action="store_true", help="int8 weight-only LM")
+    p.add_argument("--ddpm_steps", type=int, default=10)
+    p.add_argument("--lod", action="store_true", help="load-on-demand")
+    p.add_argument("--offline", action="store_true")
+    p.add_argument("--voices_dir", default=None)
+    p.add_argument("--preload", action="store_true",
+                   help="load the model at startup instead of first request")
+    p.add_argument("--check", action="store_true",
+                   help="smoke: start on an ephemeral port, run one tiny "
+                        "request through HTTP, print metrics, exit")
+    return p
+
+
+def _check(app: ServingApp) -> int:
+    import urllib.request
+    httpd = serve(app, port=0)
+    th = threading.Thread(target=httpd.serve_forever, daemon=True)
+    th.start()
+    port = httpd.server_address[1]
+    base = f"http://127.0.0.1:{port}"
+    ok = True
+    try:
+        with urllib.request.urlopen(f"{base}/healthz", timeout=30) as r:
+            print("healthz:", r.read().decode())
+        with urllib.request.urlopen(f"{base}/v1/voices", timeout=30) as r:
+            print("voices:", r.read().decode()[:120])
+        body = json.dumps({"input": "Speaker 1: Hello from the serving check.",
+                           "model": "tiny", "max_new_tokens": 8,
+                           "max_length_times": 1000.0}).encode()
+        req = urllib.request.Request(f"{base}/v1/audio/speech", data=body,
+                                     headers={"Content-Type": "application/json"})
+        with urllib.request.urlopen(req, timeout=600) as r:
+            wav = r.read()
+            print("speech: bytes:", len(wav), "riff:", wav[:4],
+                  "metrics:", r.headers.get("X-VibeVoice-Metrics"))
+            ok = wav[:4] == b"RIFF" and len(wav) > 44
+        body = json.dumps({"input": "Speaker 1: Streaming check.",
+                           "model": "tiny", "max_new_tokens": 6,
+                           "max_length_times": 1000.0, "stream": True}).encode()
+        req = urllib.request.Request(f"{base}/v1/audio/speech", data=body,
+                                     headers={"Content-Type": "application/json"})
+        with urllib.request.urlopen(req, timeout=600) as r:
+            swav = r.read()
+            print("stream: bytes:", len(swav), "riff:", swav[:4])
+            ok = ok and swav[:4] == b"RIFF"
+    finally:
+        httpd.shutdown()
+    print("check ok" if ok else "check FAILED")
+    return 0 if ok else 1
+
+
+def main(argv=None):
+    args = build_argparser().parse_args(argv)
+    app = ServingApp(model_name=args.model, quantize=args.quantize,
+                     ddpm_steps=args.ddpm_steps, load_on_demand=args.lod,
+                     offline=args.offline or None, voices_dir=args.voices_dir)
+    if args.check:
+        raise SystemExit(_check(app))
+    if args.host not in ("127.0.0.1", "localhost"):
+        app.log("⚠️  Binding a non-loopback address exposes the API to the "
+                "network; ensure a gateway/auth layer is in front.")
+    if args.preload:
+        app._load(args.model)
+    httpd = serve(app, host=args.host, port=args.port)
+    try:
+        httpd.serve_forever()
+    except KeyboardInterrupt:
+        app.log("👋 shutting down")
+        httpd.shutdown()
+
+
+if __name__ == "__main__":
+    main()
