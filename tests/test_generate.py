@@ -223,3 +223,33 @@ def test_max_steps_per_sample_ragged_batch(model):
     # the long sample must NOT have been eos-forced at step 6
     seq1 = out.sequences[1]
     assert not (seq1[6:] == tk.eos_id).all() or bool(out.reach_max_step_sample[1])
+
+
+def test_external_stream_end_aborts_one_sample(model):
+    """Ending one sample's stream from the consumer side (client disconnect)
+    must abort ONLY that sample; the rest of the batch keeps generating.
+    Before the fix, ANY streamer flag — including the loop's own
+    natural-finish flags — halted the whole batch."""
+    from vibevoice_tpu.streamer import AudioStreamer
+
+    tk = TinyTokenizer()
+    ids = _prompt(b=2, t=12)
+    base = model.generate(ids, cfg_scale=1.3, max_new_tokens=16,
+                          chunk_steps=4, do_sample=False,
+                          max_length_times=1000.0)
+
+    streamer = AudioStreamer(batch_size=2)
+    streamer.end([0])   # sample 0's consumer is gone before generation starts
+    out = model.generate(ids, cfg_scale=1.3, max_new_tokens=16,
+                         chunk_steps=4, do_sample=False,
+                         max_length_times=1000.0, audio_streamer=streamer)
+
+    # sample 1 is unaffected: token-identical to the streamer-less run
+    np.testing.assert_array_equal(out.sequences[1], base.sequences[1])
+    if base.speech_outputs[1] is not None:
+        np.testing.assert_allclose(out.speech_outputs[1],
+                                   base.speech_outputs[1], atol=1e-6)
+    # sample 0 was force-finished after the first chunk: eos from there on
+    assert (out.sequences[0][8:] == tk.eos_id).all()
+    # sample 1's stream delivered audio; sample 0's queue got nothing
+    assert streamer.audio_queues[0].qsize() <= 1   # stop sentinel only

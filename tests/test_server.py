@@ -97,3 +97,35 @@ def test_speech_complete_and_stream(server):
     # streamed PCM equals the complete-response PCM (same seed/model)
     assert swav[44:] == wav[44:]
     assert app.served >= 2
+
+
+def test_batch_key_fields():
+    from vibevoice_tpu.apps.server import batch_key
+    a = {"input": "x", "model": "tiny", "cfg_scale": 1.3}
+    b = {"input": "totally different", "model": "tiny", "cfg_scale": 1.3}
+    c = {"input": "x", "model": "tiny", "cfg_scale": 1.7}
+    assert batch_key(a) == batch_key(b)       # input text does not split batches
+    assert batch_key(a) != batch_key(c)       # generation settings do
+
+
+def test_dynamic_batching_coalesces(server):
+    """Two concurrent same-settings requests must run as ONE device batch."""
+    base, app = server
+    app.batch_window_s = 1.0   # generous coalescing window for the test
+    body = {"input": "Speaker 1: Batched request.",
+            "model": "tiny", "max_new_tokens": 6, "max_length_times": 1000.0}
+    results = [None, None]
+
+    def fire(i):
+        results[i] = _post(base, dict(body, input=f"Speaker 1: Request {i}."))
+
+    threads = [threading.Thread(target=fire, args=(i,)) for i in range(2)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join(timeout=600)
+    app.batch_window_s = 0.05
+    for code, wav, headers in results:
+        assert code == 200 and wav[:4] == b"RIFF" and len(wav) > 44
+        metrics = json.loads(headers["X-VibeVoice-Metrics"])
+        assert metrics["batch"] == 2, metrics

@@ -592,14 +592,37 @@ class VibeVoiceGenerator:
         audio_chunks: List[List[np.ndarray]] = [[] for _ in range(b)]
         cfg_scale_arr = jnp.float32(cfg_scale)
         prev_fin = np.zeros((b,), bool)
+        aborted = np.zeros((b,), bool)
 
         def should_stop() -> bool:
             if stop_check_fn is not None and stop_check_fn():
                 return True
             if audio_streamer is not None and getattr(audio_streamer, "finished_flags", None):
-                if any(audio_streamer.finished_flags):
+                if all(audio_streamer.finished_flags[:b]):
                     return True
             return False
+
+        def apply_external_ends(state):
+            """A consumer-side ``end()`` on a still-live sample (client
+            disconnect, per-stream stop button) aborts THAT sample only: its
+            device row is forced finished, the rest of the batch continues.
+            Flags the loop set itself (natural finishes, tracked in
+            ``prev_fin``) are excluded.  Single-sample behavior is unchanged:
+            ending the only stream stops the run (reference inference:441-445
+            stops everything on any streamer end; per-sample ends matter only
+            for batched serving, which the reference does not have)."""
+            nonlocal aborted
+            if audio_streamer is None or not getattr(
+                    audio_streamer, "finished_flags", None):
+                return state
+            flags = np.asarray(audio_streamer.finished_flags[:b], bool)
+            newly = flags & ~prev_fin & ~aborted
+            if newly.any():
+                aborted |= newly
+                ab_dev = jax.device_put(jnp.asarray(aborted),
+                                        state.finished.sharding)
+                state = state._replace(finished=state.finished | ab_dev)
+            return state
 
         # adaptive chunking: the first two chunks use the small `chunk_steps`
         # (fast first audio), then switch to `chunk_steps_max` for steady-state
@@ -636,6 +659,7 @@ class VibeVoiceGenerator:
         while out is not None:
             pending = pending_k = None
             if steps_done < max_steps and not should_stop():
+                state = apply_external_ends(state)
                 state, pending, pending_k = dispatch(state, steps_done)
                 steps_done += pending_k
 
