@@ -129,3 +129,18 @@ def test_dynamic_batching_coalesces(server):
         assert code == 200 and wav[:4] == b"RIFF" and len(wav) > 44
         metrics = json.loads(headers["X-VibeVoice-Metrics"])
         assert metrics["batch"] == 2, metrics
+
+
+def test_metrics_endpoint(server):
+    base, app = server
+    code, m = _get(base, "/v1/metrics")
+    assert code == 200 and m["served"] >= 1
+    assert "generate_total" in m["last_generate"]
+    assert m["last_generate"]["generate_total"]["count"] >= 1
+
+
+def test_warmup(server):
+    _, app = server
+    served_before = app.served
+    dt = app.warmup()
+    assert dt > 0 and app.served == served_before + 1

@@ -15,6 +15,8 @@ this adds the missing production surface: a dependency-free HTTP server
                             starts flowing at time-to-first-chunk)
   GET  /v1/voices          — voice presets (examples/voices + custom_voices)
   GET  /v1/models          — model registry + loaded state
+  GET  /v1/metrics         — served/batch counters + per-stage times of the
+                             last generation (StageTimer summary)
   GET  /healthz            — liveness + device info
 
 Design: requests enqueue into a single-worker generation queue — the TPU is
@@ -281,6 +283,26 @@ class ServingApp:
         self.jobs.put(job)
         return job
 
+    def warmup(self) -> float:
+        """Pre-compile the serving programs (prefill at the default prompt
+        bucket, the small first-chunk and big steady-state chunk programs)
+        so the first real request doesn't pay the compile wall.  With the
+        persistent compilation cache this is a disk load on warm processes.
+        Returns the wall seconds spent."""
+        t0 = time.time()
+        job = self.submit({"input": "Speaker 1: Warm up the compiler.",
+                           "model": self.model_name,
+                           "max_new_tokens": 80,      # 2 small + 1 big chunk
+                           "max_length_times": 1000.0})
+        job.done.wait()
+        dt = time.time() - t0
+        if job.error:
+            self.log(f"⚠️ warmup failed: {job.error}")
+        else:
+            self.log(f"🔥 warmed up in {dt:.1f} s "
+                     f"(first request will not compile)")
+        return dt
+
     def info(self) -> dict:
         import jax
         cur = self.manager.current
@@ -317,6 +339,16 @@ def make_handler(app: ServingApp):
                 return self._json(200, {
                     "models": list(MODEL_REGISTRY) + ["tiny"],
                     "loaded": cur.name if cur else None})
+            if self.path == "/v1/metrics":
+                cur = app.manager.current
+                gen_metrics = {}
+                if cur is not None:
+                    # StageTimer.summary(): {stage: {total_s, count, mean_ms}}
+                    gen_metrics = cur.generator.last_metrics or {}
+                return self._json(200, {
+                    "served": app.served, "batches": app.batches,
+                    "queue_depth": app.jobs.qsize() + len(app._backlog),
+                    "last_generate": gen_metrics})
             return self._json(404, {"error": f"no route {self.path}"})
 
         def do_POST(self):
@@ -462,6 +494,7 @@ def main(argv=None):
                 "network; ensure a gateway/auth layer is in front.")
     if args.preload:
         app._load(args.model)
+        app.warmup()
     httpd = serve(app, host=args.host, port=args.port)
     try:
         httpd.serve_forever()
