@@ -236,3 +236,34 @@ def test_async_streamer():
     got0, got1 = asyncio.run(main())
     assert len(got0) == 1 and len(got1) == 2
     assert float(got1[1][0]) == 3.0
+
+
+def test_script_ai_cli_overrides(monkeypatch):
+    """CLI flags outrank env (reference precedence main.py:1357-1380)."""
+    from vibevoice_tpu.apps.script_ai import ScriptAIConfig
+    monkeypatch.setenv("OPENAI_BASE_URL", "http://env:1/v1")
+    monkeypatch.setenv("OPENAI_MODEL", "env-model")
+    cfg = ScriptAIConfig.from_env({"base_url": "http://cli:2/v1",
+                                   "model": "cli-model"})
+    assert cfg.base_url == "http://cli:2/v1"
+    assert cfg.model == "cli-model"
+    cfg2 = ScriptAIConfig.from_env()
+    assert cfg2.base_url == "http://env:1/v1"
+
+
+def test_gradio_app_script_ai_flags(monkeypatch, capsys):
+    """--script-ai-* flags reach the ScriptAIClient config via --check."""
+    from vibevoice_tpu.apps import gradio_app
+    monkeypatch.setattr(gradio_app, "launch_ui", lambda *a, **k: None,
+                        raising=False)
+    args = gradio_app.build_argparser().parse_args(
+        ["--check", "--offline", "--script-ai-url", "http://flag:9",
+         "--script-ai-model", "flag-model"])
+    assert args.script_ai_url == "http://flag:9"
+    overrides = {k: v for k, v in (("base_url", args.script_ai_url),
+                                   ("model", args.script_ai_model),
+                                   ("api_key", args.script_ai_api_key)) if v}
+    demo = gradio_app.VibeVoiceDemo(load_on_demand=True,
+                                    script_ai_overrides=overrides)
+    assert demo.script_ai.config.base_url == "http://flag:9/v1"
+    assert demo.script_ai.config.model == "flag-model"

@@ -148,7 +148,8 @@ class VibeVoiceDemo:
     def __init__(self, model_name: str = "VibeVoice-1.5B",
                  checkpoints_dir: Optional[str] = None,
                  inference_steps: int = 10, load_on_demand: bool = False,
-                 quantize: bool = False, debug: bool = False):
+                 quantize: bool = False, debug: bool = False,
+                 script_ai_overrides: Optional[dict] = None):
         self.manager = ModelManager(checkpoints_dir=checkpoints_dir,
                                     load_on_demand=load_on_demand,
                                     quantize=quantize, ddpm_steps=inference_steps,
@@ -156,7 +157,9 @@ class VibeVoiceDemo:
         self.model_name = model_name
         self.voices = VoiceLibrary()
         self.examples = ExampleLibrary()
-        self.script_ai = ScriptAIClient(debug=debug)
+        from .script_ai import ScriptAIConfig
+        self.script_ai = ScriptAIClient(
+            config=ScriptAIConfig.from_env(script_ai_overrides), debug=debug)
         self.debug = debug
         self.stop_generation = False
         self.is_generating = False
@@ -383,6 +386,15 @@ def build_argparser() -> argparse.ArgumentParser:
     p.add_argument("--quantize", action="store_true", help="int8 weight-only LM")
     p.add_argument("--inference-steps", type=int, default=10)
     p.add_argument("--debug", action="store_true")
+    # Script-AI CLI overrides (precedence: defaults < .env < env < CLI;
+    # reference main.py:3037-3053, 1357-1380)
+    p.add_argument("--script-ai-url", "--script_ai_url", dest="script_ai_url",
+                   default=None, help="OpenAI-compatible base URL for script "
+                   "generation (e.g. http://localhost:11434/v1)")
+    p.add_argument("--script-ai-model", "--script_ai_model",
+                   dest="script_ai_model", default=None)
+    p.add_argument("--script-ai-api-key", "--script_ai_api_key",
+                   dest="script_ai_api_key", default=None)
     p.add_argument("--offline", action="store_true",
                    help="never download checkpoints (HF_HUB_OFFLINE analogue)")
     p.add_argument("--check", action="store_true",
@@ -399,10 +411,13 @@ def main(argv=None):
             raise SystemExit(
                 "--share exposes this machine publicly. Set "
                 "VIBEVOICE_ALLOW_SHARE=1 to confirm you understand the risk.")
+    overrides = {k: v for k, v in (("base_url", args.script_ai_url),
+                                   ("model", args.script_ai_model),
+                                   ("api_key", args.script_ai_api_key)) if v}
     demo = VibeVoiceDemo(model_name=args.model, checkpoints_dir=args.checkpoints_dir,
                          inference_steps=args.inference_steps,
                          load_on_demand=args.lod, quantize=args.quantize,
-                         debug=args.debug)
+                         debug=args.debug, script_ai_overrides=overrides or None)
     if args.offline:
         demo.manager.offline = True
     if args.check:
