@@ -144,3 +144,59 @@ def test_warmup(server):
     served_before = app.served
     dt = app.warmup()
     assert dt > 0 and app.served == served_before + 1
+
+
+def test_mixed_load_and_midstream_disconnect(server):
+    """Concurrent mixed-settings requests plus a client that disconnects
+    mid-stream: the disconnect aborts only its own sample, everything else
+    completes, and the server stays healthy."""
+    base, app = server
+    app.batch_window_s = 0.5
+    results = {}
+
+    def normal(i):
+        results[i] = _post(base, {
+            "input": f"Speaker 1: Mixed load {i}.", "model": "tiny",
+            "max_new_tokens": 12, "max_length_times": 1000.0})
+
+    def other_settings():
+        results["other"] = _post(base, {
+            "input": "Speaker 1: Different settings.", "model": "tiny",
+            "cfg_scale": 2.0, "max_new_tokens": 6, "max_length_times": 1000.0})
+
+    def disconnector():
+        req = urllib.request.Request(
+            base + "/v1/audio/speech",
+            data=json.dumps({"input": "Speaker 1: I will hang up.",
+                             "model": "tiny", "max_new_tokens": 64,
+                             "max_length_times": 1000.0,
+                             "stream": True}).encode(),
+            headers={"Content-Type": "application/json"})
+        r = urllib.request.urlopen(req, timeout=600)
+        r.read(64)          # a few header/PCM bytes...
+        r.close()           # ...then vanish mid-generation
+        results["gone"] = True
+
+    threads = [threading.Thread(target=normal, args=(i,)) for i in range(2)]
+    threads += [threading.Thread(target=other_settings),
+                threading.Thread(target=disconnector)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join(timeout=600)
+    app.batch_window_s = 0.05
+
+    for i in range(2):
+        code, wav, _ = results[i]
+        assert code == 200 and wav[:4] == b"RIFF" and len(wav) > 44
+    code, wav, _ = results["other"]
+    assert code == 200 and wav[:4] == b"RIFF"
+    assert results.get("gone")
+
+    # the server must still serve after the disconnect
+    code, h = _get(base, "/healthz")
+    assert code == 200 and h["status"] == "ok"
+    code, wav, _ = _post(base, {"input": "Speaker 1: Still alive?",
+                                "model": "tiny", "max_new_tokens": 6,
+                                "max_length_times": 1000.0})
+    assert code == 200 and len(wav) > 44
