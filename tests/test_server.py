@@ -200,3 +200,23 @@ def test_mixed_load_and_midstream_disconnect(server):
                                 "model": "tiny", "max_new_tokens": 6,
                                 "max_length_times": 1000.0})
     assert code == 200 and len(wav) > 44
+
+
+def test_tp_sharded_serving():
+    """The daemon serves through a TP-sharded generator (tiny model on the
+    virtual CPU mesh) — the --tp path end to end over HTTP."""
+    from vibevoice_tpu.parallel import make_mesh
+
+    app = ServingApp(model_name="tiny", log_fn=lambda *_: None,
+                     mesh=make_mesh(tp=2))   # dp fills the remaining devices
+    httpd = serve(app, port=0)
+    th = threading.Thread(target=httpd.serve_forever, daemon=True)
+    th.start()
+    try:
+        base = f"http://127.0.0.1:{httpd.server_address[1]}"
+        code, wav, headers = _post(base, {
+            "input": "Speaker 1: Sharded serving.", "model": "tiny",
+            "max_new_tokens": 6, "max_length_times": 1000.0})
+        assert code == 200 and wav[:4] == b"RIFF" and len(wav) > 44
+    finally:
+        httpd.shutdown()

@@ -48,7 +48,10 @@ class ModelManager:
     def __init__(self, checkpoints_dir: Optional[str] = None,
                  load_on_demand: bool = False, quantize: bool = False,
                  ddpm_steps: int = 10, debug: bool = False,
-                 offline: Optional[bool] = None, log_fn=None):
+                 offline: Optional[bool] = None, log_fn=None, mesh=None):
+        # mesh: optional jax.sharding.Mesh — generators built by this manager
+        # serve sharded (TP on attention heads / MLP, DP on batch)
+        self.mesh = mesh
         self.checkpoints_dir = checkpoints_dir or os.environ.get(
             "VIBEVOICE_CHECKPOINTS", os.path.expanduser("~/.cache/vibevoice"))
         self.load_on_demand = load_on_demand
@@ -135,7 +138,8 @@ class ModelManager:
             params["lm"] = quantize_lm_params(params["lm"])
 
         gen = VibeVoiceGenerator(params, cfg, processor.tokenizer,
-                                 ddpm_inference_steps=self.ddpm_steps)
+                                 ddpm_inference_steps=self.ddpm_steps,
+                                 mesh=self.mesh)
         self.current = LoadedModel(name=name, cfg=cfg, generator=gen,
                                    processor=processor, quantized=quantize)
         return self.current

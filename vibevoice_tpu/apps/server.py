@@ -103,12 +103,12 @@ class ServingApp:
                  quantize: bool = False, ddpm_steps: int = 10,
                  load_on_demand: bool = False, offline: Optional[bool] = None,
                  voices_dir: Optional[str] = None, log_fn=print,
-                 max_batch: int = 4, batch_window_s: float = 0.05):
+                 max_batch: int = 4, batch_window_s: float = 0.05, mesh=None):
         self.log = log_fn
         self.model_name = model_name
         self.manager = ModelManager(load_on_demand=load_on_demand,
                                     quantize=quantize, ddpm_steps=ddpm_steps,
-                                    offline=offline, log_fn=log_fn)
+                                    offline=offline, log_fn=log_fn, mesh=mesh)
         self.voices = VoiceLibrary(voices_dir=voices_dir)
         self.jobs: "queue.Queue[Job]" = queue.Queue()
         self.max_batch = max(1, int(max_batch))
@@ -156,7 +156,8 @@ class ServingApp:
                 proc = VibeVoiceProcessor(tokenizer=_TinyTokenizer())
                 gen = VibeVoiceGenerator(params, cfg, proc.tokenizer,
                                          ddpm_inference_steps=3,
-                                         lm_dtype=jnp.float32)
+                                         lm_dtype=jnp.float32,
+                                         mesh=self.manager.mesh)
                 self.manager.current = LoadedModel(
                     name="tiny", cfg=cfg, generator=gen, processor=proc)
             return self.manager.current
@@ -431,6 +432,11 @@ def build_argparser():
                    help="max requests coalesced into one device batch")
     p.add_argument("--batch_window", type=float, default=0.05,
                    help="seconds to wait for batch-mates after dequeuing")
+    p.add_argument("--tp", type=int, default=0,
+                   help="tensor-parallel size: serve sharded over a "
+                        "('dp','tp') device mesh (7B bf16 needs tp>=2)")
+    p.add_argument("--dp", type=int, default=0,
+                   help="data-parallel mesh axis (batch sharding)")
     p.add_argument("--ddpm_steps", type=int, default=10)
     p.add_argument("--lod", action="store_true", help="load-on-demand")
     p.add_argument("--offline", action="store_true")
@@ -483,10 +489,16 @@ def _check(app: ServingApp) -> int:
 
 def main(argv=None):
     args = build_argparser().parse_args(argv)
+    mesh = None
+    if args.tp or args.dp:
+        from ..parallel import make_mesh
+        mesh = make_mesh(tp=args.tp or None, dp=args.dp or None)
+        print(f"Serving on mesh {dict(mesh.shape)}")
     app = ServingApp(model_name=args.model, quantize=args.quantize,
                      ddpm_steps=args.ddpm_steps, load_on_demand=args.lod,
                      offline=args.offline or None, voices_dir=args.voices_dir,
-                     max_batch=args.max_batch, batch_window_s=args.batch_window)
+                     max_batch=args.max_batch, batch_window_s=args.batch_window,
+                     mesh=mesh)
     if args.check:
         raise SystemExit(_check(app))
     if args.host not in ("127.0.0.1", "localhost"):
