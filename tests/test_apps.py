@@ -267,3 +267,14 @@ def test_gradio_app_script_ai_flags(monkeypatch, capsys):
                                     script_ai_overrides=overrides)
     assert demo.script_ai.config.base_url == "http://flag:9/v1"
     assert demo.script_ai.config.model == "flag-model"
+
+
+def test_script_ai_env_aliases(monkeypatch):
+    """SCRIPT_AI_* names (reference README:106-120) outrank OPENAI_*."""
+    from vibevoice_tpu.apps.script_ai import ScriptAIConfig
+    monkeypatch.setenv("OPENAI_BASE_URL", "http://openai:1/v1")
+    monkeypatch.setenv("SCRIPT_AI_URL", "http://scriptai:2/v1")
+    monkeypatch.setenv("SCRIPT_AI_MODEL", "gemini-2.5-flash")
+    cfg = ScriptAIConfig.from_env()
+    assert cfg.base_url == "http://scriptai:2/v1"
+    assert cfg.model == "gemini-2.5-flash"

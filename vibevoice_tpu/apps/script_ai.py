@@ -73,9 +73,12 @@ class ScriptAIConfig:
                         return v
             return default
         return cls(
-            base_url=normalize_base_url(pick("base_url", "OPENAI_BASE_URL", "LLM_BASE_URL")),
-            api_key=pick("api_key", "OPENAI_API_KEY", "LLM_API_KEY"),
-            model=pick("model", "OPENAI_MODEL", "LLM_MODEL", default="gpt-4o-mini"),
+            base_url=normalize_base_url(pick("base_url", "SCRIPT_AI_URL",
+                                             "OPENAI_BASE_URL", "LLM_BASE_URL")),
+            api_key=pick("api_key", "SCRIPT_AI_API_KEY", "OPENAI_API_KEY",
+                         "LLM_API_KEY"),
+            model=pick("model", "SCRIPT_AI_MODEL", "OPENAI_MODEL", "LLM_MODEL",
+                       default="gpt-4o-mini"),
         )
 
 
