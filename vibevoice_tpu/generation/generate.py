@@ -352,7 +352,7 @@ class VibeVoiceGenerator:
 
             # ---- fused CFG decode forward -----------------------------------
             embeds2b = jnp.concatenate([next_e, next_e], axis=0)[:, None, :]
-            w_idx = jnp.concatenate([jnp.full((b,), state.pos_len, jnp.int32),
+            w_idx = jnp.concatenate([state.pos_len.astype(jnp.int32),
                                      neg_ptr.astype(jnp.int32)])
             positions = w_idx - state.kv_start
             shard_ctx = None
@@ -555,17 +555,18 @@ class VibeVoiceGenerator:
         batched = self._put_batched((
             jnp.asarray(kv_start),
             jnp.full((b,), t_bucket, jnp.int32),
+            jnp.full((b,), t_bucket, jnp.int32),
             jnp.zeros((b,), bool),
             jnp.zeros((b,), bool),
             jnp.asarray(max_steps_per_sample, jnp.int32),
             tok.init_decoder_state(cfg.acoustic_tokenizer, b),
             tok.init_encoder_state(cfg.semantic_tokenizer, b)))
-        (kv_start_a, neg_ptr_a, finished_a, reach_max_a, max_steps_a,
+        (kv_start_a, neg_ptr_a, pos_len_a, finished_a, reach_max_a, max_steps_a,
          ac_state, sem_state) = batched
         state = GenState(
             cache=cache,
             kv_start=kv_start_a,
-            pos_len=jnp.int32(t_bucket),
+            pos_len=pos_len_a,
             neg_ptr=neg_ptr_a,
             # distinct buffer (not an alias of neg_ptr): the chunk program
             # donates the state, and XLA rejects donating one buffer twice

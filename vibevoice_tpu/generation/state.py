@@ -30,7 +30,9 @@ class GenState(NamedTuple):
     # LM caches (batch 2B: [pos; neg])
     cache: KVCache
     kv_start: jax.Array       # [2B] first valid absolute index per row
-    pos_len: jax.Array        # scalar int32: next write slot for positive rows
+    pos_len: jax.Array        # [B] int32: next write slot per positive row
+                              # (per-sample so rows can join mid-flight —
+                              # continuous batching; lockstep rows all equal)
     neg_ptr: jax.Array        # [B] next write slot for negative rows
     neg_init_ptr: jax.Array   # [B] reset target for neg_ptr on speech_start
                               # (= kv_start[b:] + negative-prompt length; the
