@@ -405,6 +405,123 @@ class VibeVoiceGenerator:
 
         return run_chunk
 
+    def _prefill_state(self, ids, attn, speech_tensors, speech_masks,
+                       speech_input_mask, negative_prompt_ids,
+                       negative_prompt_attention_mask, rng, t_bucket: int,
+                       cache_len: int, max_steps_per_sample, timer) -> GenState:
+        """Build the 2B prompt (positive rows + CFG-negative rows), run
+        prefill, and assemble the initial GenState at (t_bucket, cache_len).
+        Shared by generate() and the continuous-batching engine (which
+        prefills b=1 and splices the rows into a live multi-slot state)."""
+        cfg = self.cfg
+        tk = self.tokenizer
+        b, t0 = ids.shape
+        extra = t_bucket - t0
+        init_len = attn.sum(axis=-1)
+
+        # build 2B prompt: rows [0,B) the real prompt, rows [B,2B) the
+        # negative (CFG) context — by default a single speech_start token
+        # (inference:377-384); with negative_prompt_ids, the tokenized
+        # negative prompt (main.py:743, 1177-1198 — accepted but unused by
+        # the reference model; honored here)
+        pad_id = tk.pad_id
+        ids_pad = np.full((b, t_bucket), pad_id, ids.dtype)
+        ids_pad[:, extra:] = ids
+        neg_ids = np.full((b, t_bucket), pad_id, ids.dtype)
+        neg_valid = np.zeros((b, t_bucket), bool)
+        neg_lens = np.ones((b,), np.int64)
+        if negative_prompt_ids is not None:
+            nids = np.asarray(negative_prompt_ids)
+            if nids.ndim == 1:
+                nids = nids[None, :]
+            if nids.shape[0] == 1 and b > 1:
+                nids = np.broadcast_to(nids, (b, nids.shape[1]))
+            nmask = (np.asarray(negative_prompt_attention_mask)
+                     if negative_prompt_attention_mask is not None
+                     else np.ones_like(nids))
+            for i in range(b):
+                row = nids[i][nmask[i].astype(bool)][-t_bucket:]
+                ln = len(row)
+                neg_ids[i, t_bucket - ln:] = row
+                neg_valid[i, t_bucket - ln:] = True
+                neg_lens[i] = ln
+        else:
+            neg_ids[:, -1] = tk.speech_start_id
+            neg_valid[:, -1] = True
+        ids2b = np.concatenate([ids_pad, neg_ids], axis=0)
+
+        valid2b = np.zeros((2 * b, t_bucket), bool)
+        valid2b[:b, extra:] = attn.astype(bool)
+        valid2b[b:] = neg_valid
+
+        smask_pad = None
+        has_speech = speech_tensors is not None
+        if has_speech:
+            smask_pad = np.zeros((b, t_bucket), bool)
+            smask_pad[:, extra:] = np.asarray(speech_input_mask)
+            # bucket the voice-prompt waveform length (frames, quarter-octave)
+            # so distinct prompt audio lengths share one prefill program; the
+            # padded frames carry mask=False and never reach the scatter
+            speech_tensors = np.asarray(speech_tensors, np.float32)
+            speech_masks = np.asarray(speech_masks, bool)
+            n_frames = speech_masks.shape[1]
+            fb = _bucket_len(n_frames, 8)
+            if fb != n_frames:
+                speech_tensors = np.pad(
+                    speech_tensors,
+                    ((0, 0), (0, max(0, fb * self.frame_samples
+                                     - speech_tensors.shape[1]))))
+                speech_masks = np.pad(speech_masks,
+                                      ((0, 0), (0, fb - n_frames)))
+
+        rng, k_pre = jax.random.split(rng)
+
+        pf_key = (t_bucket, cache_len, has_speech,
+                  None if not has_speech else np.asarray(speech_tensors).shape)
+        if pf_key not in self._prefill_jit:
+            self._prefill_jit[pf_key] = self._build_prefill(t_bucket, cache_len, has_speech)
+        prefill_fn = self._prefill_jit[pf_key]
+        with timer.stage("prefill"):
+            pf_in = self._put_batched((
+                jnp.asarray(ids2b), jnp.asarray(valid2b),
+                None if not has_speech else jnp.asarray(speech_tensors, jnp.float32),
+                None if not has_speech else jnp.asarray(speech_masks),
+                None if not has_speech else jnp.asarray(smask_pad)))
+            last_hidden, cache = prefill_fn(self.params, *pf_in, k_pre)
+            jax.block_until_ready(last_hidden)
+
+        kv_start = np.zeros(2 * b, np.int32)
+        kv_start[:b] = t_bucket - init_len
+        kv_start[b:] = t_bucket - neg_lens
+
+        batched = self._put_batched((
+            jnp.asarray(kv_start),
+            jnp.full((b,), t_bucket, jnp.int32),
+            jnp.full((b,), t_bucket, jnp.int32),
+            jnp.zeros((b,), bool),
+            jnp.zeros((b,), bool),
+            jnp.asarray(max_steps_per_sample, jnp.int32),
+            tok.init_decoder_state(cfg.acoustic_tokenizer, b),
+            tok.init_encoder_state(cfg.semantic_tokenizer, b)))
+        (kv_start_a, neg_ptr_a, pos_len_a, finished_a, reach_max_a, max_steps_a,
+         ac_state, sem_state) = batched
+        return GenState(
+            cache=cache,
+            kv_start=kv_start_a,
+            pos_len=pos_len_a,
+            neg_ptr=neg_ptr_a,
+            # distinct buffer (not an alias of neg_ptr): the chunk program
+            # donates the state, and XLA rejects donating one buffer twice
+            neg_init_ptr=jnp.array(neg_ptr_a),
+            last_hidden=last_hidden,
+            finished=finished_a,
+            reach_max=reach_max_a,
+            step=jnp.int32(0),
+            max_steps_per_sample=max_steps_a,
+            acoustic_state=ac_state,
+            semantic_state=sem_state,
+            rng=rng)
+
     # ------------------------------------------------------------------
     # Public generate
     # ------------------------------------------------------------------
@@ -470,115 +587,15 @@ class VibeVoiceGenerator:
         else:
             cache_len = min(_round_up(t_bucket + 4 * chunk_steps + 2, 256),
                             cache_len_final)
-        extra = t_bucket - t0
-
-        # build 2B prompt: rows [0,B) the real prompt, rows [B,2B) the
-        # negative (CFG) context — by default a single speech_start token
-        # (inference:377-384); with negative_prompt_ids, the tokenized
-        # negative prompt (main.py:743, 1177-1198 — accepted but unused by
-        # the reference model; honored here)
-        pad_id = tk.pad_id
-        ids_pad = np.full((b, t_bucket), pad_id, ids.dtype)
-        ids_pad[:, extra:] = ids
-        neg_ids = np.full((b, t_bucket), pad_id, ids.dtype)
-        neg_valid = np.zeros((b, t_bucket), bool)
-        neg_lens = np.ones((b,), np.int64)
-        if negative_prompt_ids is not None:
-            nids = np.asarray(negative_prompt_ids)
-            if nids.ndim == 1:
-                nids = nids[None, :]
-            if nids.shape[0] == 1 and b > 1:
-                nids = np.broadcast_to(nids, (b, nids.shape[1]))
-            nmask = (np.asarray(negative_prompt_attention_mask)
-                     if negative_prompt_attention_mask is not None
-                     else np.ones_like(nids))
-            for i in range(b):
-                row = nids[i][nmask[i].astype(bool)][-t_bucket:]
-                ln = len(row)
-                neg_ids[i, t_bucket - ln:] = row
-                neg_valid[i, t_bucket - ln:] = True
-                neg_lens[i] = ln
-        else:
-            neg_ids[:, -1] = tk.speech_start_id
-            neg_valid[:, -1] = True
-        ids2b = np.concatenate([ids_pad, neg_ids], axis=0)
-
-        valid2b = np.zeros((2 * b, t_bucket), bool)
-        valid2b[:b, extra:] = attn.astype(bool)
-        valid2b[b:] = neg_valid
-
-        smask_pad = None
-        has_speech = speech_tensors is not None
-        if has_speech:
-            smask_pad = np.zeros((b, t_bucket), bool)
-            smask_pad[:, extra:] = np.asarray(speech_input_mask)
-            # bucket the voice-prompt waveform length (frames, quarter-octave)
-            # so distinct prompt audio lengths share one prefill program; the
-            # padded frames carry mask=False and never reach the scatter
-            speech_tensors = np.asarray(speech_tensors, np.float32)
-            speech_masks = np.asarray(speech_masks, bool)
-            n_frames = speech_masks.shape[1]
-            fb = _bucket_len(n_frames, 8)
-            if fb != n_frames:
-                speech_tensors = np.pad(
-                    speech_tensors,
-                    ((0, 0), (0, max(0, fb * self.frame_samples
-                                     - speech_tensors.shape[1]))))
-                speech_masks = np.pad(speech_masks,
-                                      ((0, 0), (0, fb - n_frames)))
-
         rng = jax.random.PRNGKey(seed)
-        rng, k_pre = jax.random.split(rng)
-
         from ..utils.profiling import StageTimer
         timer = StageTimer()
         t_gen0 = time.perf_counter()
 
-        pf_key = (t_bucket, cache_len, has_speech,
-                  None if not has_speech else np.asarray(speech_tensors).shape)
-        if pf_key not in self._prefill_jit:
-            self._prefill_jit[pf_key] = self._build_prefill(t_bucket, cache_len, has_speech)
-        prefill_fn = self._prefill_jit[pf_key]
-        with timer.stage("prefill"):
-            pf_in = self._put_batched((
-                jnp.asarray(ids2b), jnp.asarray(valid2b),
-                None if not has_speech else jnp.asarray(speech_tensors, jnp.float32),
-                None if not has_speech else jnp.asarray(speech_masks),
-                None if not has_speech else jnp.asarray(smask_pad)))
-            last_hidden, cache = prefill_fn(self.params, *pf_in, k_pre)
-            jax.block_until_ready(last_hidden)
-
-        kv_start = np.zeros(2 * b, np.int32)
-        kv_start[:b] = t_bucket - init_len
-        kv_start[b:] = t_bucket - neg_lens
-
-        batched = self._put_batched((
-            jnp.asarray(kv_start),
-            jnp.full((b,), t_bucket, jnp.int32),
-            jnp.full((b,), t_bucket, jnp.int32),
-            jnp.zeros((b,), bool),
-            jnp.zeros((b,), bool),
-            jnp.asarray(max_steps_per_sample, jnp.int32),
-            tok.init_decoder_state(cfg.acoustic_tokenizer, b),
-            tok.init_encoder_state(cfg.semantic_tokenizer, b)))
-        (kv_start_a, neg_ptr_a, pos_len_a, finished_a, reach_max_a, max_steps_a,
-         ac_state, sem_state) = batched
-        state = GenState(
-            cache=cache,
-            kv_start=kv_start_a,
-            pos_len=pos_len_a,
-            neg_ptr=neg_ptr_a,
-            # distinct buffer (not an alias of neg_ptr): the chunk program
-            # donates the state, and XLA rejects donating one buffer twice
-            neg_init_ptr=jnp.array(neg_ptr_a),
-            last_hidden=last_hidden,
-            finished=finished_a,
-            reach_max=reach_max_a,
-            step=jnp.int32(0),
-            max_steps_per_sample=max_steps_a,
-            acoustic_state=ac_state,
-            semantic_state=sem_state,
-            rng=rng)
+        state = self._prefill_state(
+            ids, attn, speech_tensors, speech_masks, speech_input_mask,
+            negative_prompt_ids, negative_prompt_attention_mask, rng,
+            t_bucket, cache_len, max_steps_per_sample, timer)
 
         def get_run_chunk(k_steps: int, cur_cache_len: int):
             key = (k_steps, do_sample, temperature, top_p, top_k,
