@@ -17,7 +17,7 @@ sim = np.zeros((1, 16), bool); sim[:, 5:8] = True
 out = gen.generate(ids, speech_tensors=sp, speech_masks=smask,
                    speech_input_mask=sim, cfg_scale=1.7, max_new_tokens=12,
                    chunk_steps=4, do_sample=True, temperature=6.0, top_p=1.0,
-                   seed=123, max_length_times=1000.0)
+                   seed=13, max_length_times=1000.0)
 audio = out.speech_outputs[0]
 np.savez(os.path.join(os.path.dirname(__file__), "generate_tiny.npz"),
          input_ids=ids, speech=sp, speech_masks=smask, speech_input_mask=sim,

@@ -1,0 +1,139 @@
+"""Continuous-batching engine tests (beyond-reference serving capability).
+
+The determinism contract under test: a request's tokens/audio are a function
+of (prompt, seed) alone — identical whether it runs solo through
+``generate()`` or joins a live engine batch mid-flight next to strangers.
+"""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from vibevoice_tpu.config import VibeVoiceConfig
+from vibevoice_tpu.generation import VibeVoiceGenerator
+from vibevoice_tpu.generation.engine import ContinuousEngine
+from vibevoice_tpu.models import vibevoice
+
+CFG = VibeVoiceConfig.named("tiny")
+
+
+class TinyTokenizer:
+    eos_id = 3
+    speech_start_id = 10
+    speech_end_id = 11
+    speech_diffusion_id = 12
+    pad_id = 4
+
+
+@pytest.fixture(scope="module")
+def model():
+    params = vibevoice.init_params(jax.random.PRNGKey(0), CFG, jnp.float32)
+    return VibeVoiceGenerator(params, CFG, TinyTokenizer(),
+                              ddpm_inference_steps=4, lm_dtype=jnp.float32)
+
+
+def _prompt(seed, t):
+    rs = np.random.RandomState(seed)
+    ids = rs.randint(20, 200, (1, t))
+    ids[:, -1] = TinyTokenizer.speech_start_id
+    return ids
+
+
+def _solo(model, ids, seed, steps=16):
+    out = model.generate(ids, cfg_scale=1.3, max_new_tokens=steps,
+                         chunk_steps=4, do_sample=False, seed=seed,
+                         max_length_times=1000.0)
+    return out.sequences[0].tolist(), out.speech_outputs[0]
+
+
+def _trim(tokens):
+    """Tokens up to and including the first eos (engine stops there;
+    generate() pads the rest of the dispatched chunk with eos)."""
+    if TinyTokenizer.eos_id in tokens:
+        return tokens[:tokens.index(TinyTokenizer.eos_id) + 1]
+    return tokens
+
+
+def test_engine_join_matches_solo(model):
+    """Request B joins two chunks after A started; both must equal their
+    solo runs exactly."""
+    ids_a, ids_b = _prompt(0, 12), _prompt(1, 16)
+    sa_t, sa_a = _solo(model, ids_a, seed=5)
+    sb_t, sb_a = _solo(model, ids_b, seed=9)
+
+    eng = ContinuousEngine(model, slots=2, cache_len=512, chunk_steps=4,
+                           cfg_scale=1.3)
+    ra = eng.submit({"input_ids": ids_a}, max_new_tokens=16,
+                    max_length_times=1000.0, seed=5)
+    eng.step_chunk()
+    eng.step_chunk()          # A has run 8 steps alone
+    rb = eng.submit({"input_ids": ids_b}, max_new_tokens=16,
+                    max_length_times=1000.0, seed=9)
+    eng.drain()
+    assert ra.done.is_set() and rb.done.is_set()
+    assert ra.error is None and rb.error is None
+
+    n_a = min(len(ra.tokens), len(_trim(sa_t)))
+    assert ra.tokens[:n_a] == _trim(sa_t)[:n_a]
+    n_b = min(len(rb.tokens), len(_trim(sb_t)))
+    assert rb.tokens[:n_b] == _trim(sb_t)[:n_b]
+
+    for solo_audio, req in ((sa_a, ra), (sb_a, rb)):
+        if solo_audio is None:
+            assert req.audio is None
+        else:
+            n = min(len(solo_audio), len(req.audio))
+            assert n > 0
+            np.testing.assert_allclose(req.audio[:n], solo_audio[:n],
+                                       rtol=1e-5, atol=1e-7)
+
+
+def test_engine_slot_reuse(model):
+    """More requests than slots: later requests run in recycled slots and
+    still match solo outputs."""
+    eng = ContinuousEngine(model, slots=1, cache_len=512, chunk_steps=4,
+                           cfg_scale=1.3)
+    reqs = []
+    for seed in (2, 3, 4):
+        ids = _prompt(seed + 10, 12)
+        solo_t, _ = _solo(model, ids, seed=seed, steps=8)
+        reqs.append((eng.submit({"input_ids": ids}, max_new_tokens=8,
+                                max_length_times=1000.0, seed=seed), solo_t))
+    eng.drain()
+    for req, solo_t in reqs:
+        assert req.done.is_set() and req.error is None
+        n = min(len(req.tokens), len(_trim(solo_t)))
+        assert req.tokens[:n] == _trim(solo_t)[:n]
+    assert eng.active() == 0 and not eng.pending
+
+
+def test_engine_streamer_and_abort(model):
+    """Streaming consumers get chunks; a consumer-side end() aborts only its
+    slot while the neighbor finishes normally."""
+    from vibevoice_tpu.streamer import AudioStreamer
+
+    eng = ContinuousEngine(model, slots=2, cache_len=512, chunk_steps=4,
+                           cfg_scale=1.3)
+    st_a, st_b = AudioStreamer(batch_size=1), AudioStreamer(batch_size=1)
+    ra = eng.submit({"input_ids": _prompt(2, 12)}, max_new_tokens=24,
+                    max_length_times=1000.0, seed=1, streamer=st_a)
+    rb = eng.submit({"input_ids": _prompt(3, 12)}, max_new_tokens=24,
+                    max_length_times=1000.0, seed=2, streamer=st_b)
+    eng.step_chunk()
+    st_a.end([0])             # A's client disconnects
+    eng.drain()
+    assert ra.done.is_set() and rb.done.is_set()
+    # B delivered everything through its stream
+    got_b = sum(len(c) for c in iter(st_b.get_stream(0)))
+    assert got_b == (0 if rb.audio is None else len(rb.audio))
+    # A stopped early: at most the pre-abort chunks were generated
+    assert len(ra.tokens) <= 12
+
+
+def test_engine_prompt_too_long(model):
+    eng = ContinuousEngine(model, slots=1, cache_len=128, chunk_steps=4)
+    req = eng.submit({"input_ids": _prompt(0, 140)}, max_new_tokens=4)
+    eng.step_chunk()
+    assert req.done.is_set() and "does not fit" in req.error

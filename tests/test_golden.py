@@ -51,7 +51,7 @@ def test_golden_generation():
                        speech_input_mask=g["speech_input_mask"],
                        cfg_scale=1.7, max_new_tokens=12, chunk_steps=4,
                        do_sample=True, temperature=6.0, top_p=1.0,
-                       seed=123, max_length_times=1000.0)
+                       seed=13, max_length_times=1000.0)
     np.testing.assert_array_equal(out.sequences, g["tokens"])
     audio = out.speech_outputs[0]
     assert int(g["audio_len"]) == (0 if audio is None else len(audio))
@@ -76,6 +76,6 @@ def test_golden_chunking_invariance():
                        speech_input_mask=g["speech_input_mask"],
                        cfg_scale=1.7, max_new_tokens=12, chunk_steps=2,
                        do_sample=True, temperature=6.0, top_p=1.0,
-                       seed=123, max_length_times=1000.0)
+                       seed=13, max_length_times=1000.0)
     np.testing.assert_array_equal(out.sequences[:, :g["tokens"].shape[1]],
                                   g["tokens"])

@@ -1,0 +1,341 @@
+"""Slot-based continuous batching engine.
+
+Beyond-reference serving capability (the reference generates one batch at a
+time, reference: modeling_vibevoice_inference.py:326): a fixed-shape
+generation state with `slots` sample rows runs chunk programs continuously;
+requests JOIN a free slot mid-flight (b=1 prefill spliced into the live
+state between chunks) and RETIRE the moment they finish — no convoy effect
+where a long request blocks the whole batch, no idle slots while work is
+queued.
+
+Why this is cheap on TPU: the decode step is weight-bandwidth-bound, so the
+marginal cost of an occupied slot is ~zero — the batch rides the same HBM
+weight reads.  All programs are fixed-shape (slots, cache_len, chunk_steps
+are engine constants), so the engine never recompiles after warmup.
+
+Determinism contract: every row's noise stream is
+``fold_in(row_seed, row_position)`` (GenState.row_rng), so a request's
+output is a function of (its prompt, its seed) alone — identical whether it
+runs solo through ``VibeVoiceGenerator.generate`` or joins an engine batch
+at any moment.  (Exception: the SDE solver variants draw batch-level noise;
+the default ODE DPM-Solver++ is row-deterministic.)
+"""
+
+from __future__ import annotations
+
+import threading
+import time
+from collections import deque
+from dataclasses import dataclass, field
+from functools import partial
+from typing import List, Optional
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from ..models import acoustic_tokenizer as tok
+from ..models import qwen2
+from .generate import _bucket_len
+from .state import GenState
+
+
+@dataclass
+class EngineRequest:
+    """One submitted generation; filled in as it progresses."""
+    inputs: dict                      # processor outputs (numpy)
+    max_new_tokens: Optional[int] = None
+    max_length_times: float = 2.0
+    negative_prompt_ids: Optional[np.ndarray] = None
+    seed: int = 0
+    streamer: object = None           # optional AudioStreamer(batch_size=1)
+    # progress / results
+    done: threading.Event = field(default_factory=threading.Event)
+    error: Optional[str] = None
+    tokens: List[int] = field(default_factory=list)
+    audio_chunks: List[np.ndarray] = field(default_factory=list)
+    slot: Optional[int] = None
+    reach_max: bool = False
+    submitted_at: float = field(default_factory=time.time)
+    started_step: int = 0
+
+    @property
+    def audio(self) -> Optional[np.ndarray]:
+        return np.concatenate(self.audio_chunks) if self.audio_chunks else None
+
+
+class ContinuousEngine:
+    """Continuous batching over a ``VibeVoiceGenerator``.
+
+    All generation settings that shape the compiled step (sampling mode,
+    temperatures, cfg_scale, chunk size) are engine-wide constants; per-
+    request knobs are the prompt, voice prompt, negative prompt, seed and
+    budget.
+    """
+
+    def __init__(self, generator, slots: int = 4, cache_len: int = 4096,
+                 chunk_steps: int = 16, cfg_scale: float = 1.3,
+                 do_sample: bool = False, temperature: float = 0.95,
+                 top_p: float = 0.95, top_k: int = 0,
+                 refresh_negative: bool = True, log_fn=None):
+        if generator.mesh is not None:
+            raise NotImplementedError(
+                "ContinuousEngine v1 is single-device; use generate(mesh=...) "
+                "for sharded batch serving")
+        self.gen = generator
+        self.slots = int(slots)
+        self.cache_len = int(cache_len)
+        self.chunk_steps = int(chunk_steps)
+        self.cfg_scale = float(cfg_scale)
+        self.do_sample = bool(do_sample)
+        self.temperature = float(temperature)
+        self.top_p = float(top_p)
+        self.top_k = int(top_k)
+        self.refresh_negative = bool(refresh_negative)
+        self.log = log_fn or (lambda *_: None)
+
+        self.state = self._empty_state()
+        self.slot_req: List[Optional[EngineRequest]] = [None] * self.slots
+        self.pending: "deque[EngineRequest]" = deque()
+        self.lock = threading.Lock()
+        self.work = threading.Condition(self.lock)
+        self.global_step = 0
+        self.chunks_run = 0
+        self._stop = False
+
+        frame = generator.frame_samples
+        self.frame_samples = frame
+
+        B = self.slots
+
+        @partial(jax.jit, donate_argnums=(0,))
+        def _splice(big: GenState, small: GenState, slot, max_steps_abs):
+            """Insert the b=1 prefilled rows into slot `slot` of the live
+            state.  Positive row -> slot, negative (CFG) row -> B + slot."""
+            def two_rows(bg, sm, axis):
+                bg = lax.dynamic_update_slice_in_dim(
+                    bg, lax.slice_in_dim(sm, 0, 1, axis=axis), slot, axis=axis)
+                return lax.dynamic_update_slice_in_dim(
+                    bg, lax.slice_in_dim(sm, 1, 2, axis=axis), B + slot, axis=axis)
+
+            def one_row(bg, sm):
+                return lax.dynamic_update_slice_in_dim(bg, sm[0:1], slot, axis=0)
+
+            cache = qwen2.KVCache(k=two_rows(big.cache.k, small.cache.k, 1),
+                                  v=two_rows(big.cache.v, small.cache.v, 1))
+            return GenState(
+                cache=cache,
+                kv_start=two_rows(big.kv_start, small.kv_start, 0),
+                pos_len=one_row(big.pos_len, small.pos_len),
+                neg_ptr=one_row(big.neg_ptr, small.neg_ptr),
+                neg_init_ptr=one_row(big.neg_init_ptr, small.neg_init_ptr),
+                last_hidden=two_rows(big.last_hidden, small.last_hidden, 0),
+                finished=one_row(big.finished, jnp.zeros((1,), bool)),
+                reach_max=one_row(big.reach_max, jnp.zeros((1,), bool)),
+                step=big.step,
+                max_steps_per_sample=one_row(
+                    big.max_steps_per_sample,
+                    jnp.asarray([max_steps_abs], jnp.int32)),
+                acoustic_state=jax.tree.map(one_row, big.acoustic_state,
+                                            small.acoustic_state),
+                semantic_state=jax.tree.map(one_row, big.semantic_state,
+                                            small.semantic_state),
+                rng=big.rng,
+                row_rng=one_row(big.row_rng, small.row_rng))
+
+        @partial(jax.jit, donate_argnums=(0,))
+        def _park(big: GenState, slot):
+            """Reset a retired slot's pointers so its (discarded) attention
+            reads stay O(1) instead of scanning a stale live range."""
+            def one(bg, val):
+                return lax.dynamic_update_slice_in_dim(
+                    bg, jnp.asarray([val], bg.dtype), slot, axis=0)
+            kv_start = lax.dynamic_update_slice_in_dim(
+                big.kv_start, jnp.zeros((1,), jnp.int32), slot, axis=0)
+            kv_start = lax.dynamic_update_slice_in_dim(
+                kv_start, jnp.zeros((1,), jnp.int32), B + slot, axis=0)
+            return big._replace(kv_start=kv_start,
+                                pos_len=one(big.pos_len, 1),
+                                neg_ptr=one(big.neg_ptr, 1),
+                                neg_init_ptr=one(big.neg_init_ptr, 1),
+                                max_steps_per_sample=one(
+                                    big.max_steps_per_sample, 0))
+
+        @partial(jax.jit, donate_argnums=(0,))
+        def _abort(big: GenState, mask):
+            return big._replace(finished=big.finished | mask)
+
+        self._splice = _splice
+        self._park = _park
+        self._abort = _abort
+
+    # ------------------------------------------------------------------
+    def _empty_state(self) -> GenState:
+        gen, cfg = self.gen, self.gen.cfg
+        B, S = self.slots, self.cache_len
+        cache = qwen2.init_kv_cache(cfg.decoder, 2 * B, S, gen.lm_dtype)
+        return GenState(
+            cache=cache,
+            kv_start=jnp.zeros((2 * B,), jnp.int32),
+            pos_len=jnp.ones((B,), jnp.int32),
+            neg_ptr=jnp.ones((B,), jnp.int32),
+            neg_init_ptr=jnp.ones((B,), jnp.int32),
+            last_hidden=jnp.zeros((2 * B, cfg.decoder.hidden_size),
+                                  gen.lm_dtype),
+            finished=jnp.ones((B,), bool),
+            reach_max=jnp.zeros((B,), bool),
+            step=jnp.int32(0),
+            max_steps_per_sample=jnp.zeros((B,), jnp.int32),
+            acoustic_state=tok.init_decoder_state(cfg.acoustic_tokenizer, B),
+            semantic_state=tok.init_encoder_state(cfg.semantic_tokenizer, B),
+            rng=jax.random.PRNGKey(0),
+            row_rng=jnp.zeros((B, 2), jnp.uint32))
+
+    def _run_chunk_fn(self):
+        key = (self.chunk_steps, self.do_sample, self.temperature, self.top_p,
+               self.top_k, self.refresh_negative, self.slots, self.cache_len)
+        if key not in self.gen._chunk_jit:
+            self.gen._chunk_jit[key] = self.gen._build_chunk(
+                key, self.chunk_steps, self.do_sample, self.temperature,
+                self.top_p, self.refresh_negative, top_k=self.top_k)
+        return self.gen._chunk_jit[key]
+
+    # ------------------------------------------------------------------
+    # Public API
+    # ------------------------------------------------------------------
+    def submit(self, inputs: dict, max_new_tokens: Optional[int] = None,
+               max_length_times: float = 2.0, negative_prompt_ids=None,
+               seed: int = 0, streamer=None) -> EngineRequest:
+        req = EngineRequest(inputs=inputs, max_new_tokens=max_new_tokens,
+                            max_length_times=max_length_times,
+                            negative_prompt_ids=negative_prompt_ids,
+                            seed=seed, streamer=streamer)
+        with self.work:
+            self.pending.append(req)
+            self.work.notify()
+        return req
+
+    def active(self) -> int:
+        return sum(r is not None for r in self.slot_req)
+
+    def _join(self, slot: int, req: EngineRequest):
+        """Prefill the request (b=1) and splice it into `slot`."""
+        from ..utils.profiling import StageTimer
+        ids = np.asarray(req.inputs["input_ids"])
+        attn = np.asarray(req.inputs.get("attention_mask",
+                                         np.ones_like(ids)))
+        b, t0 = ids.shape
+        assert b == 1, "engine requests are single-sample"
+        t_bucket = max(_bucket_len(t0, 64), t0)
+        if t_bucket + 2 >= self.cache_len:
+            raise ValueError(f"prompt ({t0} tokens) does not fit the engine "
+                             f"cache ({self.cache_len})")
+        init_len = int(attn.sum())
+        budget = int(min(req.max_new_tokens or 1 << 30,
+                         req.max_length_times * init_len,
+                         self.cache_len - t_bucket - 2))
+        small = self.gen._prefill_state(
+            ids, attn,
+            req.inputs.get("speech_tensors"), req.inputs.get("speech_masks"),
+            req.inputs.get("speech_input_mask"),
+            req.negative_prompt_ids, None,
+            jax.random.PRNGKey(req.seed), t_bucket, self.cache_len,
+            np.asarray([budget], np.int64), StageTimer())
+        self.state = self._splice(self.state, small, jnp.int32(slot),
+                                  jnp.int32(self.global_step + budget))
+        req.slot = slot
+        req.started_step = self.global_step
+        self.slot_req[slot] = req
+        self.log(f"⚙️ joined slot {slot} at step {self.global_step} "
+                 f"(prompt {t0}, budget {budget})")
+
+    def _retire(self, slot: int):
+        req = self.slot_req[slot]
+        self.slot_req[slot] = None
+        self.state = self._park(self.state, jnp.int32(slot))
+        if req is not None:
+            req.reach_max = bool(np.asarray(self.state.reach_max)[slot])
+            if req.streamer is not None:
+                req.streamer.end([0])
+            req.done.set()
+            self.log(f"🏁 slot {slot} retired after "
+                     f"{len(req.tokens)} tokens")
+
+    def step_chunk(self) -> bool:
+        """Join pending requests, run ONE chunk, route outputs.
+        Returns True if any slot was active (device work was done)."""
+        with self.lock:
+            for slot in range(self.slots):
+                if self.slot_req[slot] is None and self.pending:
+                    req = self.pending.popleft()
+                    try:
+                        self._join(slot, req)
+                    except Exception as e:  # noqa: BLE001 — per-request error
+                        req.error = f"{type(e).__name__}: {e}"
+                        req.done.set()
+
+        active_slots = [i for i, r in enumerate(self.slot_req) if r is not None]
+        if not active_slots:
+            return False
+
+        # consumer-side stream ends (disconnects) abort their slot only
+        abort = np.zeros((self.slots,), bool)
+        for i in active_slots:
+            st = self.slot_req[i].streamer
+            if st is not None and getattr(st, "finished_flags", None):
+                if st.finished_flags[0]:
+                    abort[i] = True
+        if abort.any():
+            self.state = self._abort(self.state, jnp.asarray(abort))
+
+        run_chunk = self._run_chunk_fn()
+        self.state, out = run_chunk(self.gen.params, self.state,
+                                    jnp.float32(self.cfg_scale))
+        K, B = self.chunk_steps, self.slots
+        toks = np.asarray(out.tokens).reshape(K, B)
+        audio = np.asarray(out.audio).astype(np.float32).reshape(
+            K, B, self.frame_samples)
+        diff = np.asarray(out.diffused).reshape(K, B)
+        fin = np.asarray(out.finished).reshape(K, B)
+        self.global_step += K
+        self.chunks_run += 1
+
+        for i in active_slots:
+            req = self.slot_req[i]
+            ended = False
+            for si in range(K):
+                if not ended:
+                    req.tokens.append(int(toks[si, i]))
+                    if diff[si, i]:
+                        req.audio_chunks.append(audio[si, i])
+                        if req.streamer is not None:
+                            req.streamer.put(audio[si:si + 1, i], [0])
+                    if fin[si, i]:
+                        ended = True
+            if ended:
+                self._retire(i)
+        return True
+
+    def drain(self):
+        """Run until every pending + active request is finished (tests/CLI)."""
+        while self.pending or self.active():
+            self.step_chunk()
+
+    def run_forever(self):
+        """Serve loop: step while there is work, sleep on the condition
+        variable otherwise.  Call stop() to exit."""
+        while not self._stop:
+            did = False
+            if self.pending or self.active():
+                did = self.step_chunk()
+            if not did and not self.pending:
+                with self.work:
+                    if not self.pending and not self.active() and not self._stop:
+                        self.work.wait(timeout=0.2)
+
+    def stop(self):
+        self._stop = True
+        with self.work:
+            self.work.notify_all()

@@ -262,7 +262,16 @@ class VibeVoiceGenerator:
             w_valid = qwen2.lm_head_rows(params["lm"], valid_ids).T.astype(jnp.float32)
             b2 = state.last_hidden.shape[0]
             b = b2 // 2
-            rng, k_tok, k_lat, k_sde = jax.random.split(state.rng, 4)
+            rng, k_sde = jax.random.split(state.rng)
+            # per-row keys: noise = f(row key, row position) only — rows are
+            # reproducible regardless of batch-mates / global step (the
+            # continuous-batching contract; see GenState.row_rng)
+            step_keys = jax.vmap(jax.random.fold_in)(state.row_rng,
+                                                     state.pos_len)
+            k_tok_rows = jax.vmap(jax.random.fold_in)(
+                step_keys, jnp.ones((b,), jnp.uint32))
+            k_lat_rows = jax.vmap(jax.random.fold_in)(
+                step_keys, jnp.full((b,), 2, jnp.uint32))
             pos_h = state.last_hidden[:b]
             neg_h = state.last_hidden[b:]
 
@@ -284,7 +293,7 @@ class VibeVoiceGenerator:
                     k_keep = jnp.sum(csum - sorted_p < top_p, axis=-1, keepdims=True)
                     ranks = jnp.argsort(jnp.argsort(-logits, axis=-1), axis=-1)
                     logits = jnp.where(ranks < k_keep, logits, -jnp.inf)
-                idx = jax.random.categorical(k_tok, logits, axis=-1)
+                idx = jax.vmap(jax.random.categorical)(k_tok_rows, logits)
             else:
                 idx = jnp.argmax(logits, axis=-1)
             token = jnp.asarray(valid_ids)[idx]
@@ -323,7 +332,8 @@ class VibeVoiceGenerator:
                 c, u = out[:b].astype(jnp.float32), out[b:].astype(jnp.float32)
                 return u + cfg_scale * (c - u)
 
-            x_t = jax.random.normal(k_lat, (b, cfg.acoustic_vae_dim), jnp.float32)
+            x_t = jax.vmap(lambda k: jax.random.normal(
+                k, (cfg.acoustic_vae_dim,), jnp.float32))(k_lat_rows)
             latent = sample_with_solver(sched, denoise, x_t, rng=k_sde)  # [B, D]
 
             # ---- streaming vocode (inference:633-641) -----------------------
@@ -370,7 +380,8 @@ class VibeVoiceGenerator:
                 last_hidden=hidden[:, 0, :], finished=finished,
                 reach_max=reach_max, step=state.step + 1,
                 max_steps_per_sample=state.max_steps_per_sample,
-                acoustic_state=ac_state, semantic_state=sem_state, rng=rng)
+                acoustic_state=ac_state, semantic_state=sem_state, rng=rng,
+                row_rng=state.row_rng)
             out = StepOutput(tokens=token.astype(jnp.int32),
                              audio=audio[..., 0].astype(jnp.float32),
                              diffused=diffuse, finished=finished)
@@ -475,6 +486,12 @@ class VibeVoiceGenerator:
                                       ((0, 0), (0, fb - n_frames)))
 
         rng, k_pre = jax.random.split(rng)
+        # per-row stream keys (GenState.row_rng): row i <- fold_in(base, i).
+        # b=1 therefore gets fold_in(base, 0) — identical whether the row runs
+        # solo or spliced into an engine slot.
+        row_rng = jax.vmap(jax.random.fold_in)(
+            jnp.broadcast_to(jnp.asarray(rng, jnp.uint32), (b, 2)),
+            jnp.arange(b, dtype=jnp.uint32))
 
         pf_key = (t_bucket, cache_len, has_speech,
                   None if not has_speech else np.asarray(speech_tensors).shape)
@@ -501,10 +518,11 @@ class VibeVoiceGenerator:
             jnp.zeros((b,), bool),
             jnp.zeros((b,), bool),
             jnp.asarray(max_steps_per_sample, jnp.int32),
+            row_rng,
             tok.init_decoder_state(cfg.acoustic_tokenizer, b),
             tok.init_encoder_state(cfg.semantic_tokenizer, b)))
         (kv_start_a, neg_ptr_a, pos_len_a, finished_a, reach_max_a, max_steps_a,
-         ac_state, sem_state) = batched
+         row_rng_a, ac_state, sem_state) = batched
         return GenState(
             cache=cache,
             kv_start=kv_start_a,
@@ -520,7 +538,8 @@ class VibeVoiceGenerator:
             max_steps_per_sample=max_steps_a,
             acoustic_state=ac_state,
             semantic_state=sem_state,
-            rng=rng)
+            rng=rng,
+            row_rng=row_rng_a)
 
     # ------------------------------------------------------------------
     # Public generate

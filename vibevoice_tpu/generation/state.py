@@ -49,7 +49,12 @@ class GenState(NamedTuple):
     acoustic_state: dict      # decoder left-context buffers
     semantic_state: dict      # encoder left-context buffers
     # rng
-    rng: jax.Array
+    rng: jax.Array            # batch-level key (SDE solver noise only)
+    row_rng: jax.Array        # [B, 2] uint32 per-row stream keys; per-step
+                              # noise = fold_in(row key, pos_len) so a row's
+                              # stream depends only on (its seed, its own
+                              # position) — never on batch-mates or the
+                              # global step (continuous-batching determinism)
 
 
 class StepOutput(NamedTuple):
