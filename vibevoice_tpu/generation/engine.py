@@ -13,12 +13,11 @@ marginal cost of an occupied slot is ~zero — the batch rides the same HBM
 weight reads.  All programs are fixed-shape (slots, cache_len, chunk_steps
 are engine constants), so the engine never recompiles after warmup.
 
-Determinism contract: every row's noise stream is
-``fold_in(row_seed, row_position)`` (GenState.row_rng), so a request's
-output is a function of (its prompt, its seed) alone — identical whether it
-runs solo through ``VibeVoiceGenerator.generate`` or joins an engine batch
-at any moment.  (Exception: the SDE solver variants draw batch-level noise;
-the default ODE DPM-Solver++ is row-deterministic.)
+Determinism contract: every row's noise stream (token sampling, diffusion
+init, SDE solver noise) is ``fold_in(row_seed, row_position)``
+(GenState.row_rng), so a request's output is a function of (its prompt, its
+seed) alone — identical whether it runs solo through
+``VibeVoiceGenerator.generate`` or joins an engine batch at any moment.
 """
 
 from __future__ import annotations
@@ -274,6 +273,8 @@ class ContinuousEngine:
                         self._join(slot, req)
                     except Exception as e:  # noqa: BLE001 — per-request error
                         req.error = f"{type(e).__name__}: {e}"
+                        if req.streamer is not None:
+                            req.streamer.end([0])
                         req.done.set()
 
         active_slots = [i for i, r in enumerate(self.slot_req) if r is not None]

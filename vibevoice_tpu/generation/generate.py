@@ -262,7 +262,7 @@ class VibeVoiceGenerator:
             w_valid = qwen2.lm_head_rows(params["lm"], valid_ids).T.astype(jnp.float32)
             b2 = state.last_hidden.shape[0]
             b = b2 // 2
-            rng, k_sde = jax.random.split(state.rng)
+            rng = state.rng
             # per-row keys: noise = f(row key, row position) only — rows are
             # reproducible regardless of batch-mates / global step (the
             # continuous-batching contract; see GenState.row_rng)
@@ -334,7 +334,12 @@ class VibeVoiceGenerator:
 
             x_t = jax.vmap(lambda k: jax.random.normal(
                 k, (cfg.acoustic_vae_dim,), jnp.float32))(k_lat_rows)
-            latent = sample_with_solver(sched, denoise, x_t, rng=k_sde)  # [B, D]
+            # per-row SDE noise keys: stream 3 of the row-position fold (the
+            # SDE solver variants are row-deterministic too — a row's audio
+            # never depends on when it joined a batch or who its mates are)
+            k_sde_rows = jax.vmap(jax.random.fold_in)(
+                step_keys, jnp.full((b,), 3, jnp.uint32))
+            latent = sample_with_solver(sched, denoise, x_t, rng=k_sde_rows)  # [B, D]
 
             # ---- streaming vocode (inference:633-641) -----------------------
             s, bia = self._scale_bias(params)

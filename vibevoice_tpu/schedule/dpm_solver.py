@@ -442,19 +442,31 @@ def sample_with_solver(sched: DPMSolverSchedule, denoise_fn: Callable,
 
     ``denoise_fn(x, t) -> model_out`` where t is a scalar from sched.timesteps.
     ``rng`` is required for the SDE variants (ignored otherwise — the caller can
-    always pass one).
+    always pass one).  It may be a single key, or a ``[B, 2]`` batch of per-row
+    keys (x_T being ``[B, ...]``): per-row keys make each row's SDE noise a
+    function of its own key alone — independent of the batch size it happens
+    to run in (the continuous-batching determinism contract).
     """
     S = sched.num_steps
     sched = _sched_jnp(sched)
     if rng is None:
         rng = jax.random.PRNGKey(0)
-    noise_keys = jax.random.split(rng, S)
+    per_row = getattr(rng, "ndim", 1) == 2
+    if per_row:
+        noise_keys = jnp.swapaxes(                       # [S, B, 2]
+            jax.vmap(lambda k: jax.random.split(k, S))(rng), 0, 1)
+    else:
+        noise_keys = jax.random.split(rng, S)
 
     def body(carry, inp):
         x, m_prev, m_prev2 = carry
         i, key = inp
         model_out = denoise_fn(x, sched.timesteps[i])
-        z = jax.random.normal(key, x.shape, dtype=x.dtype)
+        if per_row:
+            z = jax.vmap(lambda k, xx: jax.random.normal(
+                k, xx.shape, xx.dtype))(key, x)
+        else:
+            z = jax.random.normal(key, x.shape, dtype=x.dtype)
         x_next, m = solver_step(sched, i, x, m_prev, model_out, noise=z,
                                 m_prev2=m_prev2)
         return (x_next, m, m_prev), None
