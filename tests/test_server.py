@@ -202,6 +202,78 @@ def test_mixed_load_and_midstream_disconnect(server):
     assert code == 200 and len(wav) > 44
 
 
+@pytest.fixture(scope="module")
+def engine_server():
+    """Daemon in --engine (continuous batching) mode on the tiny model."""
+    app = ServingApp(model_name="tiny", log_fn=lambda *_: None,
+                     engine=True, engine_slots=2, engine_cache_len=512,
+                     engine_chunk_steps=4)
+    httpd = serve(app, port=0)
+    th = threading.Thread(target=httpd.serve_forever, daemon=True)
+    th.start()
+    yield f"http://127.0.0.1:{httpd.server_address[1]}", app
+    app.engine.stop()
+    httpd.shutdown()
+
+
+def test_engine_server_complete_and_stream(engine_server):
+    base, app = engine_server
+    body = {"input": "Speaker 1: Engine-served request.",
+            "model": "tiny", "max_new_tokens": 6, "max_length_times": 1000.0,
+            "seed": 7}
+    code, wav, headers = _post(base, body)
+    assert code == 200 and wav[:4] == b"RIFF" and len(wav) > 44
+    metrics = json.loads(headers["X-VibeVoice-Metrics"])
+    assert metrics["tokens"] >= 6 and "engine_slot" in metrics
+
+    # same prompt+seed streamed: deterministic, byte-identical PCM
+    code, swav, _ = _post(base, dict(body, stream=True))
+    assert code == 200 and swav[:4] == b"RIFF"
+    assert swav[44:] == wav[44:]
+
+    code, h = _get(base, "/healthz")
+    assert h["engine"]["slots"] == 2 and h["engine"]["active"] == 0
+    code, m = _get(base, "/v1/metrics")
+    assert m["engine"]["chunks_run"] >= 1
+
+
+def test_engine_server_rejects_fixed_override(engine_server):
+    base, _ = engine_server
+    with pytest.raises(urllib.error.HTTPError) as ei:
+        _post(base, {"input": "Speaker 1: Hot take.", "model": "tiny",
+                     "cfg_scale": 2.0, "max_new_tokens": 4})
+    assert ei.value.code == 500
+    assert "engine-wide" in json.loads(ei.value.read())["error"]
+
+    with pytest.raises(urllib.error.HTTPError) as ei:
+        _post(base, {"input": "Speaker 1: Wrong model.",
+                     "model": "VibeVoice-1.5B", "max_new_tokens": 4})
+    assert ei.value.code == 500
+    assert "serves 'tiny' only" in json.loads(ei.value.read())["error"]
+
+
+def test_engine_server_concurrent(engine_server):
+    """More concurrent requests than slots: all are served (slot recycling),
+    none error, and the engine drains back to idle."""
+    base, app = engine_server
+    results = [None] * 3
+
+    def fire(i):
+        results[i] = _post(base, {
+            "input": f"Speaker 1: Concurrent engine request {i}.",
+            "model": "tiny", "max_new_tokens": 8, "max_length_times": 1000.0,
+            "seed": i})
+
+    threads = [threading.Thread(target=fire, args=(i,)) for i in range(3)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join(timeout=600)
+    for code, wav, headers in results:
+        assert code == 200 and wav[:4] == b"RIFF" and len(wav) > 44
+    assert app.engine.active() == 0 and not app.engine.pending
+
+
 def test_tp_sharded_serving():
     """The daemon serves through a TP-sharded generator (tiny model on the
     virtual CPU mesh) — the --tp path end to end over HTTP."""

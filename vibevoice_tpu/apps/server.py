@@ -82,6 +82,7 @@ class Job:
     done: threading.Event = field(default_factory=threading.Event)
     error: Optional[str] = None
     result: Optional[dict] = None
+    finalize: Optional[object] = None          # callable run after done.wait()
 
 
 # generation settings that must match for two requests to share one device
@@ -103,7 +104,10 @@ class ServingApp:
                  quantize: bool = False, ddpm_steps: int = 10,
                  load_on_demand: bool = False, offline: Optional[bool] = None,
                  voices_dir: Optional[str] = None, log_fn=print,
-                 max_batch: int = 4, batch_window_s: float = 0.05, mesh=None):
+                 max_batch: int = 4, batch_window_s: float = 0.05, mesh=None,
+                 engine: bool = False, engine_slots: int = 4,
+                 engine_cache_len: int = 4096, engine_chunk_steps: int = 16,
+                 engine_cfg_scale: float = 1.3):
         self.log = log_fn
         self.model_name = model_name
         self.manager = ModelManager(load_on_demand=load_on_demand,
@@ -114,7 +118,19 @@ class ServingApp:
         self.max_batch = max(1, int(max_batch))
         self.batch_window_s = batch_window_s
         self._backlog: List[Job] = []      # key-mismatched jobs, kept in order
-        self.worker = threading.Thread(target=self._worker_loop, daemon=True)
+        self.engine = None
+        if engine:
+            from ..generation.engine import ContinuousEngine
+            model = self._load(model_name)
+            self.engine = ContinuousEngine(
+                model.generator, slots=engine_slots,
+                cache_len=engine_cache_len, chunk_steps=engine_chunk_steps,
+                cfg_scale=engine_cfg_scale, log_fn=log_fn)
+            self.worker = threading.Thread(target=self.engine.run_forever,
+                                           daemon=True)
+        else:
+            self.worker = threading.Thread(target=self._worker_loop,
+                                           daemon=True)
         self.worker.start()
         self.started_at = time.time()
         self.served = 0
@@ -279,7 +295,77 @@ class ServingApp:
                  f"{[j.result['audio_s'] for j in batch]} audio-s "
                  f"in {round(wall, 3)} s")
 
+    # engine-wide generation settings; requests may only override the rest
+    _ENGINE_FIXED = ("cfg_scale", "do_sample", "temperature", "top_p",
+                     "top_k", "ddpm_steps", "chunk_steps")
+
+    def _submit_engine(self, request: dict) -> Job:
+        """Continuous-batching path: translate the HTTP request into an
+        engine request that joins a live slot mid-flight."""
+        job = Job(request=request)
+        eng = self.engine
+        for f in self._ENGINE_FIXED:
+            if f in request and float(request[f]) != float(
+                    getattr(eng, f, self.manager.ddpm_steps
+                            if f == "ddpm_steps" else 0)):
+                job.error = (f"'{f}' is engine-wide in --engine mode "
+                             f"(fixed at server start)")
+                job.assigned.set()
+                job.streamer = AudioStreamer(batch_size=1)
+                job.streamer.end()
+                job.done.set()
+                return job
+        req_model = request.get("model")
+        if req_model and req_model != self.model_name:
+            job.error = (f"--engine serves '{self.model_name}' only "
+                         f"(requested '{req_model}')")
+            job.assigned.set()
+            job.streamer = AudioStreamer(batch_size=1)
+            job.streamer.end()
+            job.done.set()
+            return job
+        model = self.manager.current
+        proc = model.processor
+        voices = request.get("voices") or (
+            [request["voice"]] if request.get("voice") else [])
+        wavs = [self.voices.load_voice(v) for v in voices] or None
+        inputs = proc(request["input"], voice_samples=wavs)
+        neg = request.get("negative_prompt") or None
+        streamer = AudioStreamer(batch_size=1)
+        t0 = time.perf_counter()
+        req = eng.submit(
+            inputs,
+            max_new_tokens=(int(request["max_new_tokens"])
+                            if request.get("max_new_tokens") else None),
+            max_length_times=float(request.get("max_length_times", 2.0)),
+            negative_prompt_ids=(np.asarray([proc.tokenizer.encode(neg)])
+                                 if neg else None),
+            seed=int(request.get("seed", 0)), streamer=streamer)
+        job.streamer, job.sample_index = streamer, 0
+        job.done = req.done
+        job.assigned.set()
+
+        ran = []
+
+        def finalize():
+            if ran:                      # idempotent (stream + complete paths)
+                return
+            ran.append(True)
+            wall = time.perf_counter() - t0
+            job.error = job.error or req.error
+            audio_s = 0.0 if req.audio is None else len(req.audio) / SAMPLE_RATE
+            job.result = {"tokens": len(req.tokens),
+                          "audio_s": round(audio_s, 3),
+                          "wall_s": round(wall, 3),
+                          "rtf": round(audio_s / wall, 3) if wall > 0 else None,
+                          "engine_slot": req.slot}
+            self.served += 1
+        job.finalize = finalize
+        return job
+
     def submit(self, request: dict) -> Job:
+        if self.engine is not None:
+            return self._submit_engine(request)
         job = Job(request=request)
         self.jobs.put(job)
         return job
@@ -296,6 +382,8 @@ class ServingApp:
                            "max_new_tokens": 80,      # 2 small + 1 big chunk
                            "max_length_times": 1000.0})
         job.done.wait()
+        if job.finalize is not None:
+            job.finalize()
         dt = time.time() - t0
         if job.error:
             self.log(f"⚠️ warmup failed: {job.error}")
@@ -304,15 +392,28 @@ class ServingApp:
                      f"(first request will not compile)")
         return dt
 
+    def queue_depth(self) -> int:
+        if self.engine is not None:
+            return len(self.engine.pending)
+        return self.jobs.qsize() + len(self._backlog)
+
     def info(self) -> dict:
         import jax
         cur = self.manager.current
-        return {"status": "ok", "uptime_s": round(time.time() - self.started_at, 1),
-                "served": self.served, "batches": self.batches,
-                "max_batch": self.max_batch,
-                "device": str(jax.devices()[0]),
-                "loaded_model": cur.name if cur else None,
-                "queue_depth": self.jobs.qsize() + len(self._backlog)}
+        out = {"status": "ok", "uptime_s": round(time.time() - self.started_at, 1),
+               "served": self.served, "batches": self.batches,
+               "max_batch": self.max_batch,
+               "device": str(jax.devices()[0]),
+               "loaded_model": cur.name if cur else None,
+               "queue_depth": self.queue_depth()}
+        if self.engine is not None:
+            eng = self.engine
+            out["engine"] = {"slots": eng.slots, "active": eng.active(),
+                             "global_step": eng.global_step,
+                             "chunks_run": eng.chunks_run,
+                             "cache_len": eng.cache_len,
+                             "chunk_steps": eng.chunk_steps}
+        return out
 
 
 def make_handler(app: ServingApp):
@@ -346,10 +447,12 @@ def make_handler(app: ServingApp):
                 if cur is not None:
                     # StageTimer.summary(): {stage: {total_s, count, mean_ms}}
                     gen_metrics = cur.generator.last_metrics or {}
-                return self._json(200, {
-                    "served": app.served, "batches": app.batches,
-                    "queue_depth": app.jobs.qsize() + len(app._backlog),
-                    "last_generate": gen_metrics})
+                out = {"served": app.served, "batches": app.batches,
+                       "queue_depth": app.queue_depth(),
+                       "last_generate": gen_metrics}
+                if app.engine is not None:
+                    out["engine"] = app.info()["engine"]
+                return self._json(200, out)
             return self._json(404, {"error": f"no route {self.path}"})
 
         def do_POST(self):
@@ -373,6 +476,8 @@ def make_handler(app: ServingApp):
             chunks: List[np.ndarray] = list(
                 job.streamer.get_stream(job.sample_index))
             job.done.wait()
+            if job.finalize is not None:
+                job.finalize()
             if job.error:
                 return self._json(500, {"error": job.error})
             pcm = b"".join(pcm16(c) for c in chunks)
@@ -400,6 +505,8 @@ def make_handler(app: ServingApp):
                 for chunk in job.streamer.get_stream(job.sample_index):
                     write_chunk(pcm16(chunk))
                 job.done.wait()
+                if job.finalize is not None:
+                    job.finalize()
                 self.wfile.write(b"0\r\n\r\n")        # terminal chunk
             except (BrokenPipeError, ConnectionResetError):
                 # client went away: end THIS sample's stream — the generation
@@ -407,6 +514,8 @@ def make_handler(app: ServingApp):
                 job.assigned.wait()
                 job.streamer.end([job.sample_index])
                 job.done.wait()
+                if job.finalize is not None:
+                    job.finalize()
 
     return Handler
 
@@ -438,6 +547,18 @@ def build_argparser():
     p.add_argument("--dp", type=int, default=0,
                    help="data-parallel mesh axis (batch sharding)")
     p.add_argument("--ddpm_steps", type=int, default=10)
+    p.add_argument("--engine", action="store_true",
+                   help="continuous batching: requests join a live fixed-"
+                        "shape batch mid-flight (no convoy effect; sampling "
+                        "settings become engine-wide constants)")
+    p.add_argument("--engine_slots", type=int, default=4,
+                   help="concurrent request slots in --engine mode")
+    p.add_argument("--engine_cache_len", type=int, default=4096,
+                   help="fixed KV cache length per slot in --engine mode")
+    p.add_argument("--engine_chunk_steps", type=int, default=16,
+                   help="decode steps per device dispatch in --engine mode")
+    p.add_argument("--engine_cfg_scale", type=float, default=1.3,
+                   help="engine-wide CFG scale in --engine mode")
     p.add_argument("--lod", action="store_true", help="load-on-demand")
     p.add_argument("--offline", action="store_true")
     p.add_argument("--voices_dir", default=None)
@@ -491,6 +612,9 @@ def main(argv=None):
     args = build_argparser().parse_args(argv)
     mesh = None
     if args.tp or args.dp:
+        if args.engine:
+            raise SystemExit("--engine is single-device; drop --tp/--dp "
+                             "(use dynamic batching for sharded serving)")
         from ..parallel import make_mesh
         mesh = make_mesh(tp=args.tp or None, dp=args.dp or None)
         print(f"Serving on mesh {dict(mesh.shape)}")
@@ -498,7 +622,11 @@ def main(argv=None):
                      ddpm_steps=args.ddpm_steps, load_on_demand=args.lod,
                      offline=args.offline or None, voices_dir=args.voices_dir,
                      max_batch=args.max_batch, batch_window_s=args.batch_window,
-                     mesh=mesh)
+                     mesh=mesh, engine=args.engine,
+                     engine_slots=args.engine_slots,
+                     engine_cache_len=args.engine_cache_len,
+                     engine_chunk_steps=args.engine_chunk_steps,
+                     engine_cfg_scale=args.engine_cfg_scale)
     if args.check:
         raise SystemExit(_check(app))
     if args.host not in ("127.0.0.1", "localhost"):
