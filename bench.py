@@ -220,6 +220,36 @@ def main():
             extras["streaming_rtf"] = round(
                 len(arrivals) * frame_sec / (arrivals[-1] - t_s0), 3)
 
+    if os.environ.get("BENCH_ENGINE", "0") == "1":
+        # continuous-batching aggregate throughput: N staggered requests
+        # share the live engine batch; aggregate RTF = total audio emitted /
+        # wall from first submit to last retire.  Requests join mid-flight
+        # (two per wave), so this exercises the splice path under load.
+        from vibevoice_tpu.generation.engine import ContinuousEngine
+        slots = int(os.environ.get("BENCH_ENGINE_SLOTS", "4"))
+        n_req = int(os.environ.get("BENCH_ENGINE_REQS", str(2 * slots)))
+        req_steps = int(os.environ.get("BENCH_ENGINE_STEPS", "96"))
+        eng = ContinuousEngine(gen, slots=slots, cache_len=1024,
+                               chunk_steps=16, cfg_scale=1.3)
+        warm = eng.submit({"input_ids": ids[:1]}, max_new_tokens=8,
+                          max_length_times=1000.0, seed=0)
+        eng.drain()                                   # compile outside timing
+        reqs, t_e0 = [], time.perf_counter()
+        for i in range(n_req):
+            reqs.append(eng.submit({"input_ids": ids[:1]},
+                                   max_new_tokens=req_steps,
+                                   max_length_times=1000.0, seed=i))
+            if i % 2 == 1:                            # stagger: join mid-flight
+                eng.step_chunk()
+        eng.drain()
+        e_wall = time.perf_counter() - t_e0
+        e_audio = sum(0.0 if r.audio is None else len(r.audio) / 24000.0
+                      for r in reqs)
+        assert all(r.error is None for r in reqs)
+        extras["engine_aggregate_rtf"] = round(e_audio / e_wall, 3)
+        extras["engine_reqs"] = n_req
+        extras["engine_slots"] = slots
+
     print(json.dumps({
         "metric": (f"rtf_{model_name}_b{batch}_cfg_ddpm{ddpm_steps}"
                    + (f"_int{bits}" if quant else "")),

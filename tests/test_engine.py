@@ -132,6 +132,40 @@ def test_engine_streamer_and_abort(model):
     assert len(ra.tokens) <= 12
 
 
+def test_engine_sharded_matches_solo(model):
+    """Continuous batching through a TP/DP-sharded generator on the virtual
+    CPU mesh: mid-flight joins produce tokens identical to single-device solo
+    runs, and audio within fp tolerance (the 7B-serving configuration)."""
+    from vibevoice_tpu.parallel import make_mesh
+
+    mesh = make_mesh(tp=2)            # dp fills the remaining devices
+    gen_sh = VibeVoiceGenerator(model.params, CFG, TinyTokenizer(),
+                                ddpm_inference_steps=4, lm_dtype=jnp.float32,
+                                mesh=mesh)
+    eng = ContinuousEngine(gen_sh, slots=2, cache_len=512, chunk_steps=4,
+                           cfg_scale=1.3)
+    ids_a, ids_b = _prompt(0, 12), _prompt(1, 16)
+    sa_t, sa_a = _solo(model, ids_a, seed=5)
+    sb_t, sb_a = _solo(model, ids_b, seed=9)
+
+    ra = eng.submit({"input_ids": ids_a}, max_new_tokens=16,
+                    max_length_times=1000.0, seed=5)
+    eng.step_chunk()                  # A runs one chunk alone...
+    rb = eng.submit({"input_ids": ids_b}, max_new_tokens=16,
+                    max_length_times=1000.0, seed=9)
+    eng.drain()                       # ...then B joins mid-flight
+    assert ra.error is None and rb.error is None
+
+    for req, solo_t, solo_a in ((ra, sa_t, sa_a), (rb, sb_t, sb_a)):
+        n = min(len(req.tokens), len(_trim(solo_t)))
+        assert req.tokens[:n] == _trim(solo_t)[:n]
+        if solo_a is not None and req.audio is not None:
+            m = min(len(solo_a), len(req.audio))
+            assert m > 0
+            np.testing.assert_allclose(req.audio[:m], solo_a[:m],
+                                       rtol=1e-4, atol=1e-6)
+
+
 def test_engine_prompt_too_long(model):
     eng = ContinuousEngine(model, slots=1, cache_len=128, chunk_steps=4)
     req = eng.submit({"input_ids": _prompt(0, 140)}, max_new_tokens=4)

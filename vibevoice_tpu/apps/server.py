@@ -612,9 +612,6 @@ def main(argv=None):
     args = build_argparser().parse_args(argv)
     mesh = None
     if args.tp or args.dp:
-        if args.engine:
-            raise SystemExit("--engine is single-device; drop --tp/--dp "
-                             "(use dynamic batching for sharded serving)")
         from ..parallel import make_mesh
         mesh = make_mesh(tp=args.tp or None, dp=args.dp or None)
         print(f"Serving on mesh {dict(mesh.shape)}")

@@ -13,6 +13,14 @@ marginal cost of an occupied slot is ~zero — the batch rides the same HBM
 weight reads.  All programs are fixed-shape (slots, cache_len, chunk_steps
 are engine constants), so the engine never recompiles after warmup.
 
+Sharded serving: pass a mesh-aware ``VibeVoiceGenerator(mesh=...)`` — the
+live state keeps the generator's shardings (KV cache slot rows on "dp" ×
+heads on "tp" when tp divides the KV-head count, per-slot bookkeeping on
+"dp"), pinned via ``out_shardings`` on every state-producing program so
+joins/retires never change shardings or trigger chunk recompiles.  This is
+what makes 7B bf16 *continuous* serving possible (weights + KV do not fit
+one chip).
+
 Determinism contract: every row's noise stream (token sampling, diffusion
 init, SDE solver noise) is ``fold_in(row_seed, row_position)``
 (GenState.row_rng), so a request's output is a function of (its prompt, its
@@ -26,7 +34,6 @@ import threading
 import time
 from collections import deque
 from dataclasses import dataclass, field
-from functools import partial
 from typing import List, Optional
 
 import numpy as np
@@ -79,10 +86,6 @@ class ContinuousEngine:
                  do_sample: bool = False, temperature: float = 0.95,
                  top_p: float = 0.95, top_k: int = 0,
                  refresh_negative: bool = True, log_fn=None):
-        if generator.mesh is not None:
-            raise NotImplementedError(
-                "ContinuousEngine v1 is single-device; use generate(mesh=...) "
-                "for sharded batch serving")
         self.gen = generator
         self.slots = int(slots)
         self.cache_len = int(cache_len)
@@ -95,6 +98,13 @@ class ContinuousEngine:
         self.refresh_negative = bool(refresh_negative)
         self.log = log_fn or (lambda *_: None)
 
+        # sharded serving: pin the live state's shardings once (mesh from the
+        # generator — TP on KV heads when it divides, slot rows on dp) and
+        # force every state-producing program (_splice/_park/_abort) to emit
+        # them, so the chunk program compiles once and never recompiles when
+        # requests join or retire
+        self._state_sh = (self._state_shardings() if generator.mesh is not None
+                          else None)
         self.state = self._empty_state()
         self.slot_req: List[Optional[EngineRequest]] = [None] * self.slots
         self.pending: "deque[EngineRequest]" = deque()
@@ -109,7 +119,6 @@ class ContinuousEngine:
 
         B = self.slots
 
-        @partial(jax.jit, donate_argnums=(0,))
         def _splice(big: GenState, small: GenState, slot, max_steps_abs):
             """Insert the b=1 prefilled rows into slot `slot` of the live
             state.  Positive row -> slot, negative (CFG) row -> B + slot."""
@@ -144,7 +153,6 @@ class ContinuousEngine:
                 rng=big.rng,
                 row_rng=one_row(big.row_rng, small.row_rng))
 
-        @partial(jax.jit, donate_argnums=(0,))
         def _park(big: GenState, slot):
             """Reset a retired slot's pointers so its (discarded) attention
             reads stay O(1) instead of scanning a stale live range."""
@@ -162,16 +170,41 @@ class ContinuousEngine:
                                 max_steps_per_sample=one(
                                     big.max_steps_per_sample, 0))
 
-        @partial(jax.jit, donate_argnums=(0,))
         def _abort(big: GenState, mask):
             return big._replace(finished=big.finished | mask)
 
-        self._splice = _splice
-        self._park = _park
-        self._abort = _abort
+        jit_kw = dict(donate_argnums=(0,))
+        if self._state_sh is not None:
+            jit_kw["out_shardings"] = self._state_sh
+        self._splice = jax.jit(_splice, **jit_kw)
+        self._park = jax.jit(_park, **jit_kw)
+        self._abort = jax.jit(_abort, **jit_kw)
 
     # ------------------------------------------------------------------
+    def _state_shardings(self):
+        """GenState sharding pytree on the generator's mesh: KV cache rows on
+        dp × heads on tp (when tp divides), every per-slot array's leading
+        axis on dp where divisible, scalars/rng replicated."""
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        from ..parallel.sharding import batch_shardings
+        mesh = self.gen.mesh
+        skel = jax.eval_shape(self._build_empty_state)
+        sh = batch_shardings(mesh, skel)
+        c_sh = self.gen._cache_sharding(2 * self.slots)
+        repl = NamedSharding(mesh, P())
+        return sh._replace(cache=jax.tree.map(lambda _: c_sh, sh.cache),
+                           step=repl, rng=repl)
+
     def _empty_state(self) -> GenState:
+        if self._state_sh is None:
+            return self._build_empty_state()
+        # allocate directly INTO the shardings (jit with out_shardings): the
+        # sharded-serving cache must never materialize on one device
+        return jax.jit(self._build_empty_state,
+                       out_shardings=self._state_sh)()
+
+    def _build_empty_state(self) -> GenState:
         gen, cfg = self.gen, self.gen.cfg
         B, S = self.slots, self.cache_len
         cache = qwen2.init_kv_cache(cfg.decoder, 2 * B, S, gen.lm_dtype)
