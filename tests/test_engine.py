@@ -132,6 +132,42 @@ def test_engine_streamer_and_abort(model):
     assert len(ra.tokens) <= 12
 
 
+def test_engine_voice_prompt_matches_solo(model):
+    """A voice-prompted request (speech tensors spliced into the prefill)
+    through the engine equals its solo run — the serving path for requests
+    with voice presets."""
+    frame = CFG.acoustic_tokenizer.total_stride
+    rs = np.random.RandomState(7)
+    ids = rs.randint(20, 200, (1, 16))
+    ids[:, 2] = TinyTokenizer.speech_start_id
+    ids[:, 3:6] = TinyTokenizer.speech_diffusion_id
+    ids[:, 6] = TinyTokenizer.speech_end_id
+    ids[:, -1] = TinyTokenizer.speech_start_id
+    smask = np.zeros((1, 16), bool)
+    smask[:, 3:6] = True
+    speech = {"speech_tensors": rs.randn(1, 3 * frame).astype(np.float32) * 0.1,
+              "speech_masks": np.ones((1, 3), bool),
+              "speech_input_mask": smask}
+
+    solo = model.generate(ids, cfg_scale=1.3, max_new_tokens=12, chunk_steps=4,
+                          do_sample=False, seed=4, max_length_times=1000.0,
+                          **speech)
+    eng = ContinuousEngine(model, slots=2, cache_len=512, chunk_steps=4,
+                           cfg_scale=1.3)
+    req = eng.submit({"input_ids": ids, **speech}, max_new_tokens=12,
+                     max_length_times=1000.0, seed=4)
+    eng.drain()
+    assert req.error is None
+    solo_t = solo.sequences[0].tolist()
+    n = min(len(req.tokens), len(_trim(solo_t)))
+    assert req.tokens[:n] == _trim(solo_t)[:n]
+    solo_a = solo.speech_outputs[0]
+    if solo_a is not None and req.audio is not None:
+        m = min(len(solo_a), len(req.audio))
+        np.testing.assert_allclose(req.audio[:m], solo_a[:m],
+                                   rtol=1e-5, atol=1e-7)
+
+
 def test_engine_sharded_matches_solo(model):
     """Continuous batching through a TP/DP-sharded generator on the virtual
     CPU mesh: mid-flight joins produce tokens identical to single-device solo

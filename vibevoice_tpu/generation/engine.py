@@ -66,6 +66,9 @@ class EngineRequest:
     reach_max: bool = False
     submitted_at: float = field(default_factory=time.time)
     started_step: int = 0
+    # filled by submit()/_prepare(): prefilled 2-row GenState + step budget
+    small: Optional[object] = None
+    budget: int = 0
 
     @property
     def audio(self) -> Optional[np.ndarray]:
@@ -240,10 +243,23 @@ class ContinuousEngine:
     def submit(self, inputs: dict, max_new_tokens: Optional[int] = None,
                max_length_times: float = 2.0, negative_prompt_ids=None,
                seed: int = 0, streamer=None) -> EngineRequest:
+        """Prefill the request (b=1) on the CALLER's thread and queue it for
+        splicing.  Prefill dispatch — and any cold prefill-bucket compile —
+        therefore never stalls the live batch; the engine thread only runs
+        chunks and O(1) splices.  On error the request is finished
+        immediately (``done`` set, streamer ended)."""
         req = EngineRequest(inputs=inputs, max_new_tokens=max_new_tokens,
                             max_length_times=max_length_times,
                             negative_prompt_ids=negative_prompt_ids,
                             seed=seed, streamer=streamer)
+        try:
+            self._prepare(req)
+        except Exception as e:  # noqa: BLE001 — per-request error
+            req.error = f"{type(e).__name__}: {e}"
+            if req.streamer is not None:
+                req.streamer.end([0])
+            req.done.set()
+            return req
         with self.work:
             self.pending.append(req)
             self.work.notify()
@@ -252,8 +268,8 @@ class ContinuousEngine:
     def active(self) -> int:
         return sum(r is not None for r in self.slot_req)
 
-    def _join(self, slot: int, req: EngineRequest):
-        """Prefill the request (b=1) and splice it into `slot`."""
+    def _prepare(self, req: EngineRequest):
+        """Budget + b=1 prefill into a 2-row GenState (caller thread)."""
         from ..utils.profiling import StageTimer
         ids = np.asarray(req.inputs["input_ids"])
         attn = np.asarray(req.inputs.get("attention_mask",
@@ -265,23 +281,27 @@ class ContinuousEngine:
             raise ValueError(f"prompt ({t0} tokens) does not fit the engine "
                              f"cache ({self.cache_len})")
         init_len = int(attn.sum())
-        budget = int(min(req.max_new_tokens or 1 << 30,
-                         req.max_length_times * init_len,
-                         self.cache_len - t_bucket - 2))
-        small = self.gen._prefill_state(
+        req.budget = int(min(req.max_new_tokens or 1 << 30,
+                             req.max_length_times * init_len,
+                             self.cache_len - t_bucket - 2))
+        req.small = self.gen._prefill_state(
             ids, attn,
             req.inputs.get("speech_tensors"), req.inputs.get("speech_masks"),
             req.inputs.get("speech_input_mask"),
             req.negative_prompt_ids, None,
             jax.random.PRNGKey(req.seed), t_bucket, self.cache_len,
-            np.asarray([budget], np.int64), StageTimer())
-        self.state = self._splice(self.state, small, jnp.int32(slot),
-                                  jnp.int32(self.global_step + budget))
+            np.asarray([req.budget], np.int64), StageTimer())
+
+    def _join(self, slot: int, req: EngineRequest):
+        """Splice the prepared rows into `slot` (engine thread, O(1))."""
+        self.state = self._splice(self.state, req.small, jnp.int32(slot),
+                                  jnp.int32(self.global_step + req.budget))
+        req.small = None                      # free the prefill buffers
         req.slot = slot
         req.started_step = self.global_step
         self.slot_req[slot] = req
         self.log(f"⚙️ joined slot {slot} at step {self.global_step} "
-                 f"(prompt {t0}, budget {budget})")
+                 f"(budget {req.budget})")
 
     def _retire(self, slot: int):
         req = self.slot_req[slot]
