@@ -223,8 +223,10 @@ class ContinuousEngine:
             reach_max=jnp.zeros((B,), bool),
             step=jnp.int32(0),
             max_steps_per_sample=jnp.zeros((B,), jnp.int32),
-            acoustic_state=tok.init_decoder_state(cfg.acoustic_tokenizer, B),
-            semantic_state=tok.init_encoder_state(cfg.semantic_tokenizer, B),
+            acoustic_state=tok.init_decoder_state(cfg.acoustic_tokenizer, B,
+                                                  gen.tok_dtype),
+            semantic_state=tok.init_encoder_state(cfg.semantic_tokenizer, B,
+                                                  gen.tok_dtype),
             rng=jax.random.PRNGKey(0),
             row_rng=jnp.zeros((B, 2), jnp.uint32))
 

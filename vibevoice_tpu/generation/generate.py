@@ -140,6 +140,8 @@ class VibeVoiceGenerator:
         # numpy on purpose: closed over by the jitted step (see make_schedule)
         self.valid_ids = np.asarray(vid, np.int32)
         self.frame_samples = cfg.acoustic_tokenizer.total_stride
+        # conv tokenizer compute dtype = its param dtype (bf16 at serving)
+        self.tok_dtype = params["acoustic"]["decoder"]["stem"]["w"].dtype
         # flash decode only reads the [kv_start, kv_len) live range, so the
         # cache can be allocated at final size with no growth recompiles; a
         # pallas_call cannot be auto-partitioned by GSPMD, so meshed serving
@@ -306,10 +308,15 @@ class VibeVoiceGenerator:
             reach_max = state.reach_max | hit_max
             token = jnp.where(hit_max, eos, token)
 
-            end_mask = token == end_id
-            keep = (~end_mask).astype(jnp.float32)[:, None, None]
-            ac_state = jax.tree.map(lambda s: s * keep, state.acoustic_state)
-            sem_state = jax.tree.map(lambda s: s * keep, state.semantic_state)
+            # speech_end zeroes both conv caches (inference:539-544); select
+            # (not multiply) so the state dtype is preserved (bf16 at serving)
+            end3 = (token == end_id)[:, None, None]
+            ac_state = jax.tree.map(
+                lambda s: jnp.where(end3, jnp.zeros((), s.dtype), s),
+                state.acoustic_state)
+            sem_state = jax.tree.map(
+                lambda s: jnp.where(end3, jnp.zeros((), s.dtype), s),
+                state.semantic_state)
 
             start_mask = (~finished) & (token == start_id)
             diffuse = (~finished) & (token == diff_id)
@@ -342,19 +349,22 @@ class VibeVoiceGenerator:
             latent = sample_with_solver(sched, denoise, x_t, rng=k_sde_rows)  # [B, D]
 
             # ---- streaming vocode (inference:633-641) -----------------------
+            # conv compute follows the tokenizer PARAM dtype (bf16 at serving,
+            # like the reference's torch_dtype=bf16 modules; norms still do
+            # fp32 internals) — fp32 here would double the per-step conv tail
             s, bia = self._scale_bias(params)
-            scaled = (latent / s - bia).astype(jnp.float32)
+            scaled = (latent / s - bia).astype(self.tok_dtype)
             audio, ac_new = tok.decode(params["acoustic"]["decoder"],
                                        cfg.acoustic_tokenizer,
                                        scaled[:, None, :], ac_state)
-            gate = diffuse.astype(jnp.float32)[:, None, None]
-            ac_state = jax.tree.map(lambda n, o: n * gate + o * (1 - gate),
+            keep = diffuse[:, None, None]
+            ac_state = jax.tree.map(lambda n, o: jnp.where(keep, n, o),
                                     ac_new, ac_state)
 
             # ---- semantic re-encode (inference:655-662) ---------------------
             sem, sem_new = tok.encode(params["semantic"], cfg.semantic_tokenizer,
                                       audio, sem_state)
-            sem_state = jax.tree.map(lambda n, o: n * gate + o * (1 - gate),
+            sem_state = jax.tree.map(lambda n, o: jnp.where(keep, n, o),
                                      sem_new, sem_state)
 
             # ---- next input embedding (inference:565-673) -------------------
@@ -524,8 +534,8 @@ class VibeVoiceGenerator:
             jnp.zeros((b,), bool),
             jnp.asarray(max_steps_per_sample, jnp.int32),
             row_rng,
-            tok.init_decoder_state(cfg.acoustic_tokenizer, b),
-            tok.init_encoder_state(cfg.semantic_tokenizer, b)))
+            tok.init_decoder_state(cfg.acoustic_tokenizer, b, self.tok_dtype),
+            tok.init_encoder_state(cfg.semantic_tokenizer, b, self.tok_dtype)))
         (kv_start_a, neg_ptr_a, pos_len_a, finished_a, reach_max_a, max_steps_a,
          row_rng_a, ac_state, sem_state) = batched
         return GenState(
