@@ -117,6 +117,38 @@ def test_quantized_tokenizer_error_bounded():
                                np.asarray(out), rtol=2e-4, atol=2e-5)
 
 
+def test_bf16_generate_with_quantized_tokenizer_keeps_carry_dtype():
+    """Regression: with bf16 params + int8 tokenizer FFNs, the generation
+    step's conv-state carry must stay bf16 end to end.  (The fp32 speech_end
+    zeroing mask used to promote the carry, making lax.scan retrace and feed
+    fp32 states into bf16 convs — a TypeError at trace time.)"""
+    from vibevoice_tpu.config import VibeVoiceConfig
+    from vibevoice_tpu.generation import VibeVoiceGenerator
+    from vibevoice_tpu.models import vibevoice
+    from vibevoice_tpu.ops.quant import quantize_tokenizer_params
+
+    class TK:
+        eos_id = 3
+        speech_start_id = 10
+        speech_end_id = 11
+        speech_diffusion_id = 12
+        pad_id = 4
+
+    cfg = VibeVoiceConfig.named("tiny")
+    params = dict(vibevoice.init_params(jax.random.PRNGKey(0), cfg,
+                                        jnp.bfloat16))
+    params["acoustic"] = quantize_tokenizer_params(params["acoustic"])
+    params["semantic"] = quantize_tokenizer_params(params["semantic"])
+    gen = VibeVoiceGenerator(params, cfg, TK(), ddpm_inference_steps=3,
+                             lm_dtype=jnp.bfloat16)
+    assert gen.tok_dtype == jnp.bfloat16
+    ids = np.random.RandomState(0).randint(20, 200, (1, 12))
+    ids[:, -1] = TK.speech_start_id
+    out = gen.generate(ids, cfg_scale=1.3, max_new_tokens=6, chunk_steps=3,
+                       max_length_times=1000.0)
+    assert out.sequences.shape[1] >= 6
+
+
 # ---------------------------------------------------------------------------
 # int4 tier (ops/int4.py)
 # ---------------------------------------------------------------------------
