@@ -103,3 +103,32 @@ def test_train_loop_runs_and_resumes(tmp_path):
                         log_fn=logs2.append, dtype=jnp.float32)
     assert any("resumed" in l for l in logs2)
     assert int(state2.step) == 3
+
+
+def test_make_optimizer_schedule_and_accumulation():
+    """Warmup+cosine AdamW with clipping and gradient accumulation: params
+    only move every `accum_steps` micro-batches, and the warmup keeps the
+    first real update small."""
+    import dataclasses
+    import jax
+    from vibevoice_tpu.train import make_optimizer, make_train_step
+
+    cfg = dataclasses.replace(CFG, dtype="float32")
+    tx = make_optimizer(peak_lr=1e-3, total_steps=100, warmup_steps=10,
+                        clip_norm=1.0, accum_steps=2)
+    init_state, train_step = make_train_step(cfg, optimizer=tx)
+    col = TrainingCollator(TinyTokenizer(), frame_samples=FRAME)
+    batch = next(iter(batch_iterator(_examples(2), col, batch_size=2)))
+
+    from vibevoice_tpu.models import vibevoice
+    params = vibevoice.init_params(jax.random.PRNGKey(0), cfg, jnp.float32)
+    state = init_state(params)
+    jitted = jax.jit(train_step, donate_argnums=(0,))
+
+    p0_norm = jax.device_get(params["lm"]["norm"])   # before donation
+    state, m1 = jitted(state, batch, jax.random.PRNGKey(1))
+    lm1 = jax.device_get(state.params["lm"]["norm"])
+    state, m2 = jitted(state, batch, jax.random.PRNGKey(2))
+    # first micro-batch accumulates (no update applied yet)
+    np.testing.assert_array_equal(lm1, p0_norm)
+    assert np.isfinite(float(m2["loss"]))

@@ -54,6 +54,25 @@ def train_loss(params: dict, cfg: VibeVoiceConfig, rng: jax.Array,
     return total, {"loss": total, "ce_loss": ce, "diffusion_loss": diff}
 
 
+def make_optimizer(peak_lr: float = 1e-4, total_steps: int = 10_000,
+                   warmup_steps: int = 100, end_lr_ratio: float = 0.1,
+                   weight_decay: float = 0.01, clip_norm: float = 1.0,
+                   accum_steps: int = 1) -> optax.GradientTransformation:
+    """Production recipe: linear warmup → cosine decay AdamW with global-norm
+    clipping, and optional gradient accumulation (`accum_steps` micro-batches
+    per optimizer update, via ``optax.MultiSteps``).  Pass the result as
+    ``train_loop(optimizer=...)``; the default there stays plain AdamW."""
+    sched = optax.warmup_cosine_decay_schedule(
+        init_value=0.0, peak_value=peak_lr, warmup_steps=warmup_steps,
+        decay_steps=max(total_steps, warmup_steps + 1),
+        end_value=peak_lr * end_lr_ratio)
+    tx = optax.chain(optax.clip_by_global_norm(clip_norm),
+                     optax.adamw(sched, weight_decay=weight_decay))
+    if accum_steps > 1:
+        tx = optax.MultiSteps(tx, every_k_schedule=accum_steps)
+    return tx
+
+
 class TrainState(NamedTuple):
     params: dict
     opt_state: Any
