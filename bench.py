@@ -44,7 +44,7 @@ class BenchTokenizer:
 
 
 def build_generator(cfg, ddpm_steps, quantize=False, quantize_head=False,
-                    bits=8):
+                    bits=8, colscale=False):
     from vibevoice_tpu.generation import VibeVoiceGenerator
     from vibevoice_tpu.models import vibevoice
 
@@ -59,12 +59,17 @@ def build_generator(cfg, ddpm_steps, quantize=False, quantize_head=False,
         # synthesize the quantized leaves directly from shapes — materializing
         # the bf16 7B tree first (~15 GB) would not leave room to quantize on
         # a 16 GB chip; values are irrelevant to timing
-        from vibevoice_tpu.ops.int4 import quantizable_int4
+        from vibevoice_tpu.ops.int4 import quantizable_int4, quantizable_int4c
         from vibevoice_tpu.ops.quant import _LM_QUANT_KEYS
 
         def synth(sl):
-            if bits == 4 and quantizable_int4(sl.shape):
-                inn = sl.shape[-2]
+            inn = sl.shape[-2]
+            if bits == 4 and colscale and quantizable_int4c(sl.shape):
+                return {"q4c": jnp.ones(sl.shape[:-2] + (inn // 2,) + sl.shape[-1:],
+                                        jnp.int8),
+                        "s4c": jnp.full(sl.shape[:-2] + (1,) + sl.shape[-1:],
+                                        1e-4, jnp.float32)}
+            if bits == 4 and not colscale and quantizable_int4(sl.shape):
                 return {"q4": jnp.ones(sl.shape[:-2] + (inn // 2,) + sl.shape[-1:],
                                        jnp.int8),
                         "s4": jnp.full(sl.shape[:-2] + (inn // 16,) + sl.shape[-1:],
@@ -86,11 +91,13 @@ def build_generator(cfg, ddpm_steps, quantize=False, quantize_head=False,
     if quantize_head:
         from vibevoice_tpu.ops.quant import quantize_diffusion_head_params
         params["diffusion_head"] = quantize_diffusion_head_params(
-            params["diffusion_head"], bits=bits)
+            params["diffusion_head"], bits=bits, colscale=colscale)
     if os.environ.get("BENCH_QUANT_TOK", "0") == "1":
         from vibevoice_tpu.ops.quant import quantize_tokenizer_params
-        params["acoustic"] = quantize_tokenizer_params(params["acoustic"], bits=bits)
-        params["semantic"] = quantize_tokenizer_params(params["semantic"], bits=bits)
+        params["acoustic"] = quantize_tokenizer_params(params["acoustic"],
+                                                       bits=bits, colscale=colscale)
+        params["semantic"] = quantize_tokenizer_params(params["semantic"],
+                                                       bits=bits, colscale=colscale)
     return VibeVoiceGenerator(params, cfg, BenchTokenizer(),
                               ddpm_inference_steps=ddpm_steps,
                               lm_dtype=jnp.bfloat16)
@@ -119,9 +126,11 @@ def main():
     chunk = int(os.environ.get("BENCH_CHUNK", "64"))
     with_extras = os.environ.get("BENCH_EXTRAS", "1") == "1"
     # BENCH_QUANT: 0 = bf16; 1/8 = int8 LM (7B fits one chip); 4 = int4 LM
+    # (group-16 fidelity tier); 4c = int4 per-column-scale speed tier
     quant_env = os.environ.get("BENCH_QUANT", "0")
-    quant = quant_env in ("1", "8", "4")
-    bits = 4 if quant_env == "4" else 8
+    quant = quant_env in ("1", "8", "4", "4c")
+    bits = 4 if quant_env in ("4", "4c") else 8
+    colscale = quant_env == "4c"
     quant_head = os.environ.get("BENCH_QUANT_HEAD", "0") == "1"  # quantized AdaLN head
     batch = int(os.environ.get("BENCH_BATCH", "1"))
     t0_len = int(os.environ.get("BENCH_PROMPT", "64"))  # prompt tokens
@@ -129,7 +138,8 @@ def main():
     cfg = VibeVoiceConfig.named(model_name)
     frame_sec = cfg.acoustic_tokenizer.total_stride / 24000.0
     gen = build_generator(cfg, ddpm_steps, quantize=quant,
-                          quantize_head=quant_head, bits=bits)
+                          quantize_head=quant_head, bits=bits,
+                          colscale=colscale)
 
     rs = np.random.RandomState(0)
     ids = rs.randint(20, 200, (batch, t0_len))
@@ -252,7 +262,8 @@ def main():
 
     print(json.dumps({
         "metric": (f"rtf_{model_name}_b{batch}_cfg_ddpm{ddpm_steps}"
-                   + (f"_int{bits}" if quant else "")),
+                   + (f"_int{'8' if quant_env in ('1', '8') else quant_env}"
+                      if quant else "")),
         "value": round(rtf, 4),
         "unit": "audio_sec_per_wall_sec",
         "vs_baseline": round(rtf / 0.3, 3),

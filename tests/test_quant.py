@@ -225,6 +225,70 @@ def test_int4_pallas_kernel_matches_xla_interpret():
                                    rtol=1e-3, atol=1e-4)
 
 
+def test_int4c_roundtrip_and_dispatch():
+    """Per-column-scale int4 (speed tier): roundtrip error bounded by half a
+    quantization step of the column amax, and qmatmul dispatches on the
+    {'q4c','s4c'} leaf."""
+    from vibevoice_tpu.ops.int4 import (dequantize_weight_int4c,
+                                        quantize_weight_int4c)
+    from vibevoice_tpu.ops.quant import qmatmul
+
+    rs = np.random.RandomState(5)
+    w = jnp.asarray(rs.randn(256, 128), jnp.float32)
+    qw = quantize_weight_int4c(w)
+    assert qw["q4c"].shape == (128, 128) and qw["s4c"].shape == (1, 128)
+    back = np.asarray(dequantize_weight_int4c(qw, jnp.float32))
+    step = np.asarray(qw["s4c"])[0]
+    assert np.all(np.abs(back - np.asarray(w)) <= step / 2 + 1e-6)
+
+    x = jnp.asarray(rs.randn(3, 256), jnp.float32)
+    y = qmatmul(x, qw)                       # xla path on CPU
+    ref = x @ jnp.asarray(back)
+    np.testing.assert_allclose(np.asarray(y), np.asarray(ref),
+                               rtol=2e-2, atol=2e-2)
+
+
+def test_int4c_pallas_kernel_matches_xla_interpret():
+    """int4c kernel (interpret): unpack -> bf16 MXU dot -> column scale at
+    flush equals the explicit bf16 dequant dot."""
+    from vibevoice_tpu.ops.int4 import (_int4c_matmul_2d, _unpack,
+                                        quantize_weight_int4c)
+    rs = np.random.RandomState(7)
+    for m, inn, out in [(2, 512, 256), (8, 1024, 384), (300, 512, 128)]:
+        x = jnp.asarray(rs.randn(m, inn), jnp.float32)
+        qw = quantize_weight_int4c(jnp.asarray(rs.randn(inn, out), jnp.float32))
+        pad = (-m) % 256 if m > 256 else 0
+        xp = jnp.pad(x, ((0, pad), (0, 0)))
+        y = _int4c_matmul_2d(xp, qw["q4c"], qw["s4c"], interpret=True)[:m]
+        lo, hi = _unpack(qw["q4c"])
+        q = jnp.concatenate([lo, hi], axis=-2).astype(jnp.bfloat16)
+        ref = (jnp.dot(x.astype(jnp.bfloat16), q,
+                       preferred_element_type=jnp.float32)
+               * qw["s4c"].astype(jnp.float32))
+        np.testing.assert_allclose(np.asarray(y), np.asarray(ref),
+                                   rtol=1e-3, atol=1e-3)
+
+
+def test_int4c_w4a8_kernel_matches_explicit_math():
+    """W4A8 int4c kernel (interpret): s8 x s8 MXU dot with scales applied to
+    the accumulator equals the explicit int32 math."""
+    from vibevoice_tpu.ops.int4 import (_int4c_w4a8_matmul_2d, _unpack,
+                                        quantize_weight_int4c)
+    rs = np.random.RandomState(9)
+    m, inn, out = 4, 512, 256
+    x = jnp.asarray(rs.randn(m, inn), jnp.float32)
+    qw = quantize_weight_int4c(jnp.asarray(rs.randn(inn, out), jnp.float32))
+    sx = jnp.maximum(jnp.max(jnp.abs(x), axis=-1, keepdims=True) / 127.0, 1e-12)
+    xq = jnp.clip(jnp.round(x / sx), -127, 127).astype(jnp.int8)
+    y = _int4c_w4a8_matmul_2d(xq, sx, qw["q4c"], qw["s4c"], interpret=True)
+    lo, hi = _unpack(qw["q4c"])
+    q = jnp.concatenate([lo, hi], axis=-2).astype(jnp.int32)
+    ref = (jnp.dot(xq.astype(jnp.int32), q).astype(jnp.float32)
+           * sx * qw["s4c"].astype(jnp.float32))
+    np.testing.assert_allclose(np.asarray(y), np.asarray(ref),
+                               rtol=1e-5, atol=1e-5)
+
+
 def test_int4_lm_forward_close_to_dense():
     cfg = Qwen2DecoderConfig(
         vocab_size=128, hidden_size=256, intermediate_size=512,

@@ -194,6 +194,215 @@ def _int4_matmul_2d(x: jax.Array, q4: jax.Array, s4: jax.Array,
     return out_arr
 
 
+# ---------------------------------------------------------------------------
+# Per-column-scale variant ("int4c") — the SPEED tier
+# ---------------------------------------------------------------------------
+# Group-16 scales (above) pay ~2 VPU ops/element to broadcast+apply scales
+# inside the kernel (and the [groups, gs, out] -> [in, out] reshape is a
+# Mosaic relayout); at batch 1 that ALU stream outweighs the bandwidth
+# saving, which is why plain int4 measures SLOWER than int8.  With one scale
+# per OUTPUT COLUMN the kernel is just unpack -> bf16 MXU dot, and the scale
+# applies to the [m, out] accumulator at flush — O(m*out), not O(in*out).
+# Coarser scales cost accuracy (this is the speed tier; group-16 remains the
+# fidelity tier) but keep the symmetric-linear grid of the reference's NF4
+# analogue.
+
+
+def is_quantized_int4c(leaf: Any) -> bool:
+    return isinstance(leaf, dict) and set(leaf.keys()) == {"q4c", "s4c"}
+
+
+def quantizable_int4c(shape) -> bool:
+    if len(shape) < 2:
+        return False
+    return shape[-2] % (2 * 8) == 0
+
+
+def quantize_weight_int4c(w: jax.Array) -> Dict[str, jax.Array]:
+    """Symmetric per-output-column int4, split-half packed.
+    w: [..., in, out] -> {"q4c": int8 [..., in/2, out], "s4c": f32 [..., 1, out]}."""
+    assert w.shape[-2] % 2 == 0, w.shape
+    wf = w.astype(jnp.float32)
+    amax = jnp.max(jnp.abs(wf), axis=-2, keepdims=True)          # [..., 1, out]
+    scale = jnp.maximum(amax / 7.0, 1e-12)
+    q = jnp.clip(jnp.round(wf / scale), -8, 7).astype(jnp.int8)
+    half = q.shape[-2] // 2
+    lo = q[..., :half, :]
+    hi = q[..., half:, :]
+    packed = jnp.bitwise_or(jnp.bitwise_and(lo, 0xF), jnp.left_shift(hi, 4))
+    return {"q4c": packed.astype(jnp.int8), "s4c": scale}
+
+
+def dequantize_weight_int4c(qw: Dict[str, jax.Array], dtype=jnp.bfloat16) -> jax.Array:
+    lo, hi = _unpack(qw["q4c"])
+    q = jnp.concatenate([lo, hi], axis=-2).astype(jnp.float32)
+    return (q * qw["s4c"].astype(jnp.float32)).astype(dtype)
+
+
+def _int4c_kernel(x_lo_ref, x_hi_ref, q4_ref, s_ref, o_ref, acc_scr):
+    i = pl.program_id(2)
+    ni = pl.num_programs(2)
+
+    @pl.when(i == 0)
+    def _init():
+        acc_scr[:] = jnp.zeros_like(acc_scr)
+
+    p = q4_ref[...].astype(jnp.int32)                    # [BP, BO]
+    lo = ((jnp.bitwise_and(p, 15) ^ 8) - 8).astype(jnp.bfloat16)
+    hi = jnp.right_shift(p, 4).astype(jnp.bfloat16)      # arithmetic shift
+    acc_scr[:] += (
+        jax.lax.dot_general(x_lo_ref[...].astype(jnp.bfloat16), lo,
+                            (((1,), (0,)), ((), ())),
+                            preferred_element_type=jnp.float32)
+        + jax.lax.dot_general(x_hi_ref[...].astype(jnp.bfloat16), hi,
+                              (((1,), (0,)), ((), ())),
+                              preferred_element_type=jnp.float32))
+
+    @pl.when(i == ni - 1)
+    def _flush():
+        o_ref[...] = (acc_scr[:] * s_ref[...].astype(jnp.float32)
+                      ).astype(o_ref.dtype)
+
+
+def _plan_c(half: int, out: int) -> Optional[Tuple[int, int]]:
+    bp = next((c for c in (512, 384, 256, 128) if half % c == 0), 0)
+    bo = next((c for c in (512, 256, 128) if out % c == 0), 0)
+    return (bp, bo) if bp and bo else None
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def _int4c_matmul_2d(x: jax.Array, q4: jax.Array, s4: jax.Array,
+                     interpret: bool = False) -> jax.Array:
+    """x: [M, IN], q4: [IN/2, OUT] packed, s4: [1, OUT] -> [M, OUT] f32."""
+    m, inn = x.shape
+    half, out = q4.shape
+    bp, bo = _plan_c(half, out)
+    bm = m if m <= 256 else 256
+    assert m % bm == 0, (m, bm)
+    ni = half // bp
+
+    grid = (m // bm, out // bo, ni)
+    return pl.pallas_call(
+        _int4c_kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((bm, bp), lambda mi, o, i: (mi, i)),            # x lo
+            pl.BlockSpec((bm, bp), lambda mi, o, i, _ni=ni: (mi, i + _ni)),  # x hi
+            pl.BlockSpec((bp, bo), lambda mi, o, i: (i, o)),
+            pl.BlockSpec((1, bo), lambda mi, o, i: (0, o)),
+        ],
+        out_specs=pl.BlockSpec((bm, bo), lambda mi, o, i: (mi, o)),
+        scratch_shapes=[pltpu.VMEM((bm, bo), jnp.float32)],
+        out_shape=jax.ShapeDtypeStruct((m, out), jnp.float32),
+        interpret=interpret,
+    )(x, x, q4, s4)
+
+
+def _int4c_w4a8_kernel(x_lo_ref, x_hi_ref, q4_ref, s_ref, sx_ref, o_ref,
+                       acc_scr):
+    """W4A8: int8 activations x int8-unpacked nibbles on the MXU's native
+    s8 x s8 -> s32 mode — no per-element bf16 convert of the weight stream.
+    Scales (per-column weight scale x per-row activation scale) apply to the
+    [bm, bo] accumulator at flush."""
+    i = pl.program_id(2)
+    ni = pl.num_programs(2)
+
+    @pl.when(i == 0)
+    def _init():
+        acc_scr[:] = jnp.zeros_like(acc_scr)
+
+    # nibble math in i32 lanes (Mosaic won't legalize i8 arith), results cast
+    # to s8 so the dots run in the MXU's native s8 x s8 -> s32 mode
+    p = q4_ref[...].astype(jnp.int32)
+    lo = ((jnp.bitwise_and(p, 15) ^ 8) - 8).astype(jnp.int8)
+    hi = jnp.right_shift(p, 4).astype(jnp.int8)          # arithmetic shift
+    acc_scr[:] += (
+        jax.lax.dot_general(x_lo_ref[...], lo, (((1,), (0,)), ((), ())),
+                            preferred_element_type=jnp.int32)
+        + jax.lax.dot_general(x_hi_ref[...], hi, (((1,), (0,)), ((), ())),
+                              preferred_element_type=jnp.int32))
+
+    @pl.when(i == ni - 1)
+    def _flush():
+        o_ref[...] = (acc_scr[:].astype(jnp.float32)
+                      * sx_ref[...].astype(jnp.float32)
+                      * s_ref[...].astype(jnp.float32)).astype(o_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def _int4c_w4a8_matmul_2d(xq: jax.Array, sx: jax.Array, q4: jax.Array,
+                          s4: jax.Array, interpret: bool = False) -> jax.Array:
+    """xq: int8 [M, IN], sx: f32 [M, 1], q4: [IN/2, OUT], s4: [1, OUT]."""
+    m, inn = xq.shape
+    half, out = q4.shape
+    bp, bo = _plan_c(half, out)
+    bm = m if m <= 256 else 256
+    assert m % bm == 0, (m, bm)
+    ni = half // bp
+
+    grid = (m // bm, out // bo, ni)
+    return pl.pallas_call(
+        _int4c_w4a8_kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((bm, bp), lambda mi, o, i: (mi, i)),
+            pl.BlockSpec((bm, bp), lambda mi, o, i, _ni=ni: (mi, i + _ni)),
+            pl.BlockSpec((bp, bo), lambda mi, o, i: (i, o)),
+            pl.BlockSpec((1, bo), lambda mi, o, i: (0, o)),
+            pl.BlockSpec((bm, 1), lambda mi, o, i: (mi, 0)),
+        ],
+        out_specs=pl.BlockSpec((bm, bo), lambda mi, o, i: (mi, o)),
+        scratch_shapes=[pltpu.VMEM((bm, bo), jnp.int32)],
+        out_shape=jax.ShapeDtypeStruct((m, out), jnp.float32),
+        interpret=interpret,
+    )(xq, xq, q4, s4, sx)
+
+
+_W4A8 = os.environ.get("VIBEVOICE_W4A8", "0") == "1"
+
+
+def set_w4a8(enabled: bool) -> None:
+    """int4c matmuls quantize activations per-row to int8 and run the MXU's
+    native s8 x s8 mode (same accuracy tradeoff as W8A8)."""
+    global _W4A8
+    _W4A8 = bool(enabled)
+
+
+def int4c_matmul(x: jax.Array, qw: Dict[str, jax.Array]) -> jax.Array:
+    """x @ W for a per-column-scale int4 weight; x: [..., in]."""
+    *lead, inn = x.shape
+    half, out = qw["q4c"].shape[-2:]
+
+    impl = _IMPL
+    if impl == "auto":
+        impl = "pallas" if jax.default_backend() == "tpu" else "xla"
+    if impl == "pallas" and (qw["q4c"].ndim != 2 or _plan_c(half, out) is None):
+        impl = "xla"
+    if impl == "xla":
+        w = dequantize_weight_int4c(qw, x.dtype)
+        return jnp.dot(x, w, preferred_element_type=jnp.float32).astype(x.dtype)
+
+    m = 1
+    for d in lead:
+        m *= d
+    x2 = x.reshape(m, inn)
+    pad = 0
+    if m > 256 and m % 256 != 0:
+        pad = 256 - m % 256
+        x2 = jnp.pad(x2, ((0, pad), (0, 0)))
+    if _W4A8:
+        sx = jnp.max(jnp.abs(x2.astype(jnp.float32)), axis=-1, keepdims=True)
+        sx = jnp.maximum(sx / 127.0, 1e-12)
+        xq = jnp.clip(jnp.round(x2.astype(jnp.float32) / sx),
+                      -127, 127).astype(jnp.int8)
+        y = _int4c_w4a8_matmul_2d(xq, sx, qw["q4c"], qw["s4c"])
+    else:
+        y = _int4c_matmul_2d(x2, qw["q4c"], qw["s4c"])
+    if pad:
+        y = y[:m]
+    return y.reshape(*lead, out).astype(x.dtype)
+
+
 def int4_matmul(x: jax.Array, qw: Dict[str, jax.Array]) -> jax.Array:
     """x @ W for an int4-packed weight; x: [..., in]. Output in x.dtype."""
     *lead, inn = x.shape

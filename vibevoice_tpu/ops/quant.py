@@ -71,33 +71,44 @@ def qmatmul(x: jax.Array, w: Any) -> jax.Array:
             return (y.astype(jnp.float32) * sx * w["s"]).astype(x.dtype)
         y = jnp.dot(x, w["q"].astype(x.dtype), preferred_element_type=jnp.float32)
         return (y * w["s"]).astype(x.dtype)
-    from .int4 import int4_matmul, is_quantized_int4
+    from .int4 import (int4_matmul, int4c_matmul, is_quantized_int4,
+                       is_quantized_int4c)
     if is_quantized_int4(w):
         return int4_matmul(x, w)
+    if is_quantized_int4c(w):
+        return int4c_matmul(x, w)
     return x @ w
 
 
-def quantize_any(w: jax.Array, bits: int = 8) -> Any:
+def quantize_any(w: jax.Array, bits: int = 8, colscale: bool = False) -> Any:
     """Quantize one weight at the requested width; int4 falls back to int8
-    when the in-dimension doesn't split into whole nibble-half groups."""
+    when the in-dimension doesn't split into whole nibble-half groups.
+    ``colscale`` picks the per-output-column int4 speed tier (one scale per
+    column, applied to the accumulator) over group-16 fidelity."""
     if bits == 4:
-        from .int4 import quantizable_int4, quantize_weight_int4
-        if quantizable_int4(w.shape):
-            return quantize_weight_int4(w)
+        if colscale:
+            from .int4 import quantizable_int4c, quantize_weight_int4c
+            if quantizable_int4c(w.shape):
+                return quantize_weight_int4c(w)
+        else:
+            from .int4 import quantizable_int4, quantize_weight_int4
+            if quantizable_int4(w.shape):
+                return quantize_weight_int4(w)
     return quantize_weight(w)
 
 
 _LM_QUANT_KEYS = ("wq", "wk", "wv", "wo", "wg", "wu", "wd")
 
 
-def quantize_lm_params(lm_params: dict, bits: int = 8) -> dict:
+def quantize_lm_params(lm_params: dict, bits: int = 8,
+                       colscale: bool = False) -> dict:
     """Quantize the LM projection weights (layers stacked [L, in, out]).
     The lm_head stays int8 at every tier: constrained decoding gathers ~5
     rows from it per step (qwen2.lm_head_rows), never a full matmul."""
     out = dict(lm_params)
     layers = dict(lm_params["layers"])
     for k in _LM_QUANT_KEYS:
-        layers[k] = quantize_any(layers[k], bits)
+        layers[k] = quantize_any(layers[k], bits, colscale=colscale)
     out["layers"] = layers
     if "lm_head" in lm_params:
         out["lm_head"] = quantize_weight(lm_params["lm_head"])
@@ -107,7 +118,8 @@ def quantize_lm_params(lm_params: dict, bits: int = 8) -> dict:
 _HEAD_QUANT_KEYS = ("wg", "wu", "wd", "ada")
 
 
-def quantize_diffusion_head_params(head_params: dict, bits: int = 8) -> dict:
+def quantize_diffusion_head_params(head_params: dict, bits: int = 8,
+                                   colscale: bool = False) -> dict:
     """Quantize the AdaLN-MLP projections (stacked [L, in, out]).
 
     The diffusion scan re-reads ~226 MB of head weights per solver iteration
@@ -118,7 +130,7 @@ def quantize_diffusion_head_params(head_params: dict, bits: int = 8) -> dict:
     out = dict(head_params)
     layers = dict(head_params["layers"])
     for k in _HEAD_QUANT_KEYS:
-        layers[k] = quantize_any(layers[k], bits)
+        layers[k] = quantize_any(layers[k], bits, colscale=colscale)
     out["layers"] = layers
     return out
 
@@ -126,7 +138,8 @@ def quantize_diffusion_head_params(head_params: dict, bits: int = 8) -> dict:
 _TOKENIZER_FFN_KEYS = ("ffn_w1", "ffn_w2")
 
 
-def quantize_tokenizer_params(tok_params: dict, bits: int = 8) -> dict:
+def quantize_tokenizer_params(tok_params: dict, bits: int = 8,
+                              colscale: bool = False) -> dict:
     """Quantize the ConvNeXt FFN matmuls of the acoustic/semantic tokenizers
     (the FFNs hold ~95% of the ~2 GB tokenizer weights; the vocode and
     semantic re-encode stages read them every generated frame).  Depthwise
@@ -134,7 +147,7 @@ def quantize_tokenizer_params(tok_params: dict, bits: int = 8) -> dict:
     stages) fall back to int8 per weight."""
     def rec(node):
         if isinstance(node, dict):
-            return {k: (quantize_any(v, bits)
+            return {k: (quantize_any(v, bits, colscale=colscale)
                         if k in _TOKENIZER_FFN_KEYS and getattr(v, "ndim", 0) >= 2
                         else rec(v))
                     for k, v in node.items()}
@@ -145,13 +158,16 @@ def quantize_tokenizer_params(tok_params: dict, bits: int = 8) -> dict:
 
 
 def dequantize_lm_params(lm_params: dict, dtype=jnp.bfloat16) -> dict:
-    from .int4 import dequantize_weight_int4, is_quantized_int4
+    from .int4 import (dequantize_weight_int4, dequantize_weight_int4c,
+                       is_quantized_int4, is_quantized_int4c)
 
     def deq(leaf):
         if is_quantized(leaf):
             return dequantize_weight(leaf, dtype)
         if is_quantized_int4(leaf):
             return dequantize_weight_int4(leaf, dtype)
+        if is_quantized_int4c(leaf):
+            return dequantize_weight_int4c(leaf, dtype)
         return leaf
 
     out = dict(lm_params)
