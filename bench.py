@@ -260,6 +260,38 @@ def main():
         extras["engine_reqs"] = n_req
         extras["engine_slots"] = slots
 
+        # join latency: submit INTO a live batch, time submit -> first audio
+        # through a streamer (what a production request actually waits)
+        from vibevoice_tpu.streamer import AudioStreamer
+        bg_streams = [AudioStreamer(batch_size=1) for _ in range(slots - 1)]
+        bg = [eng.submit({"input_ids": ids[:1]}, max_new_tokens=10 * req_steps,
+                         max_length_times=1000.0, seed=100 + i, streamer=s_)
+              for i, s_ in enumerate(bg_streams)]
+        eng.step_chunk()                              # batch is live
+        st = AudioStreamer(batch_size=1)
+        t_j0 = time.perf_counter()
+        jr = eng.submit({"input_ids": ids[:1]}, max_new_tokens=req_steps,
+                        max_length_times=1000.0, seed=999, streamer=st)
+        got_first = []
+
+        def consume():
+            for _ in st.get_stream(0):
+                if not got_first:
+                    got_first.append(time.perf_counter() - t_j0)
+
+        import threading as _threading
+        th = _threading.Thread(target=consume)
+        th.start()
+        while not jr.done.is_set():
+            eng.step_chunk()
+        for s_ in bg_streams:                 # consumer-side abort of the rest
+            s_.end([0])
+        eng.drain()
+        th.join(timeout=30)
+        assert jr.error is None
+        if got_first:
+            extras["engine_join_ttfa_s"] = round(got_first[0], 3)
+
     print(json.dumps({
         "metric": (f"rtf_{model_name}_b{batch}_cfg_ddpm{ddpm_steps}"
                    + (f"_int{'8' if quant_env in ('1', '8') else quant_env}"
