@@ -330,12 +330,18 @@ class VibeVoiceGenerator:
 
             # ---- per-token diffusion with CFG (inference:695-708) -----------
             cond2 = jnp.concatenate([pos_h, neg_h], axis=0)        # [2B, H]
+            # AdaLN modulations depend only on (condition, t): compute them
+            # once for all solver timesteps so the scan re-reads only the
+            # x-dependent FFN weights (~half the head bytes per iteration)
+            layer_mods, final_mods = diffusion_head.precompute_modulations(
+                params["diffusion_head"], cfg.diffusion_head,
+                jnp.asarray(sched.timesteps), cond2)
 
-            def denoise(x, t):
+            def denoise(x, t, i):
                 xx = jnp.concatenate([x, x], axis=0).astype(pos_h.dtype)
-                tt = jnp.broadcast_to(t, (b2,))
-                out = diffusion_head.apply(params["diffusion_head"],
-                                           cfg.diffusion_head, xx, tt, cond2)
+                out = diffusion_head.apply_with_mods(
+                    params["diffusion_head"], cfg.diffusion_head, xx,
+                    layer_mods[i], final_mods[i])
                 c, u = out[:b].astype(jnp.float32), out[b:].astype(jnp.float32)
                 return u + cfg_scale * (c - u)
 
@@ -346,7 +352,8 @@ class VibeVoiceGenerator:
             # never depends on when it joined a batch or who its mates are)
             k_sde_rows = jax.vmap(jax.random.fold_in)(
                 step_keys, jnp.full((b,), 3, jnp.uint32))
-            latent = sample_with_solver(sched, denoise, x_t, rng=k_sde_rows)  # [B, D]
+            latent = sample_with_solver(sched, denoise, x_t, rng=k_sde_rows,
+                                        with_index=True)  # [B, D]
 
             # ---- streaming vocode (inference:633-641) -----------------------
             # conv compute follows the tokenizer PARAM dtype (bf16 at serving,

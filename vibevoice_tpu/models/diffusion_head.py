@@ -56,6 +56,60 @@ def timestep_embedding(t: jax.Array, dim: int, max_period: float = 10000.0) -> j
     return emb
 
 
+def precompute_modulations(params: dict, cfg: DiffusionHeadConfig,
+                           timesteps: jax.Array, condition: jax.Array):
+    """Hoist the x-independent AdaLN work out of the solver loop.
+
+    The conditioning ``c = cond_proj(condition) + t_emb(t)`` and every AdaLN
+    modulation (per-layer shift/scale/gate and the final shift/scale) depend
+    only on (condition, t) — NOT on the noisy latent — yet the ada weights
+    are ~half the head's bytes.  Computing them once for all S solver
+    timesteps means the solver scan re-reads only the x-dependent FFN
+    weights per iteration (the head is weight-bandwidth-bound).
+
+    timesteps: [S], condition: [N, H] ->
+      (layer_mods [S, L, N, 3H], final_mods [S, N, 2H])
+    """
+    dtype = condition.dtype
+    t_emb = timestep_embedding(timesteps, cfg.freq_embed_size).astype(dtype)
+    t_emb = jax.nn.silu(t_emb @ params["t_mlp1"]) @ params["t_mlp2"]   # [S, H]
+    cp = condition @ params["cond_proj"]                               # [N, H]
+    sc = jax.nn.silu(cp[None, :, :] + t_emb[:, None, :])               # [S, N, H]
+
+    def one_layer(_, ada_l):
+        return None, qmatmul(sc, ada_l)                                # [S, N, 3H]
+
+    _, layer_mods = jax.lax.scan(one_layer, None, params["layers"]["ada"])
+    layer_mods = jnp.swapaxes(layer_mods, 0, 1)                        # [S, L, N, 3H]
+    final_mods = sc @ params["final_ada"]                              # [S, N, 2H]
+    return layer_mods, final_mods
+
+
+def apply_with_mods(params: dict, cfg: DiffusionHeadConfig, noisy: jax.Array,
+                    layer_mods: jax.Array, final_mod: jax.Array) -> jax.Array:
+    """Denoise with precomputed AdaLN modulations (one solver iteration's
+    slice of ``precompute_modulations``): noisy [N, latent],
+    layer_mods [L, N, 3H], final_mod [N, 2H]."""
+    dtype = layer_mods.dtype
+    x = noisy.astype(dtype) @ params["noisy_proj"]
+    lw = params["layers"]
+    ffn = {"norm": lw["norm"], "wg": lw["wg"], "wu": lw["wu"], "wd": lw["wd"]}
+
+    def body(xc, inp):
+        lp, mod = inp
+        shift, scale, gate = jnp.split(mod, 3, axis=-1)
+        y = rms_norm(xc, lp["norm"], cfg.rms_norm_eps) * (1 + scale) + shift
+        y = qmatmul(jax.nn.silu(qmatmul(y, lp["wg"])) * qmatmul(y, lp["wu"]),
+                    lp["wd"])
+        return xc + gate * y, None
+
+    x, _ = jax.lax.scan(body, x, (ffn, layer_mods))
+
+    shift, scale = jnp.split(final_mod, 2, axis=-1)
+    x = rms_norm(x, None, cfg.rms_norm_eps) * (1 + scale) + shift
+    return x @ params["final_linear"]
+
+
 def apply(params: dict, cfg: DiffusionHeadConfig, noisy: jax.Array,
           timesteps: jax.Array, condition: jax.Array) -> jax.Array:
     """noisy: [N, latent], timesteps: [N], condition: [N, H] -> [N, latent]."""

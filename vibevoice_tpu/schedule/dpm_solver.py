@@ -437,7 +437,8 @@ def solver_step(sched: DPMSolverSchedule, i, x, m_prev, model_out, noise=None,
 
 
 def sample_with_solver(sched: DPMSolverSchedule, denoise_fn: Callable,
-                       x_T: jax.Array, rng: Optional[jax.Array] = None) -> jax.Array:
+                       x_T: jax.Array, rng: Optional[jax.Array] = None,
+                       with_index: bool = False) -> jax.Array:
     """Run the full solver loop as a lax.scan.
 
     ``denoise_fn(x, t) -> model_out`` where t is a scalar from sched.timesteps.
@@ -461,7 +462,12 @@ def sample_with_solver(sched: DPMSolverSchedule, denoise_fn: Callable,
     def body(carry, inp):
         x, m_prev, m_prev2 = carry
         i, key = inp
-        model_out = denoise_fn(x, sched.timesteps[i])
+        if with_index:
+            # denoise_fn(x, t, i): callers with per-iteration precomputed
+            # state (e.g. hoisted AdaLN modulations) index it by i
+            model_out = denoise_fn(x, sched.timesteps[i], i)
+        else:
+            model_out = denoise_fn(x, sched.timesteps[i])
         if per_row:
             z = jax.vmap(lambda k, xx: jax.random.normal(
                 k, xx.shape, xx.dtype))(key, x)
