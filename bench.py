@@ -94,10 +94,11 @@ def build_generator(cfg, ddpm_steps, quantize=False, quantize_head=False,
             params["diffusion_head"], bits=bits, colscale=colscale)
     if os.environ.get("BENCH_QUANT_TOK", "0") == "1":
         from vibevoice_tpu.ops.quant import quantize_tokenizer_params
-        params["acoustic"] = quantize_tokenizer_params(params["acoustic"],
-                                                       bits=bits, colscale=colscale)
-        params["semantic"] = quantize_tokenizer_params(params["semantic"],
-                                                       bits=bits, colscale=colscale)
+        qconvs = os.environ.get("BENCH_QUANT_CONV", "0") == "1"
+        params["acoustic"] = quantize_tokenizer_params(
+            params["acoustic"], bits=bits, colscale=colscale, convs=qconvs)
+        params["semantic"] = quantize_tokenizer_params(
+            params["semantic"], bits=bits, colscale=colscale, convs=qconvs)
     return VibeVoiceGenerator(params, cfg, BenchTokenizer(),
                               ddpm_inference_steps=ddpm_steps,
                               lm_dtype=jnp.bfloat16)

@@ -117,6 +117,44 @@ def test_quantized_tokenizer_error_bounded():
                                np.asarray(out), rtol=2e-4, atol=2e-5)
 
 
+def test_quantized_conv_kernels_decode_parity():
+    """convs=True additionally int8-quantizes the strided resampling kernels
+    (the 67 MB upsample/downsample weights read every frame); decode output
+    stays within the per-channel quantization error bound and streaming ==
+    batch still holds."""
+    from vibevoice_tpu.config import VibeVoiceConfig
+    from vibevoice_tpu.models import acoustic_tokenizer as tok
+    from vibevoice_tpu.ops.quant import quantize_tokenizer_params
+
+    cfg = VibeVoiceConfig.named("tiny").acoustic_tokenizer
+    params = tok.init_acoustic_params(jax.random.PRNGKey(1), cfg, jnp.float32)
+    qparams = quantize_tokenizer_params(params, convs=True)
+
+    # conv leaves >= 128ch quantized (tiny config may have none; force-check
+    # the quantizer math on a synthetic conv weight too)
+    from vibevoice_tpu.ops.quant import quantize_conv_weight
+    rs = np.random.RandomState(0)
+    w = jnp.asarray(rs.randn(16, 256, 128), jnp.float32)     # transposed conv
+    qw = quantize_conv_weight(w, out_axis=1)
+    assert qw["q"].dtype == jnp.int8 and qw["s"].shape == (256,)
+    back = qw["q"].astype(jnp.float32) * qw["s"][None, :, None]
+    assert float(jnp.max(jnp.abs(back - w))) <= float(jnp.max(qw["s"])) / 2 + 1e-6
+
+    lat = jnp.asarray(rs.randn(2, 3, cfg.vae_dim), jnp.float32)
+    ref, _ = tok.decode(params["decoder"], cfg, lat, None)
+    out, _ = tok.decode(qparams["decoder"], cfg, lat, None)
+    scale = float(jnp.max(jnp.abs(ref))) + 1e-9
+    assert float(jnp.max(jnp.abs(out - ref))) <= 0.1 * scale
+
+    state = tok.init_decoder_state(cfg, 2)
+    chunks = []
+    for i in range(lat.shape[1]):
+        y, state = tok.decode(qparams["decoder"], cfg, lat[:, i:i + 1], state)
+        chunks.append(y)
+    np.testing.assert_allclose(np.asarray(jnp.concatenate(chunks, axis=1)),
+                               np.asarray(out), rtol=2e-4, atol=2e-5)
+
+
 def test_bf16_generate_with_quantized_tokenizer_keeps_carry_dtype():
     """Regression: with bf16 params + int8 tokenizer FFNs, the generation
     step's conv-state carry must stay bf16 end to end.  (The fp32 speech_end

@@ -140,8 +140,11 @@ class VibeVoiceGenerator:
         # numpy on purpose: closed over by the jitted step (see make_schedule)
         self.valid_ids = np.asarray(vid, np.int32)
         self.frame_samples = cfg.acoustic_tokenizer.total_stride
-        # conv tokenizer compute dtype = its param dtype (bf16 at serving)
-        self.tok_dtype = params["acoustic"]["decoder"]["stem"]["w"].dtype
+        # conv tokenizer compute dtype = its param dtype (bf16 at serving);
+        # an int8-quantized {"q","s"} stem means the bf16 serving tier
+        stem_w = params["acoustic"]["decoder"]["stem"]["w"]
+        self.tok_dtype = (jnp.bfloat16 if isinstance(stem_w, dict)
+                          else stem_w.dtype)
         # flash decode only reads the [kv_start, kv_len) live range, so the
         # cache can be allocated at final size with no growth recompiles; a
         # pallas_call cannot be auto-partitioned by GSPMD, so meshed serving

@@ -36,9 +36,20 @@ def context_size(kernel: int, stride: int, dilation: int = 1) -> int:
     return (kernel - 1) * dilation - (stride - 1)
 
 
-def causal_conv1d(x: jax.Array, w: jax.Array, b: Optional[jax.Array],
+def _unpack_qconv(x, w):
+    """Support int8 conv weights {"q": int8, "s": f32 [C_out]}: the conv runs
+    on the converted int8 kernel (the convert fuses into the conv read) and
+    the per-out-channel scale applies to the OUTPUT — conv is linear in w,
+    so conv(x, q*s) == conv(x, q) * s for a per-out-channel s."""
+    if isinstance(w, dict):
+        return w["q"].astype(x.dtype), w["s"]
+    return w, None
+
+
+def causal_conv1d(x: jax.Array, w, b: Optional[jax.Array],
                   stride: int = 1, dilation: int = 1, groups: int = 1) -> jax.Array:
     """Batch-mode causal conv. x: [B, T, C_in], w: [k, C_in/groups, C_out]."""
+    w, w_scale = _unpack_qconv(x, w)
     k = w.shape[0]
     pad_left = (k - 1) * dilation - (stride - 1)
     t = x.shape[1]
@@ -50,12 +61,14 @@ def causal_conv1d(x: jax.Array, w: jax.Array, b: Optional[jax.Array],
         x, w.astype(x.dtype), window_strides=(stride,),
         padding=[(pad_left, pad_right)], rhs_dilation=(dilation,),
         dimension_numbers=_DN, feature_group_count=groups)
+    if w_scale is not None:
+        y = y * w_scale.astype(y.dtype)
     if b is not None:
         y = y + b.astype(y.dtype)
     return y
 
 
-def causal_conv1d_step(x: jax.Array, state: jax.Array, w: jax.Array,
+def causal_conv1d_step(x: jax.Array, state: jax.Array, w,
                        b: Optional[jax.Array], stride: int = 1, dilation: int = 1,
                        groups: int = 1) -> Tuple[jax.Array, jax.Array]:
     """Streaming step: T must be a multiple of stride.
@@ -63,24 +76,28 @@ def causal_conv1d_step(x: jax.Array, state: jax.Array, w: jax.Array,
     state: [B, ctx, C_in] with ctx = (k-1)*d - (s-1).  Returns (y [B, T//s, C_out],
     new_state).
     """
+    w, w_scale = _unpack_qconv(x, w)
     ctx = state.shape[1]
     full = jnp.concatenate([state, x], axis=1) if ctx > 0 else x
     y = jax.lax.conv_general_dilated(
         full, w.astype(x.dtype), window_strides=(stride,), padding=[(0, 0)],
         rhs_dilation=(dilation,), dimension_numbers=_DN, feature_group_count=groups)
+    if w_scale is not None:
+        y = y * w_scale.astype(y.dtype)
     if b is not None:
         y = y + b.astype(y.dtype)
     new_state = full[:, full.shape[1] - ctx:, :] if ctx > 0 else state
     return y, new_state
 
 
-def causal_conv_transpose1d(x: jax.Array, w: jax.Array, b: Optional[jax.Array],
+def causal_conv_transpose1d(x: jax.Array, w, b: Optional[jax.Array],
                             stride: int) -> jax.Array:
     """Batch-mode causal transposed conv. x: [B, T, C_in], w: [k, C_out, C_in]
     (torch ConvTranspose1d layout transposed to WOI -> we use transpose_kernel).
 
     Output: [B, T*s, C_out] (right-trimmed by k - s).
     """
+    w, w_scale = _unpack_qconv(x, w)
     k = w.shape[0]
     y = jax.lax.conv_transpose(
         x, w.astype(x.dtype), strides=(stride,), padding="VALID",
@@ -88,6 +105,8 @@ def causal_conv_transpose1d(x: jax.Array, w: jax.Array, b: Optional[jax.Array],
     trim = k - stride
     if trim > 0:
         y = y[:, :-trim, :]
+    if w_scale is not None:
+        y = y * w_scale.astype(y.dtype)
     if b is not None:
         y = y + b.astype(y.dtype)
     return y

@@ -138,19 +138,57 @@ def quantize_diffusion_head_params(head_params: dict, bits: int = 8,
 _TOKENIZER_FFN_KEYS = ("ffn_w1", "ffn_w2")
 
 
+def quantize_conv_weight(w: jax.Array, out_axis: int) -> Dict[str, jax.Array]:
+    """Per-output-channel symmetric int8 for a conv kernel; ``out_axis`` is
+    the weight's output-channel axis (2 for conv [k, Cin/g, Cout], 1 for
+    transposed conv [k, Cout, Cin]).  The conv primitives apply ``s`` to the
+    conv OUTPUT (conv is linear in w), so only the int8 kernel streams from
+    HBM."""
+    wf = w.astype(jnp.float32)
+    oa = out_axis % wf.ndim
+    axes = tuple(i for i in range(wf.ndim) if i != oa)
+    amax = jnp.max(jnp.abs(wf), axis=axes)
+    scale = jnp.maximum(amax / 127.0, 1e-12)
+    sb = scale.reshape(tuple(-1 if i == oa else 1 for i in range(wf.ndim)))
+    q = jnp.clip(jnp.round(wf / sb), -127, 127).astype(jnp.int8)
+    return {"q": q, "s": scale.astype(jnp.float32)}
+
+
 def quantize_tokenizer_params(tok_params: dict, bits: int = 8,
-                              colscale: bool = False) -> dict:
+                              colscale: bool = False,
+                              convs: bool = False) -> dict:
     """Quantize the ConvNeXt FFN matmuls of the acoustic/semantic tokenizers
     (the FFNs hold ~95% of the ~2 GB tokenizer weights; the vocode and
     semantic re-encode stages read them every generated frame).  Depthwise
     mixer convs and norms stay dense; int4-ineligible shapes (narrow early
-    stages) fall back to int8 per weight."""
+    stages) fall back to int8 per weight.
+
+    ``convs=True`` additionally quantizes the strided resampling kernels
+    (stem/head/down/up) to int8 — the decoder's first upsample and the
+    semantic encoder's last downsample are ~67 MB bf16 EACH, read every
+    frame.  Depthwise mixers and sub-128-channel kernels stay dense."""
+    def q_conv(p: dict, transpose: bool) -> dict:
+        w = p.get("w")
+        if (not isinstance(p, dict) or w is None or getattr(w, "ndim", 0) != 3
+                or min(w.shape[1], w.shape[2]) < 128):
+            return p
+        return {**p, "w": quantize_conv_weight(w, out_axis=1 if transpose else 2)}
+
     def rec(node):
         if isinstance(node, dict):
-            return {k: (quantize_any(v, bits, colscale=colscale)
-                        if k in _TOKENIZER_FFN_KEYS and getattr(v, "ndim", 0) >= 2
-                        else rec(v))
-                    for k, v in node.items()}
+            out = {}
+            for k, v in node.items():
+                if k in _TOKENIZER_FFN_KEYS and getattr(v, "ndim", 0) >= 2:
+                    out[k] = quantize_any(v, bits, colscale=colscale)
+                elif convs and k in ("stem", "head") and isinstance(v, dict):
+                    out[k] = q_conv(v, transpose=False)
+                elif convs and k == "down" and isinstance(v, (list, tuple)):
+                    out[k] = type(v)(q_conv(p, False) for p in v)
+                elif convs and k == "up" and isinstance(v, (list, tuple)):
+                    out[k] = type(v)(q_conv(p, True) for p in v)
+                else:
+                    out[k] = rec(v)
+            return out
         if isinstance(node, (list, tuple)):
             return type(node)(rec(v) for v in node)
         return node
