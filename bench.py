@@ -186,10 +186,11 @@ def main():
         for tier_bits, key in ((8, "int8_rtf"), (4, "int4_rtf")):
             gen_q = build_generator(cfg, ddpm_steps, quantize=True,
                                     quantize_head=True, bits=tier_bits)
+            # full stack incl. the strided resampling conv kernels (int8)
             gen_q.params["acoustic"] = quantize_tokenizer_params(
-                gen_q.params["acoustic"], bits=tier_bits)
+                gen_q.params["acoustic"], bits=tier_bits, convs=True)
             gen_q.params["semantic"] = quantize_tokenizer_params(
-                gen_q.params["semantic"], bits=tier_bits)
+                gen_q.params["semantic"], bits=tier_bits, convs=True)
             run_config(gen_q, ids, bench_steps, chunk, 1.3, frame_sec)  # compile
             wq_, _, _, aq_ = run_config(gen_q, ids, bench_steps, chunk, 1.3,
                                         frame_sec)
