@@ -12,7 +12,6 @@ only when a numerics change is intended.
 import os
 
 import numpy as np
-import pytest
 
 import jax
 import jax.numpy as jnp

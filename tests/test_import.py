@@ -1,7 +1,6 @@
 """Checkpoint importer round-trip tests (no real checkpoints needed)."""
 
 import numpy as np
-import pytest
 
 import jax
 import jax.numpy as jnp

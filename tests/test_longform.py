@@ -1,7 +1,6 @@
 """Long-form generation: bucketed KV-cache growth (SURVEY.md §5.7 path)."""
 
 import numpy as np
-import pytest
 
 import jax
 import jax.numpy as jnp

@@ -2,7 +2,6 @@
 the same pjit program must run on 1 and N devices with matching results."""
 
 import numpy as np
-import pytest
 
 import jax
 import jax.numpy as jnp

@@ -2,7 +2,6 @@
 to out-of-repo nnscaler; contract from modeling_vibevoice.py:332-477)."""
 
 import numpy as np
-import pytest
 
 import jax
 import jax.numpy as jnp

@@ -36,16 +36,14 @@ spirit of reference main.py:3072-3094).
 
 from __future__ import annotations
 
-import io
 import json
-import os
 import queue
 import struct
 import threading
 import time
 from dataclasses import dataclass, field
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
-from typing import Dict, List, Optional
+from typing import List, Optional
 
 import numpy as np
 

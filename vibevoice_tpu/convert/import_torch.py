@@ -19,7 +19,6 @@ tests can verify the mapping without real checkpoints.
 from __future__ import annotations
 
 import glob
-import json
 import os
 from typing import Callable, Dict, Optional, Tuple
 
