@@ -183,14 +183,19 @@ def main():
         # bandwidth-bound step.  int4 runs the Pallas dequant-matmul kernel
         # (ops/int4.py) at the same weight width as the reference's NF4.
         from vibevoice_tpu.ops.quant import quantize_tokenizer_params
-        for tier_bits, key in ((8, "int8_rtf"), (4, "int4_rtf")):
+        # int4 tier = int4c (per-column scales): the faster 4-bit variant
+        for tier_bits, tier_col, key in ((8, False, "int8_rtf"),
+                                         (4, True, "int4_rtf")):
             gen_q = build_generator(cfg, ddpm_steps, quantize=True,
-                                    quantize_head=True, bits=tier_bits)
+                                    quantize_head=True, bits=tier_bits,
+                                    colscale=tier_col)
             # full stack incl. the strided resampling conv kernels (int8)
             gen_q.params["acoustic"] = quantize_tokenizer_params(
-                gen_q.params["acoustic"], bits=tier_bits, convs=True)
+                gen_q.params["acoustic"], bits=tier_bits, colscale=tier_col,
+                convs=True)
             gen_q.params["semantic"] = quantize_tokenizer_params(
-                gen_q.params["semantic"], bits=tier_bits, convs=True)
+                gen_q.params["semantic"], bits=tier_bits, colscale=tier_col,
+                convs=True)
             run_config(gen_q, ids, bench_steps, chunk, 1.3, frame_sec)  # compile
             wq_, _, _, aq_ = run_config(gen_q, ids, bench_steps, chunk, 1.3,
                                         frame_sec)
