@@ -87,7 +87,12 @@ def init_params(rng: jax.Array, cfg: Qwen2DecoderConfig, dtype=jnp.bfloat16) -> 
 
 
 def embed_tokens(params: dict, ids: jax.Array) -> jax.Array:
-    return params["embed"][ids]
+    emb = params["embed"]
+    if is_quantized(emb):
+        # int8 embedding table (capacity tier: frees ~1 GB on 7B so the 32k
+        # KV cache fits one chip); gather rows then apply per-column scales
+        return (emb["q"][ids].astype(jnp.float32) * emb["s"]).astype(jnp.bfloat16)
+    return emb[ids]
 
 
 def lm_head_rows(params: dict, ids) -> jax.Array:

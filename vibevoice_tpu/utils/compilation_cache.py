@@ -20,12 +20,24 @@ import jax
 _ENABLED = False
 
 
+def default_cache_dir() -> str:
+    """Prefer the repo-local ``.xla_cache`` (committed, survives fresh
+    environments where ``~/.cache`` does not — the round-1 driver bench paid
+    a 609 s cold compile precisely because the home cache was gone); fall
+    back to ``~/.cache`` for installed copies without a writable repo dir."""
+    here = os.path.dirname(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))))
+    repo_cache = os.path.join(here, ".xla_cache")
+    if os.path.isdir(repo_cache) or os.access(here, os.W_OK):
+        return repo_cache
+    return os.path.expanduser("~/.cache/vibevoice_tpu/xla")
+
+
 def enable_persistent_compilation_cache(path: str | None = None) -> str | None:
     """Idempotent; returns the cache dir (or None when disabled)."""
     global _ENABLED
     path = path or os.environ.get(
-        "VIBEVOICE_COMPILATION_CACHE",
-        os.path.expanduser("~/.cache/vibevoice_tpu/xla"))
+        "VIBEVOICE_COMPILATION_CACHE") or default_cache_dir()
     if path.lower() in ("0", "off", "none", "disabled", ""):
         return None
     if _ENABLED:
