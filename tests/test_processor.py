@@ -221,3 +221,48 @@ class TestQwen2BPE:
             pytest.skip("GPT2Tokenizer unavailable")
         for text in (" hello", "hello", " hello hello", " he llo"):
             assert tok0.encode(text) == hf.encode(text), text
+
+    def test_special_tokens_split_in_encode(self):
+        """Literal control markers inside text resolve to their ids, matching
+        HF added-token behavior (reference
+        modular_vibevoice_text_tokenizer.py:68-80); surrounding text is BPE'd
+        per segment."""
+        tok, vocab, sp = self._tok()
+        ids = tok.encode("he<|vision_start|> hello")
+        assert ids == [vocab["he"], 501, vocab[sp + "hello"]]
+        # adjacent specials, and at string boundaries
+        assert tok.encode("<|vision_pad|><|vision_end|>") == [503, 502]
+        assert tok.encode("<|endoftext|>") == [500]
+        # longest-match: no special is a prefix of another here, but the
+        # alternation must not split mid-token
+        assert tok.encode("hello<|image_pad|>") == [
+            vocab["he"], vocab["llo"], 504]
+
+    def test_special_tokens_split_matches_hf(self, tmp_path):
+        """The split behavior equals HF's added-special-token handling."""
+        pytest.importorskip("transformers")
+        import json
+        from transformers import GPT2Tokenizer
+        tok0, vocab, sp = self._tok()
+        (tmp_path / "vocab.json").write_text(json.dumps(vocab))
+        (tmp_path / "merges.txt").write_text(
+            "#version: 0.2\n"
+            + "\n".join(" ".join(m) for m in tok0.ranks) + "\n")
+        try:
+            hf = GPT2Tokenizer(str(tmp_path / "vocab.json"),
+                               str(tmp_path / "merges.txt"))
+        except Exception:
+            pytest.skip("GPT2Tokenizer unavailable")
+        hf.add_special_tokens({"additional_special_tokens": [
+            "<|vision_start|>", "<|vision_end|>", "<|vision_pad|>"]})
+        for text in ("he<|vision_start|> hello",
+                     "<|vision_pad|><|vision_end|>hello",
+                     " hello<|vision_start|>"):
+            assert tok0.encode(text) == hf.encode(text), text
+
+    def test_byte_fallback_special_tokens(self):
+        from vibevoice_tpu.processor.text_tokenizer import (
+            SPEECH_START_ID, ByteFallbackTokenizer)
+        tok = ByteFallbackTokenizer()
+        ids = tok.encode("ab<|vision_start|>c")
+        assert ids == [ord("a"), ord("b"), SPEECH_START_ID, ord("c")]

@@ -133,6 +133,19 @@ _QWEN2_PRETOKENIZE = (
     r" ?[^\s\p{L}\p{N}]+[\r\n]*|\s*[\r\n]+|\s+(?!\S)|\s+")
 
 
+def _compile_special_splitter(specials: dict):
+    """Alternation over the added special-token literals, longest first —
+    HF splits text on added tokens BEFORE the BPE pre-tokenizer runs
+    (reference modular_vibevoice_text_tokenizer.py:68-80 registers
+    <|vision_start|> etc. as additional_special_tokens), so a literal
+    control marker inside a script must resolve to its id, not get BPE'd."""
+    if not specials:
+        return None
+    import re
+    alts = sorted(specials, key=len, reverse=True)
+    return re.compile("(" + "|".join(re.escape(t) for t in alts) + ")")
+
+
 class Qwen2BPETokenizer(_SpeechTokenMixin):
     """Standalone Qwen2-style byte-level BPE (no transformers dependency).
 
@@ -152,6 +165,7 @@ class Qwen2BPETokenizer(_SpeechTokenMixin):
         self.byte_enc = _bytes_to_unicode()
         self.byte_dec = {v: k for k, v in self.byte_enc.items()}
         self._specials = specials or {}                 # token str -> id
+        self._special_re = _compile_special_splitter(self._specials)
         self._cache: dict = {}
 
     # -- loading -----------------------------------------------------------
@@ -206,6 +220,20 @@ class Qwen2BPETokenizer(_SpeechTokenMixin):
         return word
 
     def encode(self, text: str, add_special_tokens: bool = False) -> List[int]:
+        if self._special_re is not None:
+            ids: List[int] = []
+            for seg in self._special_re.split(text):
+                if not seg:
+                    continue
+                sid = self._specials.get(seg)
+                if sid is not None:
+                    ids.append(sid)
+                else:
+                    ids.extend(self._encode_ordinary(seg))
+            return ids
+        return self._encode_ordinary(text)
+
+    def _encode_ordinary(self, text: str) -> List[int]:
         ids: List[int] = []
         for piece in self._re.findall(text):
             enc = "".join(self.byte_enc[b] for b in piece.encode("utf-8"))
@@ -291,8 +319,21 @@ class ByteFallbackTokenizer(_SpeechTokenMixin):
 
     vocab_size = 151936
 
+    _SPECIAL_STRINGS = {"<|endoftext|>": EOS_ID, "<|vision_start|>": SPEECH_START_ID,
+                        "<|vision_end|>": SPEECH_END_ID,
+                        "<|vision_pad|>": SPEECH_DIFFUSION_ID,
+                        "<|image_pad|>": PAD_ID}
+
     def encode(self, text: str, add_special_tokens: bool = False) -> List[int]:
-        return list(text.encode("utf-8"))
+        splitter = _compile_special_splitter(self._SPECIAL_STRINGS)
+        ids: List[int] = []
+        for seg in splitter.split(text):
+            sid = self._SPECIAL_STRINGS.get(seg)
+            if sid is not None:
+                ids.append(sid)
+            elif seg:
+                ids.extend(seg.encode("utf-8"))
+        return ids
 
     def decode(self, ids, skip_special_tokens: bool = True, **kwargs) -> str:
         by = bytes(i for i in ids if 0 <= i < 256)
