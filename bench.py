@@ -408,6 +408,11 @@ def main():
             extras["engine_join_p50_s"] = round(float(np.median(jl)), 3)
             extras["engine_join_p99_s"] = round(
                 float(jl[min(len(jl) - 1, int(np.ceil(0.99 * len(jl))) - 1)]), 3)
+        # the engine holds the bf16 generator (and so its params): drop BOTH
+        # here or the later `del gen` frees nothing and the 7B build OOMs a
+        # 16 GB chip under the leftover ~6 GB
+        del eng, reqs, bg, jr
+        gc.collect()
 
     if with_extras and heavy and model_name == "1.5b":
         del gen
@@ -418,61 +423,71 @@ def main():
         # synthetic prompt seeds the KV depth; decode then runs 1024 steps at
         # live context 40.5k -> 41.5k.  Warmup stops after 2 chunks so
         # persistent-cache deserialization stays outside the timed run.
-        gen15q = build_generator(cfg, ddpm_steps, quantize=True,
-                                 quantize_head=True, bits=8)
-        full_quant_tiers(gen15q.params, 8, False)
-        deep_ids = make_ids(1, 40500)
-        lf_steps = 1024
-        run_config(gen15q, deep_ids, lf_steps, chunk, 1.3, frame_sec,
-                   stop_check_fn=stop_after_chunks(3))          # warm programs
-        wl, sl, dl, al = run_config(gen15q, deep_ids, lf_steps, chunk, 1.3,
-                                    frame_sec)
-        # TTFA at depth = 40.5k-token prefill + first chunk (from the run's
-        # own stage timer — no extra 1-step program at this shape)
-        extras["longform_64k_ttfa_s"] = round(
-            gen15q.last_metrics.get("ttfa", {}).get("total_s", -1.0), 2)
-        extras["longform_64k_rtf"] = round(al / wl, 3)
-        extras["longform_64k_depth_end"] = 40500 + sl
-        extras["longform_64k_hbm_gb"] = round(
-            tree_gb(gen15q.params) + 28 * 2 * 2 * 2 * 128 * 52000 * 2 / 1e9, 2)
-        del gen15q, deep_ids
+        try:
+            gen15q = build_generator(cfg, ddpm_steps, quantize=True,
+                                     quantize_head=True, bits=8)
+            full_quant_tiers(gen15q.params, 8, False)
+            deep_ids = make_ids(1, 40500)
+            lf_steps = 1024
+            run_config(gen15q, deep_ids, lf_steps, chunk, 1.3, frame_sec,
+                       stop_check_fn=stop_after_chunks(3))      # warm programs
+            wl, sl, dl, al = run_config(gen15q, deep_ids, lf_steps, chunk, 1.3,
+                                        frame_sec)
+            # TTFA at depth = 40.5k-token prefill + first chunk (from the
+            # run's own stage timer — no extra 1-step program at this shape)
+            extras["longform_64k_ttfa_s"] = round(
+                gen15q.last_metrics.get("ttfa", {}).get("total_s", -1.0), 2)
+            extras["longform_64k_rtf"] = round(al / wl, 3)
+            extras["longform_64k_depth_end"] = 40500 + sl
+            extras["longform_64k_hbm_gb"] = round(
+                tree_gb(gen15q.params)
+                + 28 * 2 * 2 * 2 * 128 * 52000 * 2 / 1e9, 2)
+            del gen15q, deep_ids
+        except Exception as e:  # noqa: BLE001 - keep the JSON line flowing
+            extras["longform_64k_error"] = repr(e)[:200]
         gc.collect()
 
         # ---- 7B tiers (configs 3 + 5), full-int8 on ONE chip --------------
-        cfg7 = VibeVoiceConfig.named("7b")
-        frame7 = cfg7.acoustic_tokenizer.total_stride / 24000.0
-        gen7 = build_generator(cfg7, ddpm_steps, quantize=True,
-                               quantize_head=True, bits=8, quantize_embed=True)
-        full_quant_tiers(gen7.params, 8, False)
+        try:
+            cfg7 = VibeVoiceConfig.named("7b")
+            frame7 = cfg7.acoustic_tokenizer.total_stride / 24000.0
+            gen7 = build_generator(cfg7, ddpm_steps, quantize=True,
+                                   quantize_head=True, bits=8,
+                                   quantize_embed=True)
+            full_quant_tiers(gen7.params, 8, False)
 
-        # config 3: 4 speakers, per-speaker voice prompts (23 frames ≈ 3 s
-        # each) — prefill runs the acoustic encode + connector scatter, then
-        # 192-step decode
-        ids7, sp, spm, simask = voice_prompt_inputs(
-            4, 23, 256, cfg7.acoustic_tokenizer.total_stride)
-        kw7 = dict(speech_tensors=sp, speech_masks=spm, speech_input_mask=simask)
-        run_config(gen7, ids7, bench_steps, chunk, 1.3, frame7, **kw7)  # compile
-        run_config(gen7, ids7, 1, 1, 1.3, frame7, **kw7)
-        t_70 = time.perf_counter()
-        run_config(gen7, ids7, 1, 1, 1.3, frame7, **kw7)
-        extras["7b_ttfa_s"] = round(time.perf_counter() - t_70, 3)
-        w7, s7, d7, a7 = run_config(gen7, ids7, bench_steps, chunk, 1.3,
-                                    frame7, **kw7)
-        extras["7b_int8_4spk_rtf"] = round(a7 / w7, 3)
+            # config 3: 4 speakers, per-speaker voice prompts (23 frames ≈
+            # 3 s each) — prefill runs the acoustic encode + connector
+            # scatter, then 192-step decode
+            ids7, sp, spm, simask = voice_prompt_inputs(
+                4, 23, 256, cfg7.acoustic_tokenizer.total_stride)
+            kw7 = dict(speech_tensors=sp, speech_masks=spm,
+                       speech_input_mask=simask)
+            run_config(gen7, ids7, bench_steps, chunk, 1.3, frame7, **kw7)
+            run_config(gen7, ids7, 1, 1, 1.3, frame7, **kw7)
+            t_70 = time.perf_counter()
+            run_config(gen7, ids7, 1, 1, 1.3, frame7, **kw7)
+            extras["7b_ttfa_s"] = round(time.perf_counter() - t_70, 3)
+            w7, s7, d7, a7 = run_config(gen7, ids7, bench_steps, chunk, 1.3,
+                                        frame7, **kw7)
+            extras["7b_int8_4spk_rtf"] = round(a7 / w7, 3)
 
-        # config 5: long-form at 32k context — 30.5k-token prompt, then 2048
-        # decode steps sustained through live context 30.5k -> 32.5k
-        deep7 = make_ids(1, 30500)
-        lf7_steps = 2048
-        run_config(gen7, deep7, lf7_steps, chunk, 1.3, frame7,
-                   stop_check_fn=stop_after_chunks(3))          # warm programs
-        w7l, s7l, d7l, a7l = run_config(gen7, deep7, lf7_steps, chunk, 1.3,
-                                        frame7)
-        extras["longform_32k_rtf"] = round(a7l / w7l, 3)
-        extras["longform_32k_depth_end"] = 30500 + s7l
-        extras["longform_32k_hbm_gb"] = round(
-            tree_gb(gen7.params) + 28 * 2 * 4 * 2 * 128 * 35072 * 2 / 1e9, 2)
-        del gen7
+            # config 5: long-form at 32k context — 30.5k-token prompt, then
+            # 2048 decode steps sustained through live context 30.5k -> 32.5k
+            deep7 = make_ids(1, 30500)
+            lf7_steps = 2048
+            run_config(gen7, deep7, lf7_steps, chunk, 1.3, frame7,
+                       stop_check_fn=stop_after_chunks(3))      # warm programs
+            w7l, s7l, d7l, a7l = run_config(gen7, deep7, lf7_steps, chunk,
+                                            1.3, frame7)
+            extras["longform_32k_rtf"] = round(a7l / w7l, 3)
+            extras["longform_32k_depth_end"] = 30500 + s7l
+            extras["longform_32k_hbm_gb"] = round(
+                tree_gb(gen7.params)
+                + 28 * 2 * 4 * 2 * 128 * 35072 * 2 / 1e9, 2)
+            del gen7
+        except Exception as e:  # noqa: BLE001
+            extras["7b_error"] = repr(e)[:200]
         gc.collect()
 
     if os.environ.get("BENCH_ENGINE", "0") == "1":

@@ -82,6 +82,84 @@ def test_prefill_pallas_matches_xla():
                                atol=1e-5)
 
 
+def test_prefill_chunked_matches_single_shot():
+    """Segmented prefill (fori_loop over fixed segments + cache-aware flash
+    kernel) == one-shot prefill: last hidden and whole cache, left-padded
+    batch, cache longer than the prompt (decode slots beyond T untouched)."""
+    from vibevoice_tpu.config import Qwen2DecoderConfig
+    from vibevoice_tpu.models import qwen2
+
+    cfg = Qwen2DecoderConfig(
+        vocab_size=64, hidden_size=32, intermediate_size=64, num_hidden_layers=2,
+        num_attention_heads=4, num_key_value_heads=2, max_position_embeddings=256)
+    params = qwen2.init_params(jax.random.PRNGKey(0), cfg, jnp.float32)
+    b, t, cache_len = 2, 64, 96
+    ids = jax.random.randint(jax.random.PRNGKey(1), (b, t), 0, 64)
+    x = qwen2.embed_tokens(params, ids)
+    mask = np.ones((b, t), bool)
+    mask[1, :23] = False                   # left padding crossing a segment
+    mask = jnp.asarray(mask)
+
+    c1 = qwen2.init_kv_cache(cfg, b, cache_len, jnp.float32)
+    h_ref, cache_ref = qwen2.prefill(params, cfg, x, mask, c1, impl="xla")
+    for chunk in (16, 32):
+        c2 = qwen2.init_kv_cache(cfg, b, cache_len, jnp.float32)
+        last, cache_ch = qwen2.prefill_chunked(params, cfg, x, mask, c2, chunk)
+        np.testing.assert_allclose(np.asarray(last),
+                                   np.asarray(h_ref[:, -1, :]),
+                                   rtol=2e-3, atol=2e-3)
+        # compare LIVE slots only: pad slots (k < kv_start) hold
+        # garbage-by-design in both paths (fully-masked queries resolve
+        # differently: kernel -> zeros, XLA -> uniform) and are masked out of
+        # every later attention read
+        np.testing.assert_allclose(np.asarray(cache_ch.k[:, 0, :, :t]),
+                                   np.asarray(cache_ref.k[:, 0, :, :t]),
+                                   atol=1e-5)
+        np.testing.assert_allclose(np.asarray(cache_ch.k[:, 1, :, 23:t]),
+                                   np.asarray(cache_ref.k[:, 1, :, 23:t]),
+                                   atol=1e-5)
+        np.testing.assert_allclose(np.asarray(cache_ch.v[:, 0, :, :t]),
+                                   np.asarray(cache_ref.v[:, 0, :, :t]),
+                                   atol=1e-5)
+        np.testing.assert_allclose(np.asarray(cache_ch.v[:, 1, :, 23:t]),
+                                   np.asarray(cache_ref.v[:, 1, :, 23:t]),
+                                   atol=1e-5)
+
+
+def test_generate_long_prompt_uses_chunked_prefill(monkeypatch):
+    """End-to-end: a prompt past the chunk threshold generates the same
+    tokens/audio as with single-shot prefill."""
+    from vibevoice_tpu.config import VibeVoiceConfig
+    from vibevoice_tpu.generation import VibeVoiceGenerator
+    from vibevoice_tpu.models import vibevoice
+    from vibevoice_tpu.processor.text_tokenizer import ByteFallbackTokenizer
+
+    cfg = VibeVoiceConfig.named("tiny")
+    params = vibevoice.init_params(jax.random.PRNGKey(0), cfg, jnp.float32)
+    tk = ByteFallbackTokenizer()
+    ids = np.full((1, 70), 65, np.int64)
+    ids[:, -1] = tk.speech_start_id
+
+    def run(chunk_env):
+        monkeypatch.setenv("VIBEVOICE_PREFILL_CHUNK", chunk_env)
+        gen = VibeVoiceGenerator(params, cfg, tk, ddpm_inference_steps=2,
+                                 lm_dtype=jnp.float32)
+        assert gen.prefill_chunk == int(chunk_env)
+        return gen.generate(ids, cfg_scale=1.3, max_new_tokens=6,
+                            chunk_steps=3, max_length_times=1000.0,
+                            refresh_negative=False, seed=7)
+
+    out_chunked = run("32")                # 70 -> bucket 96 = 3 segments
+    out_single = run("4096")
+    np.testing.assert_array_equal(np.asarray(out_chunked.sequences),
+                                  np.asarray(out_single.sequences))
+    for a, b_ in zip(out_chunked.speech_outputs, out_single.speech_outputs):
+        if a is None or b_ is None:
+            assert a is None and b_ is None
+        else:
+            np.testing.assert_allclose(a, b_, atol=2e-4)
+
+
 class TestFlashDecode:
     """ops/flash_decode.py: single-query attention against the head-major
     cache (SURVEY §2.3 FlashAttention2 decode row)."""

@@ -279,6 +279,9 @@ class ContinuousEngine:
         b, t0 = ids.shape
         assert b == 1, "engine requests are single-sample"
         t_bucket = max(_bucket_len(t0, 64), t0)
+        if t_bucket > self.gen.prefill_chunk:
+            from .generate import _round_up
+            t_bucket = _round_up(t_bucket, self.gen.prefill_chunk)
         if t_bucket + 2 >= self.cache_len:
             raise ValueError(f"prompt ({t0} tokens) does not fit the engine "
                              f"cache ({self.cache_len})")

@@ -154,6 +154,10 @@ class VibeVoiceGenerator:
         self.decode_impl = _os.environ.get("VIBEVOICE_DECODE_IMPL") or (
             ("pallas_shmap" if self.kv_tp else "xla") if mesh is not None
             else ("pallas" if on_tpu else "xla"))
+        # prompts longer than this prefill in fixed segments (activation
+        # memory ∝ segment, not prompt — the 7B/30k-prompt OOM guard)
+        self.prefill_chunk = int(_os.environ.get(
+            "VIBEVOICE_PREFILL_CHUNK", "4096"))
         self._prefill_jit: Dict[Any, Callable] = {}
         self._chunk_jit: Dict[Any, Callable] = {}
         self.last_metrics: Dict[str, dict] = {}
@@ -242,6 +246,14 @@ class VibeVoiceGenerator:
             if c_sh is not None:
                 cache = jax.tree.map(
                     lambda x: jax.lax.with_sharding_constraint(x, c_sh), cache)
+            if (t_bucket > self.prefill_chunk and
+                    t_bucket % self.prefill_chunk == 0 and self.mesh is None):
+                # long prompts: segmented prefill bounds activation memory
+                # (the 7B 30k-prompt OOM) — one program for any segment count
+                last, cache = qwen2.prefill_chunked(
+                    params["lm"], cfg.decoder, embeds, valid2b, cache,
+                    self.prefill_chunk)
+                return last, cache
             hidden, cache = qwen2.prefill(params["lm"], cfg.decoder, embeds,
                                           valid2b, cache)
             return hidden[:, -1, :], cache
@@ -623,6 +635,9 @@ class VibeVoiceGenerator:
         # long-form killer: at 64k a full-buffer read is ~3.7 GB/step)
         t_bucket = min(_bucket_len(t0, 64), cfg.decoder.max_position_embeddings)
         t_bucket = max(t_bucket, t0)
+        if t_bucket > self.prefill_chunk:
+            # segmented prefill wants a whole number of segments
+            t_bucket = _round_up(t_bucket, self.prefill_chunk)
         cache_len_final = _round_up(t_bucket + max_steps + 2, 256)
         if self.decode_impl in ("pallas", "pallas_shmap"):
             # flash decode never touches dead slots: allocate final size up

@@ -261,6 +261,68 @@ def prefill(params: dict, cfg: Qwen2DecoderConfig, embeds: jax.Array,
     return forward(params, cfg, embeds, positions, cache, mask, decode=False)
 
 
+def prefill_chunked(params: dict, cfg: Qwen2DecoderConfig, embeds: jax.Array,
+                    valid_mask: jax.Array, cache: KVCache,
+                    chunk: int) -> Tuple[jax.Array, KVCache]:
+    """Prefill in fixed-size segments: bounds activation memory at [B, chunk]
+    (a 30k-token 7B prompt would otherwise OOM a 16 GB chip on its FFN
+    intermediates) and keeps one compiled program regardless of segment
+    count.  Each segment writes its K/V into the cache at its offset, then
+    attends over the whole cache buffer through the causal-masked
+    chunked-prefill kernel (masked slots cost DMA only).
+
+    embeds: [B, T, H] with T % chunk == 0; returns (last-position hidden
+    [B, H], cache) — segment boundaries are invisible in the result.
+    """
+    from ..ops.flash_attention import flash_attention_cached
+
+    b, t, hdim = embeds.shape
+    assert t % chunk == 0, (t, chunk)
+    n_seg = t // chunk
+    dh = cfg.resolved_head_dim
+    hq, hkv = cfg.num_attention_heads, cfg.num_key_value_heads
+    positions = jnp.clip(jnp.cumsum(valid_mask, axis=-1) - 1, 0)
+    kv_start = (t - jnp.sum(valid_mask, axis=-1)).astype(jnp.int32)
+
+    def run_segment(i, carry):
+        ck_all, cv_all, _ = carry
+        off = i * chunk
+        x = jax.lax.dynamic_slice_in_dim(embeds, off, chunk, axis=1)
+        pos = jax.lax.dynamic_slice_in_dim(positions, off, chunk, axis=1)
+        cos, sin = rope_cos_sin(pos, dh, cfg.rope_theta)
+
+        def body(xc, layer_in):
+            lp, ck, cv = layer_in
+            resid = xc
+            y = rms_norm(xc, lp["ln1"], cfg.rms_norm_eps)
+            q = (qmatmul(y, lp["wq"]) + lp["bq"]).reshape(b, chunk, hq, dh)
+            k = (qmatmul(y, lp["wk"]) + lp["bk"]).reshape(b, chunk, hkv, dh)
+            v = (qmatmul(y, lp["wv"]) + lp["bv"]).reshape(b, chunk, hkv, dh)
+            q = apply_rope(q, cos, sin)
+            k = apply_rope(k, cos, sin)
+            ck = jax.lax.dynamic_update_slice(
+                ck, k.transpose(0, 2, 1, 3).astype(ck.dtype), (0, 0, off, 0))
+            cv = jax.lax.dynamic_update_slice(
+                cv, v.transpose(0, 2, 1, 3).astype(cv.dtype), (0, 0, off, 0))
+            attn = flash_attention_cached(q, ck, cv, kv_start, off)
+            xc = resid + qmatmul(attn.reshape(b, chunk, hq * dh), lp["wo"])
+            resid = xc
+            y = rms_norm(xc, lp["ln2"], cfg.rms_norm_eps)
+            xc = resid + qmatmul(
+                jax.nn.silu(qmatmul(y, lp["wg"])) * qmatmul(y, lp["wu"]),
+                lp["wd"])
+            return xc, (ck, cv)
+
+        x, (nk, nv) = jax.lax.scan(body, x, (params["layers"], ck_all, cv_all))
+        return nk, nv, x[:, -1, :]
+
+    last0 = jnp.zeros((b, hdim), embeds.dtype)
+    nk, nv, last = jax.lax.fori_loop(0, n_seg, run_segment,
+                                     (cache.k, cache.v, last0))
+    last = rms_norm(last[:, None, :], params["norm"], cfg.rms_norm_eps)[:, 0]
+    return last, KVCache(k=nk, v=nv)
+
+
 def decode_step(params: dict, cfg: Qwen2DecoderConfig, embeds: jax.Array,
                 positions: jax.Array, write_idx: jax.Array, kv_start: jax.Array,
                 kv_len: jax.Array, cache: KVCache,

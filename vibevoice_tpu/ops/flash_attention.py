@@ -145,3 +145,121 @@ def flash_attention(q: jax.Array, k: jax.Array, v: jax.Array,
         interpret=interpret,
     )(kv_start.astype(jnp.int32), qh, kh, vh)
     return out.transpose(0, 2, 1, 3)
+
+
+# ---------------------------------------------------------------------------
+# Chunked-prefill kernel: q segment vs the (head-major) KV cache
+# ---------------------------------------------------------------------------
+
+def _flash_cached_kernel(kv_start_ref,   # scalar prefetch: [B] int32
+                         q_off_ref,      # scalar prefetch: [1] int32
+                         q_ref, k_ref, v_ref, o_ref,
+                         m_scr, l_scr, acc_scr,
+                         *, scale: float, block_q: int, block_k: int):
+    """Segment attention for chunked prefill: queries live at GLOBAL
+    positions q_off + [0, Tq); keys are the whole cache buffer.  Causality
+    (k <= q_global) doubles as the live-range upper bound — slots past the
+    segment being written are masked, so the fixed cache-shaped read needs no
+    separate kv_len.  k blocks entirely above the diagonal skip compute."""
+    b = pl.program_id(0)
+    qi = pl.program_id(2)
+    ki = pl.program_id(3)
+    nk = pl.num_programs(3)
+
+    @pl.when(ki == 0)
+    def _init():
+        m_scr[:] = jnp.full_like(m_scr, NEG_INF)
+        l_scr[:] = jnp.zeros_like(l_scr)
+        acc_scr[:] = jnp.zeros_like(acc_scr)
+
+    q_start = q_off_ref[0] + qi * block_q
+    k_start = ki * block_k
+
+    def _compute():
+        q = q_ref[0, 0].astype(jnp.float32)
+        k = k_ref[0, 0].astype(jnp.float32)
+        v = v_ref[0, 0].astype(jnp.float32)
+        s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
+                                preferred_element_type=jnp.float32) * scale
+
+        q_ids = q_start + jax.lax.broadcasted_iota(jnp.int32, (block_q, block_k), 0)
+        k_ids = k_start + jax.lax.broadcasted_iota(jnp.int32, (block_q, block_k), 1)
+        mask = jnp.logical_and(k_ids >= kv_start_ref[b], k_ids <= q_ids)
+        s = jnp.where(mask, s, NEG_INF)
+
+        m_prev = m_scr[:]
+        m_cur = jnp.max(s, axis=-1, keepdims=True)
+        m_new = jnp.maximum(m_prev, m_cur)
+        p = jnp.exp(s - m_new)
+        alpha = jnp.exp(m_prev - m_new)
+        l_scr[:] = l_scr[:] * alpha + jnp.sum(p, axis=-1, keepdims=True)
+        acc_scr[:] = acc_scr[:] * alpha + jax.lax.dot_general(
+            p, v, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32)
+        m_scr[:] = m_new
+
+    pl.when(k_start <= q_start + block_q - 1)(_compute)
+
+    @pl.when(ki == nk - 1)
+    def _finalize():
+        l = l_scr[:]
+        l = jnp.where(l == 0.0, 1.0, l)
+        o_ref[0, 0] = (acc_scr[:] / l).astype(o_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("block_q", "block_k", "interpret"))
+def flash_attention_cached(q: jax.Array, cache_k: jax.Array, cache_v: jax.Array,
+                           kv_start: jax.Array, q_offset: jax.Array,
+                           block_q: int = DEFAULT_BLOCK_Q,
+                           block_k: int = DEFAULT_BLOCK_K,
+                           interpret: bool | None = None) -> jax.Array:
+    """Chunked-prefill attention: q: [B, C, Hq, D] at global positions
+    q_offset + [0, C); cache_k/v: [B, Hkv, S, D] head-major (the KV cache
+    buffer, already holding this segment's keys at [q_offset, q_offset+C)).
+    kv_start: [B] first valid key (left-pad).  q_offset: [] or [1] traced.
+    Returns [B, C, Hq, D]."""
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    b, tq, hq, d = q.shape
+    s_len, hkv = cache_k.shape[2], cache_k.shape[1]
+    group = hq // hkv
+
+    def _fit(block, t):
+        block = min(block, t)
+        while t % block != 0:
+            block //= 2
+        return max(block, 8)
+
+    block_q = _fit(block_q, tq)
+    block_k = _fit(block_k, s_len)
+    scale = d ** -0.5
+    qh = q.transpose(0, 2, 1, 3)
+
+    grid = (b, hq, tq // block_q, s_len // block_k)
+    kernel = functools.partial(_flash_cached_kernel, scale=scale,
+                               block_q=block_q, block_k=block_k)
+    out = pl.pallas_call(
+        kernel,
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=2,
+            grid=grid,
+            in_specs=[
+                pl.BlockSpec((1, 1, block_q, d),
+                             lambda b_, h, qi, ki, kvs, qo: (b_, h, qi, 0)),
+                pl.BlockSpec((1, 1, block_k, d),
+                             lambda b_, h, qi, ki, kvs, qo: (b_, h // group, ki, 0)),
+                pl.BlockSpec((1, 1, block_k, d),
+                             lambda b_, h, qi, ki, kvs, qo: (b_, h // group, ki, 0)),
+            ],
+            out_specs=pl.BlockSpec((1, 1, block_q, d),
+                                   lambda b_, h, qi, ki, kvs, qo: (b_, h, qi, 0)),
+            scratch_shapes=[
+                pltpu.VMEM((block_q, 1), jnp.float32),
+                pltpu.VMEM((block_q, 1), jnp.float32),
+                pltpu.VMEM((block_q, d), jnp.float32),
+            ],
+        ),
+        out_shape=jax.ShapeDtypeStruct((b, hq, tq, d), q.dtype),
+        interpret=interpret,
+    )(kv_start.astype(jnp.int32),
+      jnp.atleast_1d(jnp.asarray(q_offset, jnp.int32)), qh, cache_k, cache_v)
+    return out.transpose(0, 2, 1, 3)
