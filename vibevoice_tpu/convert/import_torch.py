@@ -244,10 +244,18 @@ def load_pretrained(path: str, cfg: Optional[VibeVoiceConfig] = None,
 # Export (for round-trip tests and interop)
 # ---------------------------------------------------------------------------
 
-def export_state_dict(params: dict, cfg: VibeVoiceConfig) -> Dict[str, Array]:
-    """Inverse mapping: vibevoice_tpu params -> reference-named numpy dict."""
+def export_state_dict(params: dict, cfg: VibeVoiceConfig,
+                      dtype=np.float32) -> Dict[str, Array]:
+    """Inverse mapping: vibevoice_tpu params -> reference-named numpy dict.
+
+    ``dtype=None`` preserves each tensor's dtype (bf16 checkpoints stay bf16,
+    matching what the reference converter writes); the default float32 keeps
+    the historical behavior for torch interop tests."""
     out: Dict[str, Array] = {}
-    f32 = lambda a: np.asarray(a, np.float32)
+    if dtype is None:
+        f32 = lambda a: np.asarray(a)
+    else:
+        f32 = lambda a: np.asarray(a, dtype)
 
     lm = params["lm"]
     pre = "model.language_model"
@@ -347,3 +355,83 @@ def export_state_dict(params: dict, cfg: VibeVoiceConfig) -> Dict[str, Array]:
     out["model.speech_scaling_factor"] = f32(params["speech_scaling_factor"])
     out["model.speech_bias_factor"] = f32(params["speech_bias_factor"])
     return out
+
+
+# ---------------------------------------------------------------------------
+# HF-format checkpoint writer (the reference converter's artifact layout)
+# ---------------------------------------------------------------------------
+
+_PREPROCESSOR_CONFIG = {
+    # exact schema the reference converter writes
+    # (convert_nnscaler_checkpoint_to_transformers.py:92-124)
+    "processor_class": "VibeVoiceProcessor",
+    "speech_tok_compress_ratio": 3200,
+    "db_normalize": True,
+    "audio_processor": {
+        "feature_extractor_type": "VibeVoiceTokenizerProcessor",
+        "sampling_rate": 24000,
+        "normalize_audio": True,
+        "target_dB_FS": -25,
+        "eps": 1e-6,
+    },
+}
+
+
+def write_hf_checkpoint(params: dict, cfg: VibeVoiceConfig, outdir: str,
+                        max_shard_bytes: int = 2 * 1024 ** 3,
+                        dtype=None) -> Dict[str, str]:
+    """Write params as a reference-layout HF checkpoint directory.
+
+    Produces exactly what the reference converter's ``save_pretrained(...,
+    max_shard_size="2GB", safe_serialization=True)`` emits
+    (convert_nnscaler_checkpoint_to_transformers.py:92-124): ``config.json``,
+    ``preprocessor_config.json``, and ``model-XXXXX-of-YYYYY.safetensors``
+    shards with a ``model.safetensors.index.json`` weight map (single
+    un-indexed ``model.safetensors`` when everything fits one shard).
+
+    Returns the tensor-name -> shard-file map that was written.
+    """
+    import json
+
+    from safetensors.numpy import save_file
+
+    os.makedirs(outdir, exist_ok=True)
+    sd = export_state_dict(params, cfg, dtype=dtype)
+    # tied embeddings: HF save_pretrained drops the tied lm_head alias
+    if cfg.decoder.tie_word_embeddings:
+        sd.pop("lm_head.weight", None)
+
+    names = list(sd.keys())
+    shards: list = [[]]
+    cur = 0
+    for n in names:
+        nbytes = sd[n].nbytes
+        if shards[-1] and cur + nbytes > max_shard_bytes:
+            shards.append([])
+            cur = 0
+        shards[-1].append(n)
+        cur += nbytes
+
+    weight_map: Dict[str, str] = {}
+    if len(shards) == 1:
+        fname = "model.safetensors"
+        save_file({n: np.ascontiguousarray(sd[n]) for n in shards[0]},
+                  os.path.join(outdir, fname))
+        weight_map = {n: fname for n in shards[0]}
+    else:
+        total = sum(sd[n].nbytes for n in names)
+        for i, group in enumerate(shards):
+            fname = f"model-{i + 1:05d}-of-{len(shards):05d}.safetensors"
+            save_file({n: np.ascontiguousarray(sd[n]) for n in group},
+                      os.path.join(outdir, fname))
+            weight_map.update({n: fname for n in group})
+        with open(os.path.join(outdir, "model.safetensors.index.json"), "w",
+                  encoding="utf-8") as f:
+            json.dump({"metadata": {"total_size": total},
+                       "weight_map": weight_map}, f, indent=2)
+
+    cfg.save_json(os.path.join(outdir, "config.json"))
+    with open(os.path.join(outdir, "preprocessor_config.json"), "w",
+              encoding="utf-8") as f:
+        json.dump(_PREPROCESSOR_CONFIG, f, indent=2)
+    return weight_map
