@@ -424,3 +424,158 @@ def test_w8a8_matches_weight_only_closely():
                                       np.asarray(x @ w))
     finally:
         quant.set_w8a8(False)
+
+
+# ---------------------------------------------------------------------------
+# Accuracy gates: outlier-channel fixtures + per-layer auto-fallback policy
+# (the known quantization failure mode: one hot input channel inflates every
+# per-output-column scale, crushing the resolution of ordinary weights)
+# ---------------------------------------------------------------------------
+
+def _gaussian_w(rs, rows=256, cols=128):
+    return jnp.asarray(rs.randn(rows, cols), jnp.float32)
+
+
+def _outlier_w(rs, rows=256, cols=128, hot=100.0):
+    w = rs.randn(rows, cols)
+    w[rows // 3, :] *= hot                    # one hot input channel
+    return jnp.asarray(w, jnp.float32)
+
+
+def _heavy_tailed_w(rs, rows=256, cols=128):
+    return jnp.asarray(rs.standard_t(df=2, size=(rows, cols)), jnp.float32)
+
+
+def _tier_rel_err(x, w, qw) -> float:
+    y = np.asarray(qmatmul(x, qw), np.float32)
+    y_ref = np.asarray(x @ w, np.float32)
+    return float(np.sqrt(((y - y_ref) ** 2).mean())
+                 / (np.sqrt((y_ref ** 2).mean()) + 1e-12))
+
+
+def test_tier_error_bounds_gaussian_vs_outlier():
+    """Measured matmul-output error of every tier on well-behaved vs
+    outlier-channel weights.  The outlier fixture must blow up the
+    per-column-scale tiers (int8, int4c) — this test fails if a regression
+    ever makes outlier damage invisible to the gate metric."""
+    from vibevoice_tpu.ops.int4 import (quantize_weight_int4,
+                                        quantize_weight_int4c)
+    from vibevoice_tpu.ops.quant import weight_rel_error
+
+    rs = np.random.RandomState(7)
+    x = jnp.asarray(rs.randn(8, 256), jnp.float32)
+
+    w_good = _gaussian_w(rs)
+    w_bad = _outlier_w(rs)
+
+    # well-behaved: every tier within its documented bound
+    assert _tier_rel_err(x, w_good, quantize_weight(w_good)) < 0.02
+    assert _tier_rel_err(x, w_good, quantize_weight_int4(w_good)) < 0.12
+    assert _tier_rel_err(x, w_good, quantize_weight_int4c(w_good)) < 0.25
+
+    # outlier channel: the weight-error gate metric detects the damage
+    # (errors concentrate on the ordinary weights, which dominate the output)
+    assert weight_rel_error(w_good, quantize_weight(w_good)) < 0.01
+    assert weight_rel_error(w_bad, quantize_weight(w_bad)) > 0.02
+    assert (weight_rel_error(w_bad, quantize_weight_int4c(w_bad))
+            > weight_rel_error(w_bad, quantize_weight(w_bad)))
+
+
+def test_quantize_any_gate_falls_back_per_tier():
+    """The tier ladder demotes until the bound holds: int4c fails the 0.1
+    gate on gaussian weights -> int4 group-16 passes; the outlier fixture
+    fails even int8 at 0.02 -> dense."""
+    from vibevoice_tpu.ops.int4 import is_quantized_int4, is_quantized_int4c
+    from vibevoice_tpu.ops.quant import is_quantized, quantize_any
+
+    rs = np.random.RandomState(8)
+    w_good = _gaussian_w(rs)
+    w_bad = _outlier_w(rs)
+
+    # ungated keeps historical behavior
+    assert is_quantized_int4c(quantize_any(w_good, 4, colscale=True))
+    assert is_quantized_int4(quantize_any(w_good, 4, colscale=False))
+
+    # gaussian @ 0.1: per-column 4-bit is too coarse, group-16 passes
+    q = quantize_any(w_good, 4, colscale=True, max_rel_err=0.1)
+    assert is_quantized_int4(q) and not is_quantized_int4c(q)
+    # gaussian @ 0.02: both 4-bit tiers fail -> int8
+    assert is_quantized(quantize_any(w_good, 4, colscale=True,
+                                     max_rel_err=0.02))
+    # outlier @ 0.02: every tier fails -> dense passthrough
+    out = quantize_any(w_bad, 8, max_rel_err=0.02)
+    assert not isinstance(out, dict)
+    np.testing.assert_array_equal(np.asarray(out), np.asarray(w_bad))
+    # heavy-tailed @ 0.1: 4-bit tiers fail, int8 absorbs the tails
+    assert is_quantized(quantize_any(_heavy_tailed_w(rs), 4, colscale=True,
+                                     max_rel_err=0.1))
+
+
+def test_quantize_lm_params_per_layer_gate():
+    """One outlier layer demotes only ITS weight stack (wq); the other
+    projections keep the int8 tier, and the gated model tracks dense."""
+    from vibevoice_tpu.ops.quant import is_quantized
+
+    # wider than TINY: one hot row's error saturates at sqrt(rows)/(127*V12)
+    # of the weight RMS, so the gate needs rows >> (127*V12*bound)^2
+    cfg = Qwen2DecoderConfig(
+        vocab_size=128, hidden_size=128, intermediate_size=256,
+        num_hidden_layers=2, num_attention_heads=4, num_key_value_heads=2,
+        max_position_embeddings=256)
+    params = qwen2.init_params(jax.random.PRNGKey(3), cfg, jnp.float32)
+    wq = np.array(params["layers"]["wq"], np.float32)
+    wq[1, 7, :] *= 300.0                     # hot input channel, layer 1 only
+    params["layers"]["wq"] = jnp.asarray(wq)
+
+    qlm = quantize_lm_params(params, bits=8, max_rel_err=0.02)
+    assert not is_quantized(qlm["layers"]["wq"])          # demoted to dense
+    for k in ("wk", "wv", "wo", "wg", "wu", "wd"):
+        assert is_quantized(qlm["layers"][k]), k          # others keep int8
+
+    ids = jnp.asarray(np.random.RandomState(4).randint(0, 128, (2, 6)))
+    x = qwen2.embed_tokens(params, ids)
+    causal = jnp.arange(6)[None, :, None] >= jnp.arange(6)[None, None, :]
+    pos = jnp.broadcast_to(jnp.arange(6), (2, 6))
+    h_dense, _ = qwen2.forward(params, cfg, x, pos, None, causal)
+    h_gated, _ = qwen2.forward(qlm, cfg, x, pos, None, causal)
+    rel = (np.abs(np.asarray(h_gated) - np.asarray(h_dense)).max()
+           / np.abs(np.asarray(h_dense)).max())
+    assert rel < 0.1, rel
+
+    # ungated comparison: the outlier layer poisons the whole wq stack
+    q_ungated = quantize_lm_params(params, bits=8)
+    h_bad, _ = qwen2.forward(q_ungated, cfg, x, pos, None, causal)
+    rel_bad = (np.abs(np.asarray(h_bad) - np.asarray(h_dense)).max()
+               / np.abs(np.asarray(h_dense)).max())
+    assert rel < rel_bad, (rel, rel_bad)
+
+
+def test_w8a8_outlier_activation_degrades_documented():
+    """W8A8's known failure mode: an outlier ACTIVATION channel inflates the
+    per-row dynamic scale.  Measure it against W8A16 on the same weights —
+    the degradation must be visible (this is why W8A8 stays opt-in) and the
+    well-behaved bound must hold."""
+    from vibevoice_tpu.ops import quant
+
+    rs = np.random.RandomState(9)
+    w = _gaussian_w(rs)
+    qw = quantize_weight(w)
+
+    x_good = np.asarray(rs.randn(8, 256), np.float32)
+    x_bad = x_good.copy()
+    x_bad[:, 11] *= 100.0                    # hot activation channel
+
+    def err(x):
+        x = jnp.asarray(x)
+        y16 = np.asarray(qmatmul(x, qw), np.float32)
+        quant.set_w8a8(True)
+        try:
+            y8 = np.asarray(qmatmul(x, qw), np.float32)
+        finally:
+            quant.set_w8a8(False)
+        return float(np.sqrt(((y8 - y16) ** 2).mean())
+                     / (np.sqrt((y16 ** 2).mean()) + 1e-12))
+
+    e_good, e_bad = err(x_good), err(x_bad)
+    assert e_good < 0.02, e_good             # well-behaved bound
+    assert e_bad > 3 * e_good, (e_good, e_bad)   # outlier damage is real

@@ -23,6 +23,7 @@ from typing import Any, Dict
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 # W8A8 mode: quantize activations per-row to int8 at each quantized matmul so
 # the dot runs in the MXU's NATIVE s8 x s8 -> s32 mode.  The weight-only path
@@ -80,35 +81,119 @@ def qmatmul(x: jax.Array, w: Any) -> jax.Array:
     return x @ w
 
 
-def quantize_any(w: jax.Array, bits: int = 8, colscale: bool = False) -> Any:
+def dequantize_any(leaf: Any, dtype=jnp.float32) -> Any:
+    """Dequantize a leaf of any tier (int8 / int4 / int4c); dense passes
+    through."""
+    from .int4 import (dequantize_weight_int4, dequantize_weight_int4c,
+                       is_quantized_int4, is_quantized_int4c)
+    if is_quantized(leaf):
+        return dequantize_weight(leaf, dtype)
+    if is_quantized_int4(leaf):
+        return dequantize_weight_int4(leaf, dtype)
+    if is_quantized_int4c(leaf):
+        return dequantize_weight_int4c(leaf, dtype)
+    return leaf
+
+
+def weight_rel_error(w: jax.Array, qleaf: Any) -> float:
+    """RMS relative error of a quantized leaf vs its dense source.
+
+    This is the accuracy gate for the auto-fallback policy: a per-layer,
+    data-free proxy for logit error.  It is exactly the quantity that blows
+    up on the known failure mode — outlier input channels (one hot row
+    inflates every per-output-column scale, crushing the resolution of the
+    ordinary weights; reference analogue: LLM.int8() outlier analysis)."""
+    wf = np.asarray(w, np.float32)
+    back = np.asarray(dequantize_any(qleaf, jnp.float32), np.float32)
+    denom = float(np.sqrt((wf ** 2).mean())) + 1e-12
+    return float(np.sqrt(((back - wf) ** 2).mean())) / denom
+
+
+def quantize_any(w: jax.Array, bits: int = 8, colscale: bool = False,
+                 max_rel_err: float | None = None) -> Any:
     """Quantize one weight at the requested width; int4 falls back to int8
     when the in-dimension doesn't split into whole nibble-half groups.
     ``colscale`` picks the per-output-column int4 speed tier (one scale per
-    column, applied to the accumulator) over group-16 fidelity."""
+    column, applied to the accumulator) over group-16 fidelity.
+
+    ``max_rel_err`` arms the per-layer accuracy gate: after quantizing, the
+    RMS relative weight error is checked against the bound and the tier
+    ladder falls back (int4c -> int4 -> int8 -> dense) until a tier passes.
+    ``None`` (default) keeps the unconditional historical behavior."""
+    tiers = []
     if bits == 4:
-        if colscale:
-            from .int4 import quantizable_int4c, quantize_weight_int4c
-            if quantizable_int4c(w.shape):
-                return quantize_weight_int4c(w)
-        else:
-            from .int4 import quantizable_int4, quantize_weight_int4
-            if quantizable_int4(w.shape):
-                return quantize_weight_int4(w)
-    return quantize_weight(w)
+        from .int4 import (quantizable_int4, quantizable_int4c,
+                           quantize_weight_int4, quantize_weight_int4c)
+        if colscale and quantizable_int4c(w.shape):
+            tiers.append(quantize_weight_int4c)
+        if quantizable_int4(w.shape) and (not colscale
+                                          or max_rel_err is not None):
+            tiers.append(quantize_weight_int4)
+    tiers.append(quantize_weight)
+
+    if max_rel_err is None:
+        return tiers[0](w)
+    for quantize in tiers:
+        q = quantize(w)
+        if weight_rel_error(w, q) <= max_rel_err:
+            return q
+    return w  # dense: no tier met the bound (outlier-dominated layer)
+
+
+def weight_rel_error_per_layer(w: jax.Array, qleaf: Any) -> "np.ndarray":
+    """Per-layer RMS relative error for a stacked [L, ...] weight."""
+    wf = np.asarray(w, np.float32)
+    back = np.asarray(dequantize_any(qleaf, jnp.float32), np.float32)
+    axes = tuple(range(1, wf.ndim))
+    denom = np.sqrt((wf ** 2).mean(axis=axes)) + 1e-12
+    return np.sqrt(((back - wf) ** 2).mean(axis=axes)) / denom
+
+
+def _quantize_stacked(w: jax.Array, bits: int, colscale: bool,
+                      max_rel_err: float | None) -> Any:
+    """Quantize a layer-stacked [L, in, out] weight with the per-layer gate.
+
+    Scales are already computed per layer (the reduction axes exclude axis
+    0), so the gate checks each layer's error independently; because the
+    stack is consumed by a single `lax.scan` the tier must be uniform across
+    layers, so the worst layer decides: the ladder falls back
+    (int4c -> int4 -> int8 -> dense) until EVERY layer meets the bound."""
+    if max_rel_err is None:
+        return quantize_any(w, bits, colscale=colscale)
+
+    tiers = []
+    if bits == 4:
+        from .int4 import (quantizable_int4, quantizable_int4c,
+                           quantize_weight_int4, quantize_weight_int4c)
+        if colscale and quantizable_int4c(w.shape):
+            tiers.append(quantize_weight_int4c)
+        if quantizable_int4(w.shape):
+            tiers.append(quantize_weight_int4)
+    tiers.append(quantize_weight)
+    for quantize in tiers:
+        q = quantize(w)
+        if float(weight_rel_error_per_layer(w, q).max()) <= max_rel_err:
+            return q
+    return w
 
 
 _LM_QUANT_KEYS = ("wq", "wk", "wv", "wo", "wg", "wu", "wd")
 
 
 def quantize_lm_params(lm_params: dict, bits: int = 8,
-                       colscale: bool = False) -> dict:
+                       colscale: bool = False,
+                       max_rel_err: float | None = None) -> dict:
     """Quantize the LM projection weights (layers stacked [L, in, out]).
     The lm_head stays int8 at every tier: constrained decoding gathers ~5
-    rows from it per step (qwen2.lm_head_rows), never a full matmul."""
+    rows from it per step (qwen2.lm_head_rows), never a full matmul.
+
+    ``max_rel_err`` arms the per-LAYER accuracy gate: each stacked weight is
+    gated per layer (outliers are a per-layer phenomenon), so one bad layer
+    falls back without forfeiting the tier for the other 27."""
     out = dict(lm_params)
     layers = dict(lm_params["layers"])
     for k in _LM_QUANT_KEYS:
-        layers[k] = quantize_any(layers[k], bits, colscale=colscale)
+        layers[k] = _quantize_stacked(layers[k], bits, colscale, max_rel_err)
     out["layers"] = layers
     if "lm_head" in lm_params:
         out["lm_head"] = quantize_weight(lm_params["lm_head"])
@@ -119,7 +204,8 @@ _HEAD_QUANT_KEYS = ("wg", "wu", "wd", "ada")
 
 
 def quantize_diffusion_head_params(head_params: dict, bits: int = 8,
-                                   colscale: bool = False) -> dict:
+                                   colscale: bool = False,
+                                   max_rel_err: float | None = None) -> dict:
     """Quantize the AdaLN-MLP projections (stacked [L, in, out]).
 
     The diffusion scan re-reads ~226 MB of head weights per solver iteration
@@ -130,7 +216,7 @@ def quantize_diffusion_head_params(head_params: dict, bits: int = 8,
     out = dict(head_params)
     layers = dict(head_params["layers"])
     for k in _HEAD_QUANT_KEYS:
-        layers[k] = quantize_any(layers[k], bits, colscale=colscale)
+        layers[k] = _quantize_stacked(layers[k], bits, colscale, max_rel_err)
     out["layers"] = layers
     return out
 
@@ -156,7 +242,8 @@ def quantize_conv_weight(w: jax.Array, out_axis: int) -> Dict[str, jax.Array]:
 
 def quantize_tokenizer_params(tok_params: dict, bits: int = 8,
                               colscale: bool = False,
-                              convs: bool = False) -> dict:
+                              convs: bool = False,
+                              max_rel_err: float | None = None) -> dict:
     """Quantize the ConvNeXt FFN matmuls of the acoustic/semantic tokenizers
     (the FFNs hold ~95% of the ~2 GB tokenizer weights; the vocode and
     semantic re-encode stages read them every generated frame).  Depthwise
@@ -179,7 +266,8 @@ def quantize_tokenizer_params(tok_params: dict, bits: int = 8,
             out = {}
             for k, v in node.items():
                 if k in _TOKENIZER_FFN_KEYS and getattr(v, "ndim", 0) >= 2:
-                    out[k] = quantize_any(v, bits, colscale=colscale)
+                    out[k] = quantize_any(v, bits, colscale=colscale,
+                                          max_rel_err=max_rel_err)
                 elif convs and k in ("stem", "head") and isinstance(v, dict):
                     out[k] = q_conv(v, transpose=False)
                 elif convs and k == "down" and isinstance(v, (list, tuple)):
