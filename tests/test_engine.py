@@ -207,3 +207,91 @@ def test_engine_prompt_too_long(model):
     req = eng.submit({"input_ids": _prompt(0, 140)}, max_new_tokens=4)
     eng.step_chunk()
     assert req.done.is_set() and "does not fit" in req.error
+
+
+def test_engine_churn_stress_random_schedule(model):
+    """Property-style churn: a random schedule of joins, retires and
+    client disconnects over hundreds of chunks.  EVERY completed request's
+    tokens and audio must equal its solo run — no matter which slot it
+    landed in, who its neighbors were, or when it joined (VERDICT r1 #8)."""
+    from vibevoice_tpu.streamer import AudioStreamer
+
+    rs = np.random.RandomState(42)
+    N_REQ = 45
+    eng = ContinuousEngine(model, slots=3, cache_len=512, chunk_steps=2,
+                           cfg_scale=1.3)
+
+    # request population: random prompts/budgets/seeds; ~1/4 get a streaming
+    # consumer, and half of THOSE disconnect at a random point
+    plan = []
+    for i in range(N_REQ):
+        t = int(rs.randint(8, 24))
+        steps = int(rs.randint(8, 29))
+        streamed = rs.rand() < 0.25
+        plan.append(dict(
+            ids=_prompt(100 + i, t), seed=int(rs.randint(0, 1000)),
+            steps=steps, streamed=streamed,
+            disconnect_after=int(rs.randint(1, 6))
+            if streamed and rs.rand() < 0.5 else None))
+
+    # solo references (tokens exact; audio fp-exact on the same device)
+    for p in plan:
+        out = model.generate(p["ids"], cfg_scale=1.3,
+                             max_new_tokens=p["steps"], chunk_steps=2,
+                             do_sample=False, seed=p["seed"],
+                             max_length_times=1000.0)
+        p["solo_t"] = out.sequences[0].tolist()
+        p["solo_a"] = out.speech_outputs[0]
+
+    submitted = []
+    next_req = 0
+    chunks = 0
+    while next_req < N_REQ or eng.active() or eng.pending:
+        # random joins: 0-2 submissions per iteration while any remain
+        for _ in range(int(rs.randint(0, 3))):
+            if next_req < N_REQ:
+                p = plan[next_req]
+                st = AudioStreamer(batch_size=1) if p["streamed"] else None
+                p["streamer"] = st
+                p["req"] = eng.submit({"input_ids": p["ids"]},
+                                      max_new_tokens=p["steps"],
+                                      max_length_times=1000.0,
+                                      seed=p["seed"], streamer=st)
+                p["joined_chunk"] = chunks
+                submitted.append(p)
+                next_req += 1
+        # random disconnects: consumer ends its stream mid-generation
+        for p in submitted:
+            if (p["disconnect_after"] is not None and not p["req"].done.is_set()
+                    and chunks - p["joined_chunk"] >= p["disconnect_after"]):
+                p["streamer"].end([0])
+                p["disconnect_after"] = None      # fire once
+        eng.step_chunk()
+        chunks += 1
+        assert chunks < 2000, "engine failed to converge"
+
+    assert chunks >= 100, chunks                  # "hundreds of chunks"
+    assert eng.active() == 0 and not eng.pending
+    slots_seen = set()
+    for p in plan:
+        req = p["req"]
+        assert req.done.is_set()
+        assert req.error is None, req.error
+        slots_seen.add(req.slot)
+        solo_t = _trim(p["solo_t"])
+        if p["streamed"] and p["disconnect_after"] is None and \
+                len(req.tokens) < len(solo_t):
+            # disconnected early: the abort force-finishes the row with eos;
+            # everything generated BEFORE that must prefix-match the solo run
+            got = _trim(req.tokens)[:-1] if TinyTokenizer.eos_id \
+                in req.tokens else req.tokens
+            assert got == solo_t[:len(got)]
+            continue
+        n = min(len(req.tokens), len(solo_t))
+        assert req.tokens[:n] == solo_t[:n], (req.slot, p["seed"])
+        if p["solo_a"] is not None and req.audio is not None:
+            m = min(len(p["solo_a"]), len(req.audio))
+            assert m > 0
+            np.testing.assert_allclose(req.audio[:m], p["solo_a"][:m],
+                                       rtol=1e-5, atol=1e-7)
+    assert len(slots_seen) == eng.slots           # churn exercised every slot
