@@ -278,3 +278,84 @@ def test_script_ai_env_aliases(monkeypatch):
     cfg = ScriptAIConfig.from_env()
     assert cfg.base_url == "http://scriptai:2/v1"
     assert cfg.model == "gemini-2.5-flash"
+
+
+def test_headless_ui_construction_and_callbacks(tmp_path, monkeypatch):
+    """create_demo_interface runs end to end on the vendored gradio stub:
+    every component constructs, every handler wires, and the non-generation
+    callbacks (speaker visibility, clear log, save log, load example) work
+    when invoked the way gradio would."""
+    from vibevoice_tpu.apps import gradio_app
+    from vibevoice_tpu.apps.gradio_app import VibeVoiceDemo
+
+    monkeypatch.chdir(tmp_path)
+    os.makedirs("examples/text_examples")
+    with open("examples/text_examples/2p_test.txt", "w") as f:
+        f.write("Speaker 1: hi\nSpeaker 2: hello\n")
+    demo = VibeVoiceDemo(load_on_demand=True)
+    ui = gradio_app.build_ui_headless(demo)
+
+    assert len(ui.components) > 20
+    events = {}
+    for comp in ui.components:
+        for ev, fn, ins, outs in comp.events:
+            events[(comp.label or comp.args[0] if comp.args else None, ev)] = \
+                (fn, ins, outs)
+    # all wirings present (generate, stop, script-AI, regenerate, example,
+    # speakers, clear/save log, refresh voices, load model)
+    assert len(ui.handlers()) == 10
+
+    # per-speaker visibility follows the slider
+    fn, _, outs = events[("Speakers", "change")]
+    ups = fn(4)
+    assert [u["visible"] for u in ups] == [True] * 4
+    assert [u["visible"] for u in fn(1)] == [True, False, False, False]
+    assert len(outs) == 4
+
+    # save-log handler writes the session log and reveals the file widget
+    demo.log("hello from the test")
+    fn, _, _ = events[("💾 Download log", "click")]
+    up = fn()
+    assert up["visible"] and os.path.exists(up["value"])
+    assert "hello from the test" in open(up["value"]).read()
+
+    # example loader fills script + speaker count
+    fn, _, _ = events[("📄 Load example", "click")]
+    script, k = fn("2p_test")
+    assert k == 2 and "Speaker 2: hello" in script
+
+    # clear-log empties the panel
+    fn, _, _ = events[("🧹 Clear log", "click")]
+    assert fn() == "" and demo.log_text == ""
+
+    # refresh-voices rescans the library into all four dropdowns
+    os.makedirs("custom_voices", exist_ok=True)
+    with open("custom_voices/new_voice.npy", "wb") as f:
+        np.save(f, np.zeros(16, np.float32))
+    fn, _, outs = events[("🔄 Refresh voices", "click")]
+    ups = fn()
+    assert len(ups) == len(outs) == 4
+    assert "custom/new_voice" in ups[0]["choices"]
+
+
+def test_generation_settings_persistence(tmp_path, monkeypatch):
+    """Settings saved by one app session initialize the next session's UI
+    widgets (SettingsStore round-trip through the JSON file)."""
+    from vibevoice_tpu.apps import gradio_app
+    from vibevoice_tpu.apps.gradio_app import SettingsStore, VibeVoiceDemo
+
+    monkeypatch.chdir(tmp_path)
+    s = SettingsStore()
+    assert s.get("cfg_scale") == 1.6                      # defaults
+    s.save(cfg_scale=2.2, diffusion_steps=20, num_speakers=3, custom_key="x")
+
+    demo = VibeVoiceDemo(load_on_demand=True)             # fresh "session"
+    assert demo.settings.get("cfg_scale") == 2.2
+    assert demo.settings.get("custom_key") == "x"         # unknown keys kept
+    ui = gradio_app.build_ui_headless(demo)
+    assert ui.find("CFG scale").value == 2.2
+    assert ui.find("Diffusion steps").value == 20
+    assert ui.find("Speakers").value == 3
+    # 3 speakers -> three visible voice cards at construction
+    vis = [c.visible for c in ui.components if (c.label or "").startswith("Voice ")]
+    assert vis == [True, True, True, False]

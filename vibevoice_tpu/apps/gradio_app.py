@@ -142,6 +142,45 @@ class ExampleLibrary:
         return None
 
 
+class SettingsStore:
+    """Generation-settings persistence: the UI's knobs (cfg scale, diffusion
+    steps, sampling params, ...) survive app restarts via a small JSON file.
+    Unknown keys are preserved so older/newer app versions can share a file."""
+
+    DEFAULTS = {"cfg_scale": 1.6, "diffusion_steps": 10, "do_sample": True,
+                "temperature": 0.95, "top_p": 0.95, "top_k": 0,
+                "normalize_voices": False, "num_speakers": 2}
+
+    def __init__(self, path: Optional[str] = None):
+        self.path = path or os.path.join("outputs", "ui_settings.json")
+        self.values = dict(self.DEFAULTS)
+        self.load()
+
+    def load(self) -> dict:
+        import json
+        try:
+            with open(self.path, encoding="utf-8") as f:
+                stored = json.load(f)
+            if isinstance(stored, dict):
+                self.values.update(stored)
+        except (OSError, ValueError):
+            pass
+        return self.values
+
+    def save(self, **updates) -> None:
+        import json
+        self.values.update(updates)
+        try:
+            os.makedirs(os.path.dirname(self.path) or ".", exist_ok=True)
+            with open(self.path, "w", encoding="utf-8") as f:
+                json.dump(self.values, f, indent=2)
+        except OSError:
+            pass  # settings persistence is best-effort
+
+    def get(self, key: str):
+        return self.values.get(key, self.DEFAULTS.get(key))
+
+
 class VibeVoiceDemo:
     """Generation orchestration shared by the UI and headless callers."""
 
@@ -164,6 +203,7 @@ class VibeVoiceDemo:
         self.stop_generation = False
         self.is_generating = False
         self._log_lines: List[str] = []
+        self.settings = SettingsStore()
 
     # -- streaming log (reference main.py:808-810, 2469-2475) -----------------
     def log(self, msg: str) -> None:
@@ -176,6 +216,17 @@ class VibeVoiceDemo:
     @property
     def log_text(self) -> str:
         return "\n".join(self._log_lines)
+
+    def save_log(self, path: Optional[str] = None) -> str:
+        """Write the session log to a file and return its path (the UI's
+        'download log' action; headless callers get the same artifact)."""
+        if path is None:
+            os.makedirs("outputs", exist_ok=True)
+            path = os.path.join(
+                "outputs", f"session_log_{time.strftime('%Y%m%d_%H%M%S')}.txt")
+        with open(path, "w", encoding="utf-8") as f:
+            f.write(self.log_text + ("\n" if self._log_lines else ""))
+        return path
 
     # -- streaming generation (main.py:729-1135) -------------------------------
     def generate_podcast_streaming(self, num_speakers: int, script: str,
@@ -276,12 +327,35 @@ class VibeVoiceDemo:
         self.stop_generation = True
 
     def generate_script(self, topic: str, num_speakers: int, minutes: float) -> str:
+        # remember the request so the UI can regenerate without retyping
+        # (reference main.py regenerate_last behavior)
+        self.last_script_request = (topic, num_speakers, minutes)
         return self.script_ai.generate_script(topic, num_speakers, minutes)
+
+    def regenerate_script(self) -> str:
+        """Re-run the last Script-AI request (reference main.py:2735-2797)."""
+        req = getattr(self, "last_script_request", None)
+        if req is None:
+            return ""
+        return self.script_ai.generate_script(*req)
 
 
 # ---------------------------------------------------------------------------
 # UI (requires gradio)
 # ---------------------------------------------------------------------------
+
+def build_ui_headless(demo: VibeVoiceDemo):
+    """Construct the full UI without serving it: real gradio when installed,
+    the vendored `gradio_stub` otherwise.  Executes every component
+    constructor and event wiring — the --check smoke path and what the UI
+    tests drive."""
+    try:
+        import gradio  # noqa: F401
+    except ImportError:
+        from . import gradio_stub
+        gradio_stub._install()
+    return create_demo_interface(demo)
+
 
 def create_demo_interface(demo: VibeVoiceDemo):
     import gradio as gr
@@ -295,6 +369,7 @@ def create_demo_interface(demo: VibeVoiceDemo):
                 f"× {len(jax.devices())} · "
                 f"**Offline:** {'yes' if demo.manager.offline else 'no'}")
 
+    s = demo.settings
     with gr.Blocks(title="VibeVoice-TPU", theme=gr.themes.Soft()) as ui:
         gr.Markdown("# 🎙️ VibeVoice-TPU — long-form multi-speaker TTS on TPU")
         status_md = gr.Markdown(status_text())
@@ -302,19 +377,28 @@ def create_demo_interface(demo: VibeVoiceDemo):
             with gr.Column():
                 model_dd = gr.Dropdown(demo.manager.available_models(),
                                        value=demo.model_name, label="Model")
-                num_speakers = gr.Slider(1, 4, value=2, step=1, label="Speakers")
+                num_speakers = gr.Slider(1, 4, value=s.get("num_speakers"),
+                                         step=1, label="Speakers")
                 voice_dds = [gr.Dropdown(demo.voices.names() or ["(none)"],
-                                         label=f"Voice {i + 1}", visible=i < 2)
+                                         label=f"Voice {i + 1}",
+                                         visible=i < int(s.get("num_speakers")))
                              for i in range(4)]
-                cfg_scale = gr.Slider(1.0, 3.0, value=1.6, step=0.05, label="CFG scale")
-                steps = gr.Slider(5, 30, value=10, step=1, label="Diffusion steps")
-                do_sample = gr.Checkbox(value=True, label="Sample (vs greedy)")
-                temperature = gr.Slider(0.1, 2.0, value=0.95, step=0.05,
-                                        label="Temperature")
-                top_p = gr.Slider(0.1, 1.0, value=0.95, step=0.01, label="Top-p")
-                top_k = gr.Slider(0, 50, value=0, step=1,
+                refresh_voices_btn = gr.Button("🔄 Refresh voices", size="sm")
+                load_model_btn = gr.Button("📦 Load model", size="sm")
+                cfg_scale = gr.Slider(1.0, 3.0, value=s.get("cfg_scale"),
+                                      step=0.05, label="CFG scale")
+                steps = gr.Slider(5, 30, value=s.get("diffusion_steps"),
+                                  step=1, label="Diffusion steps")
+                do_sample = gr.Checkbox(value=s.get("do_sample"),
+                                        label="Sample (vs greedy)")
+                temperature = gr.Slider(0.1, 2.0, value=s.get("temperature"),
+                                        step=0.05, label="Temperature")
+                top_p = gr.Slider(0.1, 1.0, value=s.get("top_p"), step=0.01,
+                                  label="Top-p")
+                top_k = gr.Slider(0, 50, value=s.get("top_k"), step=1,
                                   label="Top-k (0 = off)")
-                norm_voices = gr.Checkbox(value=False, label="Normalize voice RMS")
+                norm_voices = gr.Checkbox(value=s.get("normalize_voices"),
+                                          label="Normalize voice RMS")
                 negative_box = gr.Textbox(
                     label="Negative prompt (CFG steers away from this)",
                     placeholder="optional")
@@ -324,16 +408,27 @@ def create_demo_interface(demo: VibeVoiceDemo):
                 load_example_btn = gr.Button("📄 Load example")
                 topic = gr.Textbox(label="Script AI topic (optional)")
                 gen_script_btn = gr.Button("✨ Generate script with AI")
+                regen_script_btn = gr.Button("♻️ Regenerate last script",
+                                             size="sm")
                 script_box = gr.Textbox(lines=12, label="Script (Speaker N: ...)")
                 gen_btn = gr.Button("🎧 Generate podcast", variant="primary")
                 stop_btn = gr.Button("⏹ Stop")
                 audio_out = gr.Audio(label="Audio", streaming=True, autoplay=True)
                 log_out = gr.Textbox(label="Log", lines=8)
-                clear_log_btn = gr.Button("🧹 Clear log", size="sm")
+                with gr.Row():
+                    clear_log_btn = gr.Button("🧹 Clear log", size="sm")
+                    save_log_btn = gr.Button("💾 Download log", size="sm")
+                log_file = gr.File(label="Session log", visible=False)
 
         def on_generate(model_name, n, script, v1, v2, v3, v4, cfg, st, temp,
                         tp, tk, ds, nv, neg):
             demo.model_name = model_name
+            # settings persist across app restarts (SettingsStore)
+            demo.settings.save(num_speakers=int(n), cfg_scale=float(cfg),
+                               do_sample=bool(st), temperature=float(temp),
+                               top_p=float(tp), top_k=int(tk),
+                               diffusion_steps=int(ds),
+                               normalize_voices=bool(nv))
             voices = [v for v in (v1, v2, v3, v4) if v and v != "(none)"]
             for sr, chunk in demo.generate_podcast_streaming(
                     int(n), script, voices, cfg_scale=cfg, do_sample=st,
@@ -370,8 +465,31 @@ def create_demo_interface(demo: VibeVoiceDemo):
             [topic, num_speakers], [script_box])
         load_example_btn.click(on_load_example, [example_dd],
                                [script_box, num_speakers])
+        def on_save_log():
+            return gr.update(value=demo.save_log(), visible=True)
+
+        def on_refresh_voices():
+            # pick up wavs dropped into voices/ or custom_voices/ while the
+            # app is running (reference main.py refresh_voices)
+            demo.voices.refresh()
+            names = demo.voices.names() or ["(none)"]
+            return [gr.update(choices=names) for _ in range(4)]
+
+        def on_load_model(model_name):
+            demo.model_name = model_name
+            try:
+                demo.manager.ensure_loaded(model_name)
+            except Exception as e:  # noqa: BLE001 — surfaced in the log panel
+                demo.log(f"Model load failed: {e}")
+            return demo.log_text, status_text()
+
         num_speakers.change(on_num_speakers, [num_speakers], voice_dds)
         clear_log_btn.click(on_clear_log, [], [log_out])
+        save_log_btn.click(on_save_log, [], [log_file])
+        refresh_voices_btn.click(on_refresh_voices, [], voice_dds)
+        load_model_btn.click(on_load_model, [model_dd], [log_out, status_md])
+        regen_script_btn.click(lambda: demo.regenerate_script(), [],
+                               [script_box])
     return ui
 
 
@@ -425,6 +543,11 @@ def main(argv=None):
         print(f"voices: {len(demo.voices.names())} preset(s)")
         print(f"examples: {demo.examples.names()}")
         print(f"offline: {demo.manager.offline}")
+        ui = build_ui_headless(demo)
+        n_comp = len(getattr(ui, "components", []))
+        n_ev = len(ui.handlers()) if hasattr(ui, "handlers") else "n/a"
+        print(f"ui: constructed ({n_comp or 'gradio'} components, "
+              f"{n_ev} handlers)")
         print("check ok")
         return
     ui = create_demo_interface(demo)
