@@ -151,16 +151,26 @@ def flash_attention(q: jax.Array, k: jax.Array, v: jax.Array,
 # Chunked-prefill kernel: q segment vs the (head-major) KV cache
 # ---------------------------------------------------------------------------
 
+DEFAULT_BLOCK_K_CACHED = 512
+
+
 def _flash_cached_kernel(kv_start_ref,   # scalar prefetch: [B] int32
                          q_off_ref,      # scalar prefetch: [1] int32
                          q_ref, k_ref, v_ref, o_ref,
                          m_scr, l_scr, acc_scr,
-                         *, scale: float, block_q: int, block_k: int):
+                         *, scale: float, block_q: int, block_k: int,
+                         chunk: int):
     """Segment attention for chunked prefill: queries live at GLOBAL
-    positions q_off + [0, Tq); keys are the whole cache buffer.  Causality
+    positions q_off + [0, chunk); keys are the KV cache buffer.  Causality
     (k <= q_global) doubles as the live-range upper bound — slots past the
-    segment being written are masked, so the fixed cache-shaped read needs no
-    separate kv_len.  k blocks entirely above the diagonal skip compute."""
+    segment being written are masked.
+
+    GQA is packed into q rows: the q-block axis spans all G = Hq/Hkv query
+    heads of one kv head ([G*chunk] rows, head-contiguous), so each cache
+    block streams once per KV head, not once per query head.  Dead k blocks
+    (above the causal diagonal or before the left-pad start) are never
+    fetched: the BlockSpec index map clamps into the live range and Pallas
+    skips the DMA when consecutive grid steps map to the same block."""
     b = pl.program_id(0)
     qi = pl.program_id(2)
     ki = pl.program_id(3)
@@ -172,7 +182,9 @@ def _flash_cached_kernel(kv_start_ref,   # scalar prefetch: [B] int32
         l_scr[:] = jnp.zeros_like(l_scr)
         acc_scr[:] = jnp.zeros_like(acc_scr)
 
-    q_start = q_off_ref[0] + qi * block_q
+    # block_q divides chunk, so every q block holds ONE head's contiguous
+    # positions: global position of row 0 = q_off + (block-start mod chunk)
+    q_start = q_off_ref[0] + (qi * block_q) % chunk
     k_start = ki * block_k
 
     def _compute():
@@ -197,7 +209,10 @@ def _flash_cached_kernel(kv_start_ref,   # scalar prefetch: [B] int32
             p, v, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32)
         m_scr[:] = m_new
 
-    pl.when(k_start <= q_start + block_q - 1)(_compute)
+    in_range = jnp.logical_and(
+        k_start <= q_start + block_q - 1,                 # causal upper bound
+        k_start + block_k > kv_start_ref[b])              # left-pad lower bound
+    pl.when(in_range)(_compute)
 
     @pl.when(ki == nk - 1)
     def _finalize():
@@ -210,13 +225,17 @@ def _flash_cached_kernel(kv_start_ref,   # scalar prefetch: [B] int32
 def flash_attention_cached(q: jax.Array, cache_k: jax.Array, cache_v: jax.Array,
                            kv_start: jax.Array, q_offset: jax.Array,
                            block_q: int = DEFAULT_BLOCK_Q,
-                           block_k: int = DEFAULT_BLOCK_K,
+                           block_k: int = DEFAULT_BLOCK_K_CACHED,
                            interpret: bool | None = None) -> jax.Array:
     """Chunked-prefill attention: q: [B, C, Hq, D] at global positions
     q_offset + [0, C); cache_k/v: [B, Hkv, S, D] head-major (the KV cache
     buffer, already holding this segment's keys at [q_offset, q_offset+C)).
     kv_start: [B] first valid key (left-pad).  q_offset: [] or [1] traced.
-    Returns [B, C, Hq, D]."""
+    Returns [B, C, Hq, D].
+
+    HBM traffic is proportional to the causal prefix, not the cache buffer:
+    per-(kv-head) clamped index maps + GQA row packing make a 40k-token
+    chunked prefill stream each live cache block once per kv head."""
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
     b, tq, hq, d = q.shape
@@ -229,14 +248,26 @@ def flash_attention_cached(q: jax.Array, cache_k: jax.Array, cache_v: jax.Array,
             block //= 2
         return max(block, 8)
 
-    block_q = _fit(block_q, tq)
-    block_k = _fit(block_k, s_len)
+    block_q = _fit(block_q, tq)       # divides the chunk -> blocks never
+    block_k = _fit(block_k, s_len)    # straddle a head boundary after packing
     scale = d ** -0.5
-    qh = q.transpose(0, 2, 1, 3)
 
-    grid = (b, hq, tq // block_q, s_len // block_k)
+    # GQA packing: [B, C, Hq, D] -> [B, Hkv, G*C, D], rows head-contiguous
+    qh = q.transpose(0, 2, 1, 3).reshape(b, hkv, group * tq, d)
+
+    q_off = jnp.atleast_1d(jnp.asarray(q_offset, jnp.int32))
+
+    def _kv_index(b_, h, qi, ki, kvs, qo):
+        # live range for THIS q block: [kv_start, q_pos_end]; dead grid steps
+        # re-map to an already-fetched block (no DMA, compute skipped)
+        q_end = qo[0] + (qi * block_q) % tq + block_q - 1
+        lo = kvs[b_] // block_k
+        hi = jnp.maximum(q_end // block_k, lo)
+        return (b_, h, jnp.clip(ki, lo, hi), 0)
+
+    grid = (b, hkv, (group * tq) // block_q, s_len // block_k)
     kernel = functools.partial(_flash_cached_kernel, scale=scale,
-                               block_q=block_q, block_k=block_k)
+                               block_q=block_q, block_k=block_k, chunk=tq)
     out = pl.pallas_call(
         kernel,
         grid_spec=pltpu.PrefetchScalarGridSpec(
@@ -245,10 +276,8 @@ def flash_attention_cached(q: jax.Array, cache_k: jax.Array, cache_v: jax.Array,
             in_specs=[
                 pl.BlockSpec((1, 1, block_q, d),
                              lambda b_, h, qi, ki, kvs, qo: (b_, h, qi, 0)),
-                pl.BlockSpec((1, 1, block_k, d),
-                             lambda b_, h, qi, ki, kvs, qo: (b_, h // group, ki, 0)),
-                pl.BlockSpec((1, 1, block_k, d),
-                             lambda b_, h, qi, ki, kvs, qo: (b_, h // group, ki, 0)),
+                pl.BlockSpec((1, 1, block_k, d), _kv_index),
+                pl.BlockSpec((1, 1, block_k, d), _kv_index),
             ],
             out_specs=pl.BlockSpec((1, 1, block_q, d),
                                    lambda b_, h, qi, ki, kvs, qo: (b_, h, qi, 0)),
@@ -258,8 +287,7 @@ def flash_attention_cached(q: jax.Array, cache_k: jax.Array, cache_v: jax.Array,
                 pltpu.VMEM((block_q, d), jnp.float32),
             ],
         ),
-        out_shape=jax.ShapeDtypeStruct((b, hq, tq, d), q.dtype),
+        out_shape=jax.ShapeDtypeStruct((b, hkv, group * tq, d), q.dtype),
         interpret=interpret,
-    )(kv_start.astype(jnp.int32),
-      jnp.atleast_1d(jnp.asarray(q_offset, jnp.int32)), qh, cache_k, cache_v)
-    return out.transpose(0, 2, 1, 3)
+    )(kv_start.astype(jnp.int32), q_off, qh, cache_k, cache_v)
+    return out.reshape(b, hq, tq, d).transpose(0, 2, 1, 3)
