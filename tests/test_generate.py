@@ -223,9 +223,12 @@ def test_max_steps_per_sample_ragged_batch(model):
     seq0 = out.sequences[0]
     # after its cap the short sample must be forced to eos
     assert (seq0[6:] == tk.eos_id).all()
-    # the long sample must NOT have been eos-forced at step 6
+    # the long sample runs past the short one's cap to its OWN cap: not
+    # eos-forced at step 6, forced from step 16, and flagged reach_max
     seq1 = out.sequences[1]
-    assert not (seq1[6:] == tk.eos_id).all() or bool(out.reach_max_step_sample[1])
+    assert bool(out.reach_max_step_sample[1])
+    assert not (seq1[6:16] == tk.eos_id).all()
+    assert (seq1[16:] == tk.eos_id).all()
 
 
 def test_external_stream_end_aborts_one_sample(model):

@@ -303,9 +303,11 @@ class ServingApp:
         job = Job(request=request)
         eng = self.engine
         for f in self._ENGINE_FIXED:
-            if f in request and float(request[f]) != float(
-                    getattr(eng, f, self.manager.ddpm_steps
-                            if f == "ddpm_steps" else 0)):
+            # every fixed field lives on the engine except ddpm_steps, which
+            # shapes the compiled diffusion scan on the engine's GENERATOR
+            fixed = (eng.gen.ddpm_steps if f == "ddpm_steps"
+                     else getattr(eng, f))
+            if f in request and float(request[f]) != float(fixed):
                 job.error = (f"'{f}' is engine-wide in --engine mode "
                              f"(fixed at server start)")
                 job.assigned.set()

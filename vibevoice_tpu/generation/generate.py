@@ -782,7 +782,15 @@ class VibeVoiceGenerator:
         for chunks in audio_chunks:
             speech_outputs.append(np.concatenate(chunks) if chunks else None)
 
+        # reach_max means "stopped by budget, not by eos" (reference
+        # inference:528-537).  A sample whose per-sample cap coincides with
+        # the dispatched step budget never executes the device step that
+        # would flag it — fold that edge in from the host side.
+        reach_max = np.asarray(state.reach_max)
+        budget_hit = (~np.asarray(state.finished)
+                      & (sequences.shape[1]
+                         >= np.asarray(max_steps_per_sample)))
         return VibeVoiceGenerationOutput(
             sequences=sequences,
             speech_outputs=speech_outputs if return_speech else None,
-            reach_max_step_sample=np.asarray(state.reach_max))
+            reach_max_step_sample=reach_max | budget_hit)
