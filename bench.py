@@ -438,6 +438,11 @@ def main():
             extras["longform_64k_ttfa_s"] = round(
                 gen15q.last_metrics.get("ttfa", {}).get("total_s", -1.0), 2)
             extras["longform_64k_rtf"] = round(al / wl, 3)
+            # sustained = decode-only RTF at depth (the config-5 regime is a
+            # long SESSION: the one-time prefill is TTFA, not throughput)
+            pf_s = gen15q.last_metrics.get("prefill", {}).get("total_s", 0.0)
+            if wl > pf_s > 0:
+                extras["longform_64k_rtf_sustained"] = round(al / (wl - pf_s), 3)
             extras["longform_64k_depth_end"] = 40500 + sl
             extras["longform_64k_hbm_gb"] = round(
                 tree_gb(gen15q.params)
@@ -472,22 +477,37 @@ def main():
                                         frame7, **kw7)
             extras["7b_int8_4spk_rtf"] = round(a7 / w7, 3)
 
-            # config 5: long-form at 32k context — 30.5k-token prompt, then
-            # 2048 decode steps sustained through live context 30.5k -> 32.5k
+        except Exception as e:  # noqa: BLE001
+            extras["7b_error"] = repr(e)[:200]
+            gen7 = None
+
+        # config 5: long-form at 32k context — 30.5k-token prompt, then 1024
+        # decode steps sustained through live context 30.5k -> 31.5k.  Own
+        # try-block: an OOM here must not erase the config-3 numbers.
+        try:
+            if gen7 is None:
+                raise RuntimeError("7B generator unavailable")
+            gc.collect()                      # free the 4spk tier's state
             deep7 = make_ids(1, 30500)
-            lf7_steps = 2048
+            lf7_steps = 1024
             run_config(gen7, deep7, lf7_steps, chunk, 1.3, frame7,
                        stop_check_fn=stop_after_chunks(3))      # warm programs
+            gc.collect()                      # warmup state before timed state
             w7l, s7l, d7l, a7l = run_config(gen7, deep7, lf7_steps, chunk,
                                             1.3, frame7)
             extras["longform_32k_rtf"] = round(a7l / w7l, 3)
+            pf7 = gen7.last_metrics.get("prefill", {}).get("total_s", 0.0)
+            if w7l > pf7 > 0:
+                extras["longform_32k_rtf_sustained"] = round(
+                    a7l / (w7l - pf7), 3)
             extras["longform_32k_depth_end"] = 30500 + s7l
             extras["longform_32k_hbm_gb"] = round(
                 tree_gb(gen7.params)
-                + 28 * 2 * 4 * 2 * 128 * 35072 * 2 / 1e9, 2)
+                + 28 * 2 * 4 * 2 * 128 * 33024 * 2 / 1e9, 2)
             del gen7
         except Exception as e:  # noqa: BLE001
-            extras["7b_error"] = repr(e)[:200]
+            extras["longform_32k_error"] = repr(e)[:200]
+        gen7 = None
         gc.collect()
 
     if os.environ.get("BENCH_ENGINE", "0") == "1":

@@ -90,6 +90,10 @@ class ContinuousEngine:
                  top_p: float = 0.95, top_k: int = 0,
                  refresh_negative: bool = True, log_fn=None):
         self.gen = generator
+        if getattr(generator, "kv_quant", False):
+            raise NotImplementedError(
+                "ContinuousEngine serves bf16 KV caches; kv_quant is the "
+                "single-request long-context tier")
         self.slots = int(slots)
         self.cache_len = int(cache_len)
         self.chunk_steps = int(chunk_steps)

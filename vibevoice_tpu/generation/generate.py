@@ -63,10 +63,13 @@ def _bucket_len(n: int, base: int = 64) -> int:
 
 @partial(jax.jit, static_argnames=("new_len",))
 def _grow_cache_arrays(kv, new_len: int):
-    k, v = kv
-    pad = new_len - k.shape[3]
-    cfgpad = [(0, 0), (0, 0), (0, 0), (0, pad), (0, 0)]
-    return jnp.pad(k, cfgpad), jnp.pad(v, cfgpad)
+    def grow(a):
+        # slot axis is 3 for [L,B,H,S,D] data, the last for [L,B,H,S] scales
+        ax = 3 if a.ndim == 5 else a.ndim - 1
+        pad = [(0, 0)] * a.ndim
+        pad[ax] = (0, new_len - a.shape[ax])
+        return jnp.pad(a, pad)
+    return jax.tree.map(grow, kv)
 
 
 def _grow_cache(state: GenState, new_len: int) -> GenState:
@@ -96,7 +99,7 @@ class VibeVoiceGenerator:
     def __init__(self, params: dict, cfg: VibeVoiceConfig, tokenizer,
                  ddpm_inference_steps: Optional[int] = None,
                  solver: Optional[DPMSolverConfig] = None,
-                 lm_dtype=None, mesh=None):
+                 lm_dtype=None, mesh=None, kv_quant: bool = False):
         from ..utils.compilation_cache import enable_persistent_compilation_cache
         enable_persistent_compilation_cache()
         if lm_dtype is None:
@@ -154,6 +157,15 @@ class VibeVoiceGenerator:
         self.decode_impl = _os.environ.get("VIBEVOICE_DECODE_IMPL") or (
             ("pallas_shmap" if self.kv_tp else "xla") if mesh is not None
             else ("pallas" if on_tpu else "xla"))
+        # int8 KV cache (opt-in): halves per-step KV HBM traffic at depth
+        # and halves cache memory (long-context tier).  Single-device only:
+        # the sharded path's shard_map kernel and the engine's splice/park
+        # programs operate on bf16 cache arrays.
+        self.kv_quant = bool(kv_quant) or _os.environ.get(
+            "VIBEVOICE_KV8", "0") == "1"
+        if self.kv_quant and mesh is not None:
+            raise NotImplementedError(
+                "kv_quant serves single-device; use bf16 cache with mesh")
         # prompts longer than this prefill in fixed segments (activation
         # memory ∝ segment, not prompt — the 7B/30k-prompt OOM guard)
         self.prefill_chunk = int(_os.environ.get(
@@ -241,7 +253,8 @@ class VibeVoiceGenerator:
                 pos_embeds = jnp.where(tok_mask[:, None], compact[idx], pos_embeds)
                 embeds = embeds.at[:b].set(pos_embeds.reshape(b, -1, h))
 
-            cache = qwen2.init_kv_cache(cfg.decoder, b2, cache_len, self.lm_dtype)
+            cache = qwen2.init_kv_cache(cfg.decoder, b2, cache_len,
+                                        self.lm_dtype, quant=self.kv_quant)
             c_sh = self._cache_sharding(b2)
             if c_sh is not None:
                 cache = jax.tree.map(

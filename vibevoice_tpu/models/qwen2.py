@@ -36,20 +36,55 @@ class KVCache(NamedTuple):
 
     Head-major layout: each (sample, kv head) owns a contiguous S x Dh plane
     so the flash decode kernel streams dense KV blocks (ops/flash_decode.py).
+
+    Quantized (``kv_quant``) caches store each leaf as {"q": int8
+    [L, B, Hkv, S, Dh], "s": f32 [L, B, Hkv, S]} — one symmetric scale per
+    stored vector.  Halves KV HBM traffic and memory; dequantization happens
+    inside the attention kernels (ops/flash_decode.py int8 variants).
     """
     k: jax.Array
     v: jax.Array
 
     @property
     def max_len(self) -> int:
-        return self.k.shape[3]
+        k = self.k["q"] if isinstance(self.k, dict) else self.k
+        return k.shape[3]
 
 
 def init_kv_cache(cfg: Qwen2DecoderConfig, batch: int, max_len: int,
-                  dtype=jnp.bfloat16) -> KVCache:
+                  dtype=jnp.bfloat16, quant: bool = False) -> KVCache:
     shape = (cfg.num_hidden_layers, batch, cfg.num_key_value_heads, max_len,
              cfg.resolved_head_dim)
+    if quant:
+        def leaf():
+            return {"q": jnp.zeros(shape, jnp.int8),
+                    "s": jnp.zeros(shape[:-1], jnp.float32)}
+        return KVCache(k=leaf(), v=leaf())
     return KVCache(k=jnp.zeros(shape, dtype), v=jnp.zeros(shape, dtype))
+
+
+def _cache_write_decode(cache, vec, bidx, write_idx):
+    """Write one vector per (sample, head) at the per-sample pointer.
+    vec: [B, Hkv, Dh]; quantized caches quantize per vector on the way in."""
+    if isinstance(cache, dict):
+        from ..ops.flash_decode import quantize_kv
+        q8, s = quantize_kv(vec)
+        return {"q": cache["q"].at[bidx, :, write_idx].set(q8),
+                "s": cache["s"].at[bidx, :, write_idx].set(s)}
+    return cache.at[bidx, :, write_idx].set(vec.astype(cache.dtype))
+
+
+def _cache_write_block(cache, block_hm, offset: int):
+    """Write a head-major block [B, Hkv, T, Dh] at slot ``offset``."""
+    if isinstance(cache, dict):
+        from ..ops.flash_decode import quantize_kv
+        q8, s = quantize_kv(block_hm)
+        return {"q": jax.lax.dynamic_update_slice(
+                    cache["q"], q8, (0, 0, offset, 0)),
+                "s": jax.lax.dynamic_update_slice(
+                    cache["s"], s, (0, 0, offset))}
+    return jax.lax.dynamic_update_slice(
+        cache, block_hm.astype(cache.dtype), (0, 0, offset, 0))
 
 
 def init_params(rng: jax.Array, cfg: Qwen2DecoderConfig, dtype=jnp.bfloat16) -> dict:
@@ -145,8 +180,8 @@ def _layer(x, lp, cfg: Qwen2DecoderConfig, cos, sin, cache_k, cache_v,
         # write the new token at the per-sample pointer, then attend over the
         # [kv_start, kv_len) live range of the head-major cache
         bidx = jnp.arange(b)
-        cache_k = cache_k.at[bidx, :, write_idx].set(k[:, 0].astype(cache_k.dtype))
-        cache_v = cache_v.at[bidx, :, write_idx].set(v[:, 0].astype(cache_v.dtype))
+        cache_k = _cache_write_decode(cache_k, k[:, 0], bidx, write_idx)
+        cache_v = _cache_write_decode(cache_v, v[:, 0], bidx, write_idx)
         if decode_impl == "pallas_shmap":
             from ..ops.flash_decode import flash_decode_attention_sharded
             mesh, kv_tp, batch_on_dp = shard_ctx
@@ -154,19 +189,17 @@ def _layer(x, lp, cfg: Qwen2DecoderConfig, cos, sin, cache_k, cache_v,
                 q[:, 0], cache_k, cache_v, kv_start, kv_len,
                 mesh, kv_tp, batch_on_dp)[:, None]
         elif decode_impl == "pallas":
-            from ..ops.flash_decode import flash_decode_attention
-            attn = flash_decode_attention(q[:, 0], cache_k, cache_v,
-                                          kv_start, kv_len)[:, None]
+            from ..ops.flash_decode import flash_decode_attention_any
+            attn = flash_decode_attention_any(q[:, 0], cache_k, cache_v,
+                                             kv_start, kv_len)[:, None]
         else:
             from ..ops.flash_decode import decode_attend_xla
             attn = decode_attend_xla(q[:, 0], cache_k, cache_v,
                                      kv_start, kv_len)[:, None]
     else:
         # prefill: write the whole block at offset 0 (head-major transpose)
-        cache_k = jax.lax.dynamic_update_slice(
-            cache_k, k.transpose(0, 2, 1, 3).astype(cache_k.dtype), (0, 0, 0, 0))
-        cache_v = jax.lax.dynamic_update_slice(
-            cache_v, v.transpose(0, 2, 1, 3).astype(cache_v.dtype), (0, 0, 0, 0))
+        cache_k = _cache_write_block(cache_k, k.transpose(0, 2, 1, 3), 0)
+        cache_v = _cache_write_block(cache_v, v.transpose(0, 2, 1, 3), 0)
         if flash_kv_start is not None:
             from ..ops.flash_attention import flash_attention
             attn = flash_attention(q, k, v, flash_kv_start, causal=True)
@@ -274,7 +307,7 @@ def prefill_chunked(params: dict, cfg: Qwen2DecoderConfig, embeds: jax.Array,
     embeds: [B, T, H] with T % chunk == 0; returns (last-position hidden
     [B, H], cache) — segment boundaries are invisible in the result.
     """
-    from ..ops.flash_attention import flash_attention_cached
+    from ..ops.flash_attention import flash_attention_cached_any
 
     b, t, hdim = embeds.shape
     assert t % chunk == 0, (t, chunk)
@@ -300,11 +333,9 @@ def prefill_chunked(params: dict, cfg: Qwen2DecoderConfig, embeds: jax.Array,
             v = (qmatmul(y, lp["wv"]) + lp["bv"]).reshape(b, chunk, hkv, dh)
             q = apply_rope(q, cos, sin)
             k = apply_rope(k, cos, sin)
-            ck = jax.lax.dynamic_update_slice(
-                ck, k.transpose(0, 2, 1, 3).astype(ck.dtype), (0, 0, off, 0))
-            cv = jax.lax.dynamic_update_slice(
-                cv, v.transpose(0, 2, 1, 3).astype(cv.dtype), (0, 0, off, 0))
-            attn = flash_attention_cached(q, ck, cv, kv_start, off)
+            ck = _cache_write_block(ck, k.transpose(0, 2, 1, 3), off)
+            cv = _cache_write_block(cv, v.transpose(0, 2, 1, 3), off)
+            attn = flash_attention_cached_any(q, ck, cv, kv_start, off)
             xc = resid + qmatmul(attn.reshape(b, chunk, hq * dh), lp["wo"])
             resid = xc
             y = rms_norm(xc, lp["ln2"], cfg.rms_norm_eps)

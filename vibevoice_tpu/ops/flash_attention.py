@@ -291,3 +291,143 @@ def flash_attention_cached(q: jax.Array, cache_k: jax.Array, cache_v: jax.Array,
         interpret=interpret,
     )(kv_start.astype(jnp.int32), q_off, qh, cache_k, cache_v)
     return out.reshape(b, hq, tq, d).transpose(0, 2, 1, 3)
+
+
+# ---------------------------------------------------------------------------
+# int8-cache variant of the chunked-prefill kernel (see ops/flash_decode.py
+# for the cache representation): score rows dequantize per KEY after the
+# q-k8 dot; the v scale folds into the probability rows before p-v8.
+# ---------------------------------------------------------------------------
+
+def _flash_cached_kernel_q8(kv_start_ref, q_off_ref,
+                            q_ref, k_ref, ks_ref, v_ref, vs_ref, o_ref,
+                            m_scr, l_scr, acc_scr,
+                            *, scale: float, block_q: int, block_k: int,
+                            chunk: int):
+    b = pl.program_id(0)
+    qi = pl.program_id(2)
+    ki = pl.program_id(3)
+    nk = pl.num_programs(3)
+
+    @pl.when(ki == 0)
+    def _init():
+        m_scr[:] = jnp.full_like(m_scr, NEG_INF)
+        l_scr[:] = jnp.zeros_like(l_scr)
+        acc_scr[:] = jnp.zeros_like(acc_scr)
+
+    q_start = q_off_ref[0] + (qi * block_q) % chunk
+    k_start = ki * block_k
+
+    def _compute():
+        q = q_ref[0, 0].astype(jnp.float32)
+        k = k_ref[0, 0].astype(jnp.float32)
+        v = v_ref[0, 0].astype(jnp.float32)
+        ks = ks_ref[0, 0].astype(jnp.float32)
+        vs = vs_ref[0, 0].astype(jnp.float32)
+        s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
+                                preferred_element_type=jnp.float32)
+        s = s * (ks[None, :] * scale)
+
+        q_ids = q_start + jax.lax.broadcasted_iota(jnp.int32, (block_q, block_k), 0)
+        k_ids = k_start + jax.lax.broadcasted_iota(jnp.int32, (block_q, block_k), 1)
+        mask = jnp.logical_and(k_ids >= kv_start_ref[b], k_ids <= q_ids)
+        s = jnp.where(mask, s, NEG_INF)
+
+        m_prev = m_scr[:]
+        m_new = jnp.maximum(m_prev, jnp.max(s, axis=-1, keepdims=True))
+        e = jnp.exp(s - m_new)
+        alpha = jnp.exp(m_prev - m_new)
+        l_scr[:] = l_scr[:] * alpha + jnp.sum(e, axis=-1, keepdims=True)
+        acc_scr[:] = acc_scr[:] * alpha + jax.lax.dot_general(
+            e * vs[None, :], v, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        m_scr[:] = m_new
+
+    in_range = jnp.logical_and(
+        k_start <= q_start + block_q - 1,
+        k_start + block_k > kv_start_ref[b])
+    pl.when(in_range)(_compute)
+
+    @pl.when(ki == nk - 1)
+    def _finalize():
+        l = l_scr[:]
+        l = jnp.where(l == 0.0, 1.0, l)
+        o_ref[0, 0] = (acc_scr[:] / l).astype(o_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("block_q", "block_k", "interpret"))
+def flash_attention_cached_q8(q: jax.Array, k8: jax.Array, ks: jax.Array,
+                              v8: jax.Array, vs: jax.Array,
+                              kv_start: jax.Array, q_offset: jax.Array,
+                              block_q: int = DEFAULT_BLOCK_Q,
+                              block_k: int = DEFAULT_BLOCK_K_CACHED,
+                              interpret: bool | None = None) -> jax.Array:
+    """Chunked-prefill attention against an int8 cache.  Same GQA packing and
+    live-range clamping as the bf16 kernel; KV DMA halves."""
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    b, tq, hq, d = q.shape
+    s_len, hkv = k8.shape[2], k8.shape[1]
+    group = hq // hkv
+
+    def _fit(block, t):
+        block = min(block, t)
+        while t % block != 0:
+            block //= 2
+        return max(block, 8)
+
+    block_q = _fit(block_q, tq)
+    block_k = _fit(block_k, s_len)
+    scale = d ** -0.5
+    qh = q.transpose(0, 2, 1, 3).reshape(b, hkv, group * tq, d)
+    q_off = jnp.atleast_1d(jnp.asarray(q_offset, jnp.int32))
+
+    def _kv_index(b_, h, qi, ki, kvs, qo):
+        q_end = qo[0] + (qi * block_q) % tq + block_q - 1
+        lo = kvs[b_] // block_k
+        hi = jnp.maximum(q_end // block_k, lo)
+        return (b_, h, jnp.clip(ki, lo, hi), 0)
+
+    def _s_index(b_, h, qi, ki, kvs, qo):
+        q_end = qo[0] + (qi * block_q) % tq + block_q - 1
+        lo = kvs[b_] // block_k
+        hi = jnp.maximum(q_end // block_k, lo)
+        return (b_, h, jnp.clip(ki, lo, hi))
+
+    grid = (b, hkv, (group * tq) // block_q, s_len // block_k)
+    kernel = functools.partial(_flash_cached_kernel_q8, scale=scale,
+                               block_q=block_q, block_k=block_k, chunk=tq)
+    out = pl.pallas_call(
+        kernel,
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=2,
+            grid=grid,
+            in_specs=[
+                pl.BlockSpec((1, 1, block_q, d),
+                             lambda b_, h, qi, ki, kvs, qo: (b_, h, qi, 0)),
+                pl.BlockSpec((1, 1, block_k, d), _kv_index),
+                pl.BlockSpec((1, 1, block_k), _s_index),
+                pl.BlockSpec((1, 1, block_k, d), _kv_index),
+                pl.BlockSpec((1, 1, block_k), _s_index),
+            ],
+            out_specs=pl.BlockSpec((1, 1, block_q, d),
+                                   lambda b_, h, qi, ki, kvs, qo: (b_, h, qi, 0)),
+            scratch_shapes=[
+                pltpu.VMEM((block_q, 1), jnp.float32),
+                pltpu.VMEM((block_q, 1), jnp.float32),
+                pltpu.VMEM((block_q, d), jnp.float32),
+            ],
+        ),
+        out_shape=jax.ShapeDtypeStruct((b, hkv, group * tq, d), q.dtype),
+        interpret=interpret,
+    )(kv_start.astype(jnp.int32), q_off, qh, k8, ks, v8, vs)
+    return out.reshape(b, hq, tq, d).transpose(0, 2, 1, 3)
+
+
+def flash_attention_cached_any(q, cache_k, cache_v, kv_start, q_offset):
+    """Dispatch on the cache representation (bf16 array vs int8 {"q","s"})."""
+    if isinstance(cache_k, dict):
+        return flash_attention_cached_q8(q, cache_k["q"], cache_k["s"],
+                                         cache_v["q"], cache_v["s"],
+                                         kv_start, q_offset)
+    return flash_attention_cached(q, cache_k, cache_v, kv_start, q_offset)

@@ -168,11 +168,166 @@ def flash_decode_attention_sharded(q: jax.Array, k_cache: jax.Array,
     return fn(q, k_cache, v_cache, kv_start, kv_len)
 
 
+# ---------------------------------------------------------------------------
+# int8 KV cache variants: cache leaves are {"q": int8 [B,Hkv,S,D],
+# "s": f32 [B,Hkv,S]} with one symmetric scale per stored vector.  Halves the
+# per-step KV HBM traffic at depth — the long-context decode bottleneck —
+# and halves cache memory (a 7B 32k dual-context cache drops 4.0 -> 2.0 GB).
+# Dequantization folds into the attention math: scores scale per KEY row
+# after the q·k8 dot; the v scale folds into the probability row before the
+# p·v8 dot, so the MXU never sees a dequantized cache tensor.
+# ---------------------------------------------------------------------------
+
+def is_quantized_kv(leaf) -> bool:
+    return isinstance(leaf, dict) and set(leaf.keys()) == {"q", "s"}
+
+
+def quantize_kv(x: jax.Array):
+    """Per-vector symmetric int8 over the trailing (head-dim) axis.
+    x: [..., D] -> ({int8 [..., D]}, f32 scale [...])."""
+    xf = x.astype(jnp.float32)
+    amax = jnp.max(jnp.abs(xf), axis=-1)
+    s = jnp.maximum(amax / 127.0, 1e-12)
+    q = jnp.clip(jnp.round(xf / s[..., None]), -127, 127).astype(jnp.int8)
+    return q, s.astype(jnp.float32)
+
+
+def dequantize_kv(leaf, dtype=jnp.bfloat16) -> jax.Array:
+    return (leaf["q"].astype(jnp.float32)
+            * leaf["s"][..., None]).astype(dtype)
+
+
+def _decode_kernel_q8(kv_start_ref, kv_len_ref,  # scalar prefetch: [B] int32
+                      q_ref, k_ref, ks_ref, v_ref, vs_ref, o_ref,
+                      m_scr, l_scr, acc_scr,
+                      *, scale: float, block_k: int):
+    b = pl.program_id(0)
+    ki = pl.program_id(2)
+    nk = pl.num_programs(2)
+
+    @pl.when(ki == 0)
+    def _init():
+        m_scr[:] = jnp.full_like(m_scr, NEG_INF)
+        l_scr[:] = jnp.zeros_like(l_scr)
+        acc_scr[:] = jnp.zeros_like(acc_scr)
+
+    start_blk = kv_start_ref[b] // block_k
+    end_blk = (kv_len_ref[b] - 1) // block_k
+
+    @pl.when(jnp.logical_and(ki >= start_blk, ki <= end_blk))
+    def _compute():
+        q = q_ref[0, 0].astype(jnp.float32)          # [G, D]
+        k = k_ref[0, 0].astype(jnp.float32)          # [BK, D] (int8 -> f32)
+        v = v_ref[0, 0].astype(jnp.float32)          # [BK, D]
+        ks = ks_ref[0, 0].astype(jnp.float32)        # [BK]
+        vs = vs_ref[0, 0].astype(jnp.float32)        # [BK]
+        s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
+                                preferred_element_type=jnp.float32)
+        s = s * (ks[None, :] * scale)                # per-key dequant
+
+        g = q.shape[0]
+        j = ki * block_k + jax.lax.broadcasted_iota(jnp.int32, (g, block_k), 1)
+        valid = jnp.logical_and(j >= kv_start_ref[b], j < kv_len_ref[b])
+        s = jnp.where(valid, s, NEG_INF)
+
+        m_prev = m_scr[:]
+        m_new = jnp.maximum(m_prev, jnp.max(s, axis=-1, keepdims=True))
+        p = jnp.exp(s - m_new) * vs[None, :]         # fold v dequant into p
+        alpha = jnp.exp(m_prev - m_new)
+        l_scr[:] = l_scr[:] * alpha + jnp.sum(
+            jnp.exp(s - m_new), axis=-1, keepdims=True)
+        acc_scr[:] = acc_scr[:] * alpha + jax.lax.dot_general(
+            p, v, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32)
+        m_scr[:] = m_new
+
+    @pl.when(ki == nk - 1)
+    def _finalize():
+        l = l_scr[:]
+        l = jnp.where(l == 0.0, 1.0, l)
+        o_ref[0, 0] = (acc_scr[:] / l).astype(o_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("block_k", "interpret"))
+def flash_decode_attention_q8(q: jax.Array, k8: jax.Array, ks: jax.Array,
+                              v8: jax.Array, vs: jax.Array,
+                              kv_start: jax.Array, kv_len: jax.Array,
+                              block_k: int = DEFAULT_BLOCK_K,
+                              interpret: bool | None = None) -> jax.Array:
+    """int8-cache decode attention.  q: [B, Hq, D]; k8/v8: [B, Hkv, S, D]
+    int8; ks/vs: [B, Hkv, S] per-vector scales.  Same live-range clamping as
+    the bf16 kernel; KV DMA is halved."""
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    b, hq, d = q.shape
+    hkv, s = k8.shape[1], k8.shape[2]
+    group = hq // hkv
+    scale = d ** -0.5
+
+    bk = min(block_k, s)
+    while s % bk != 0:
+        bk //= 2
+    bk = max(bk, 8)
+    nk = s // bk
+
+    qg = q.reshape(b, hkv, group, d)
+
+    def _kv_index(b_, h, ki, kvs, kvl):
+        start_blk = kvs[b_] // bk
+        end_blk = (kvl[b_] - 1) // bk
+        return (b_, h, jnp.clip(ki, start_blk, end_blk), 0)
+
+    def _s_index(b_, h, ki, kvs, kvl):
+        start_blk = kvs[b_] // bk
+        end_blk = (kvl[b_] - 1) // bk
+        return (b_, h, jnp.clip(ki, start_blk, end_blk))
+
+    out = pl.pallas_call(
+        functools.partial(_decode_kernel_q8, scale=scale, block_k=bk),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=2,
+            grid=(b, hkv, nk),
+            in_specs=[
+                pl.BlockSpec((1, 1, group, d), lambda b_, h, ki, kvs, kvl: (b_, h, 0, 0)),
+                pl.BlockSpec((1, 1, bk, d), _kv_index),
+                pl.BlockSpec((1, 1, bk), _s_index),
+                pl.BlockSpec((1, 1, bk, d), _kv_index),
+                pl.BlockSpec((1, 1, bk), _s_index),
+            ],
+            out_specs=pl.BlockSpec((1, 1, group, d),
+                                   lambda b_, h, ki, kvs, kvl: (b_, h, 0, 0)),
+            scratch_shapes=[
+                pltpu.VMEM((group, 1), jnp.float32),
+                pltpu.VMEM((group, 1), jnp.float32),
+                pltpu.VMEM((group, d), jnp.float32),
+            ],
+        ),
+        out_shape=jax.ShapeDtypeStruct((b, hkv, group, d), q.dtype),
+        interpret=interpret,
+    )(kv_start.astype(jnp.int32), kv_len.astype(jnp.int32),
+      qg, k8, ks, v8, vs)
+    return out.reshape(b, hq, d)
+
+
+def flash_decode_attention_any(q, k_cache, v_cache, kv_start, kv_len,
+                               block_k: int = DEFAULT_BLOCK_K):
+    """Dispatch on cache representation: bf16 arrays or int8 {"q","s"}."""
+    if is_quantized_kv(k_cache):
+        return flash_decode_attention_q8(q, k_cache["q"], k_cache["s"],
+                                         v_cache["q"], v_cache["s"],
+                                         kv_start, kv_len, block_k=block_k)
+    return flash_decode_attention(q, k_cache, v_cache, kv_start, kv_len,
+                                  block_k=block_k)
+
+
 def decode_attend_xla(q: jax.Array, k_cache: jax.Array, v_cache: jax.Array,
                       kv_start: jax.Array, kv_len: jax.Array) -> jax.Array:
     """XLA fallback with identical semantics on the head-major cache
     (used on CPU meshes and under GSPMD sharding, where a pallas_call
-    cannot be auto-partitioned).  Reads the full buffer."""
+    cannot be auto-partitioned).  Reads the full buffer.  int8 caches are
+    dequantized inline (the fallback is a correctness path)."""
+    if is_quantized_kv(k_cache):
+        k_cache = dequantize_kv(k_cache, q.dtype)
+        v_cache = dequantize_kv(v_cache, q.dtype)
     b, hq, d = q.shape
     hkv, s = k_cache.shape[1], k_cache.shape[2]
     qg = q.reshape(b, hkv, hq // hkv, d)
