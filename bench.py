@@ -65,7 +65,8 @@ class BenchTokenizer:
 
 
 def build_generator(cfg, ddpm_steps, quantize=False, quantize_head=False,
-                    bits=8, colscale=False, quantize_embed=False):
+                    bits=8, colscale=False, quantize_embed=False,
+                    kv_quant=False):
     from vibevoice_tpu.generation import VibeVoiceGenerator
     from vibevoice_tpu.models import vibevoice
 
@@ -130,7 +131,7 @@ def build_generator(cfg, ddpm_steps, quantize=False, quantize_head=False,
             params["semantic"], bits=bits, colscale=colscale, convs=qconvs)
     return VibeVoiceGenerator(params, cfg, BenchTokenizer(),
                               ddpm_inference_steps=ddpm_steps,
-                              lm_dtype=jnp.bfloat16)
+                              lm_dtype=jnp.bfloat16, kv_quant=kv_quant)
 
 
 def full_quant_tiers(gen_params, bits, colscale):
@@ -451,6 +452,33 @@ def main():
         except Exception as e:  # noqa: BLE001 - keep the JSON line flowing
             extras["longform_64k_error"] = repr(e)[:200]
         gc.collect()
+
+        # Optional int8-KV-cache rerun of the 64k tier (BENCH_KV8=1): same
+        # prompt/steps, cache leaves quantized — the decode bottleneck at
+        # this depth is KV HBM traffic, which the q8 kernels halve
+        if os.environ.get("BENCH_KV8", "0") == "1":
+            try:
+                gen15k = build_generator(cfg, ddpm_steps, quantize=True,
+                                         quantize_head=True, bits=8,
+                                         kv_quant=True)
+                full_quant_tiers(gen15k.params, 8, False)
+                deep_ids = make_ids(1, 40500)
+                run_config(gen15k, deep_ids, 1024, chunk, 1.3, frame_sec,
+                           stop_check_fn=stop_after_chunks(3))
+                wk, sk, dk, ak = run_config(gen15k, deep_ids, 1024, chunk,
+                                            1.3, frame_sec)
+                extras["longform_64k_kv8_rtf"] = round(ak / wk, 3)
+                pfk = gen15k.last_metrics.get("prefill", {}).get("total_s", 0.0)
+                if wk > pfk > 0:
+                    extras["longform_64k_kv8_rtf_sustained"] = round(
+                        ak / (wk - pfk), 3)
+                extras["longform_64k_kv8_hbm_gb"] = round(
+                    tree_gb(gen15k.params)
+                    + 28 * 2 * 2 * 2 * 128 * 52000 * 1.25 / 1e9, 2)
+                del gen15k, deep_ids
+            except Exception as e:  # noqa: BLE001
+                extras["longform_64k_kv8_error"] = repr(e)[:200]
+            gc.collect()
 
         # ---- 7B tiers (configs 3 + 5), full-int8 on ONE chip --------------
         try:

@@ -168,14 +168,44 @@ def test_generate_kv_quant_long_prompt_chunked_prefill():
     np.testing.assert_array_equal(ref.sequences, q.sequences)
 
 
-def test_engine_rejects_kv_quant():
+@pytest.mark.slow
+def test_engine_kv_quant_matches_solo():
+    """Continuous batching over an int8 cache: each request's token stream
+    equals its solo kv_quant run (the determinism contract — quantization is
+    deterministic and row-local, so splices preserve it)."""
     from vibevoice_tpu.generation import VibeVoiceGenerator
     from vibevoice_tpu.generation.engine import ContinuousEngine
     from vibevoice_tpu.models import vibevoice
 
     params = vibevoice.init_params(jax.random.PRNGKey(0), CFG, jnp.float32)
-    gen = VibeVoiceGenerator(params, CFG, TinyTokenizer(),
-                             ddpm_inference_steps=2, lm_dtype=jnp.float32,
-                             kv_quant=True)
-    with pytest.raises(NotImplementedError):
-        ContinuousEngine(gen, slots=1, cache_len=128)
+    tk = TinyTokenizer()
+    gen = VibeVoiceGenerator(params, CFG, tk, ddpm_inference_steps=2,
+                             lm_dtype=jnp.float32, kv_quant=True)
+    rs = np.random.RandomState(9)
+    prompts = []
+    for i in range(3):
+        ids = rs.randint(20, 200, (1, 10 + 3 * i))
+        ids[:, -1] = tk.speech_start_id
+        prompts.append(ids)
+
+    solo = [gen.generate(ids, cfg_scale=1.3, max_new_tokens=8, chunk_steps=4,
+                         do_sample=False, seed=11 + i, max_length_times=1000.0)
+            for i, ids in enumerate(prompts)]
+
+    eng = ContinuousEngine(gen, slots=2, cache_len=128, chunk_steps=4,
+                           cfg_scale=1.3, do_sample=False)
+    reqs = [eng.submit({"input_ids": ids}, max_new_tokens=8,
+                       max_length_times=1000.0, seed=11 + i)
+            for i, ids in enumerate(prompts)]
+    eng.drain()
+
+    def trim(toks):
+        # engine stops at eos; generate() pads the dispatched chunk with eos
+        return (toks[:toks.index(tk.eos_id) + 1] if tk.eos_id in toks
+                else toks)
+
+    for i, (req, ref) in enumerate(zip(reqs, solo)):
+        assert req.error is None, req.error
+        solo_t = trim(ref.sequences[0].tolist())
+        n = min(len(req.tokens), len(solo_t))
+        assert n > 0 and req.tokens[:n] == solo_t[:n], f"request {i}"

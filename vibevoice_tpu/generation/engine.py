@@ -26,6 +26,12 @@ init, SDE solver noise) is ``fold_in(row_seed, row_position)``
 (GenState.row_rng), so a request's output is a function of (its prompt, its
 seed) alone — identical whether it runs solo through
 ``VibeVoiceGenerator.generate`` or joins an engine batch at any moment.
+
+int8 KV caches (``VibeVoiceGenerator(kv_quant=True)``) serve too: cache
+leaves are {"q","s"} pytrees, splice/park tree-map over them, and the
+contract holds because per-vector quantization is deterministic and
+row-local.  Halves the engine's cache memory — the lever for more slots or
+deeper per-slot context on one chip.
 """
 
 from __future__ import annotations
@@ -90,10 +96,6 @@ class ContinuousEngine:
                  top_p: float = 0.95, top_k: int = 0,
                  refresh_negative: bool = True, log_fn=None):
         self.gen = generator
-        if getattr(generator, "kv_quant", False):
-            raise NotImplementedError(
-                "ContinuousEngine serves bf16 KV caches; kv_quant is the "
-                "single-request long-context tier")
         self.slots = int(slots)
         self.cache_len = int(cache_len)
         self.chunk_steps = int(chunk_steps)
@@ -138,8 +140,13 @@ class ContinuousEngine:
             def one_row(bg, sm):
                 return lax.dynamic_update_slice_in_dim(bg, sm[0:1], slot, axis=0)
 
-            cache = qwen2.KVCache(k=two_rows(big.cache.k, small.cache.k, 1),
-                                  v=two_rows(big.cache.v, small.cache.v, 1))
+            # tree.map covers both bf16 arrays and int8 {"q","s"} leaves —
+            # axis 1 is the slot-row axis in every cache leaf layout
+            cache = qwen2.KVCache(
+                k=jax.tree.map(lambda bg, sm: two_rows(bg, sm, 1),
+                               big.cache.k, small.cache.k),
+                v=jax.tree.map(lambda bg, sm: two_rows(bg, sm, 1),
+                               big.cache.v, small.cache.v))
             return GenState(
                 cache=cache,
                 kv_start=two_rows(big.kv_start, small.kv_start, 0),
@@ -214,7 +221,8 @@ class ContinuousEngine:
     def _build_empty_state(self) -> GenState:
         gen, cfg = self.gen, self.gen.cfg
         B, S = self.slots, self.cache_len
-        cache = qwen2.init_kv_cache(cfg.decoder, 2 * B, S, gen.lm_dtype)
+        cache = qwen2.init_kv_cache(cfg.decoder, 2 * B, S, gen.lm_dtype,
+                                    quant=getattr(gen, "kv_quant", False))
         return GenState(
             cache=cache,
             kv_start=jnp.zeros((2 * B,), jnp.int32),

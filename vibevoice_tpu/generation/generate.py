@@ -158,9 +158,10 @@ class VibeVoiceGenerator:
             ("pallas_shmap" if self.kv_tp else "xla") if mesh is not None
             else ("pallas" if on_tpu else "xla"))
         # int8 KV cache (opt-in): halves per-step KV HBM traffic at depth
-        # and halves cache memory (long-context tier).  Single-device only:
-        # the sharded path's shard_map kernel and the engine's splice/park
-        # programs operate on bf16 cache arrays.
+        # and halves cache memory (long-context tier; the engine serves it
+        # too — splice/park tree-map over the {"q","s"} leaves).  Single-
+        # device only: the sharded path's shard_map kernel reads bf16 cache
+        # arrays.
         self.kv_quant = bool(kv_quant) or _os.environ.get(
             "VIBEVOICE_KV8", "0") == "1"
         if self.kv_quant and mesh is not None:
