@@ -169,6 +169,41 @@ def test_generate_kv_quant_long_prompt_chunked_prefill():
 
 
 @pytest.mark.slow
+def test_sharded_kv_quant_matches_single_device():
+    """TP/DP-sharded generation over an int8 cache == single-device int8:
+    the shard_map decode wrapper carries the per-vector scales on the same
+    (dp, tp) axes as the data, so shard-local attention sees the exact same
+    quantized vectors."""
+    from vibevoice_tpu.generation import VibeVoiceGenerator
+    from vibevoice_tpu.models import vibevoice
+    from vibevoice_tpu.parallel import make_mesh
+
+    params = vibevoice.init_params(jax.random.PRNGKey(4), CFG, jnp.float32)
+    tk = TinyTokenizer()
+    rs = np.random.RandomState(7)
+    ids = rs.randint(20, 200, (2, 24))
+    ids[:, -1] = tk.speech_start_id
+    kw = dict(cfg_scale=1.3, max_new_tokens=8, chunk_steps=4,
+              do_sample=False, seed=3, max_length_times=1000.0)
+
+    out1 = VibeVoiceGenerator(params, CFG, tk, ddpm_inference_steps=3,
+                              lm_dtype=jnp.float32,
+                              kv_quant=True).generate(ids, **kw)
+    mesh = make_mesh(8, tp=2)
+    gen2 = VibeVoiceGenerator(params, CFG, tk, ddpm_inference_steps=3,
+                              lm_dtype=jnp.float32, mesh=mesh, kv_quant=True)
+    assert gen2.kv_tp, "tiny config (2 kv heads) should shard kv on tp=2"
+    out2 = gen2.generate(ids, **kw)
+
+    np.testing.assert_array_equal(out1.sequences, out2.sequences)
+    for a, bw in zip(out1.speech_outputs, out2.speech_outputs):
+        if a is None:
+            assert bw is None
+        else:
+            np.testing.assert_allclose(a, bw, atol=2e-4)
+
+
+@pytest.mark.slow
 def test_engine_kv_quant_matches_solo():
     """Continuous batching over an int8 cache: each request's token stream
     equals its solo kv_quant run (the determinism contract — quantization is

@@ -205,10 +205,11 @@ class ContinuousEngine:
         mesh = self.gen.mesh
         skel = jax.eval_shape(self._build_empty_state)
         sh = batch_shardings(mesh, skel)
-        c_sh = self.gen._cache_sharding(2 * self.slots)
+        c_sh = jax.tree.map(
+            lambda l: self.gen._cache_sharding(2 * self.slots, l.ndim),
+            skel.cache)
         repl = NamedSharding(mesh, P())
-        return sh._replace(cache=jax.tree.map(lambda _: c_sh, sh.cache),
-                           step=repl, rng=repl)
+        return sh._replace(cache=c_sh, step=repl, rng=repl)
 
     def _empty_state(self) -> GenState:
         if self._state_sh is None:

@@ -158,15 +158,12 @@ class VibeVoiceGenerator:
             ("pallas_shmap" if self.kv_tp else "xla") if mesh is not None
             else ("pallas" if on_tpu else "xla"))
         # int8 KV cache (opt-in): halves per-step KV HBM traffic at depth
-        # and halves cache memory (long-context tier; the engine serves it
-        # too — splice/park tree-map over the {"q","s"} leaves).  Single-
-        # device only: the sharded path's shard_map kernel reads bf16 cache
-        # arrays.
+        # and halves cache memory (long-context tier).  Served everywhere:
+        # solo, through the engine (splice/park tree-map over the {"q","s"}
+        # leaves), and TP/DP-sharded (the shard_map decode wrapper carries
+        # per-vector scales on the same (dp, tp) axes as the data).
         self.kv_quant = bool(kv_quant) or _os.environ.get(
             "VIBEVOICE_KV8", "0") == "1"
-        if self.kv_quant and mesh is not None:
-            raise NotImplementedError(
-                "kv_quant serves single-device; use bf16 cache with mesh")
         # prompts longer than this prefill in fixed segments (activation
         # memory ∝ segment, not prompt — the 7B/30k-prompt OOM guard)
         self.prefill_chunk = int(_os.environ.get(
@@ -201,13 +198,18 @@ class VibeVoiceGenerator:
             lambda x, s: jax.device_put(x, s) if x is not None else None,
             tree, sh, is_leaf=lambda x: x is None)
 
-    def _cache_sharding(self, b2: int):
+    def _cache_sharding(self, b2: int, ndim: int = 5):
+        """NamedSharding for a cache leaf: 5-D [L,B,Hkv,S,Dh] data, or the
+        4-D [L,B,Hkv,S] per-vector scales of a quantized cache."""
         if self.mesh is None:
             return None
-        from jax.sharding import NamedSharding
+        from jax.sharding import NamedSharding, PartitionSpec
         from ..parallel.sharding import kv_cache_pspec
         batch_on_dp = b2 % self.mesh.shape.get("dp", 1) == 0
-        return NamedSharding(self.mesh, kv_cache_pspec(self.kv_tp, batch_on_dp))
+        spec = kv_cache_pspec(self.kv_tp, batch_on_dp)
+        if ndim == 4:
+            spec = PartitionSpec(*tuple(spec)[:4])
+        return NamedSharding(self.mesh, spec)
 
     # ------------------------------------------------------------------
     # scaling factors
@@ -256,10 +258,10 @@ class VibeVoiceGenerator:
 
             cache = qwen2.init_kv_cache(cfg.decoder, b2, cache_len,
                                         self.lm_dtype, quant=self.kv_quant)
-            c_sh = self._cache_sharding(b2)
-            if c_sh is not None:
+            if self.mesh is not None:
                 cache = jax.tree.map(
-                    lambda x: jax.lax.with_sharding_constraint(x, c_sh), cache)
+                    lambda x: jax.lax.with_sharding_constraint(
+                        x, self._cache_sharding(b2, x.ndim)), cache)
             if (t_bucket > self.prefill_chunk and
                     t_bucket % self.prefill_chunk == 0 and self.mesh is None):
                 # long prompts: segmented prefill bounds activation memory

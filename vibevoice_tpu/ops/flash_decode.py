@@ -153,18 +153,28 @@ def flash_decode_attention_sharded(q: jax.Array, k_cache: jax.Array,
     kvspec = P(dp, tp, None, None)       # [B, Hkv, S, D]
     sspec = P(dp)                        # [B]
 
-    kwargs = dict(mesh=mesh, in_specs=(qspec, kvspec, kvspec, sspec, sspec),
+    if is_quantized_kv(k_cache):
+        # int8 cache: {"q","s"} leaves shard on the same (dp, tp) axes —
+        # per-vector scales stay local to their kv head's shard
+        cspec = {"q": kvspec, "s": P(dp, tp, None)}
+
+        def inner(q_, k_, v_, s_, l_):
+            return flash_decode_attention_q8(q_, k_["q"], k_["s"],
+                                             v_["q"], v_["s"], s_, l_,
+                                             block_k=block_k)
+    else:
+        cspec = kvspec
+
+        def inner(q_, k_, v_, s_, l_):
+            return flash_decode_attention(q_, k_, v_, s_, l_,
+                                          block_k=block_k)
+
+    kwargs = dict(mesh=mesh, in_specs=(qspec, cspec, cspec, sspec, sspec),
                   out_specs=qspec)
     try:
-        fn = shard_map(
-            lambda q_, k_, v_, s_, l_: flash_decode_attention(
-                q_, k_, v_, s_, l_, block_k=block_k),
-            check_vma=False, **kwargs)
+        fn = shard_map(inner, check_vma=False, **kwargs)
     except TypeError:  # older jax spells it check_rep
-        fn = shard_map(
-            lambda q_, k_, v_, s_, l_: flash_decode_attention(
-                q_, k_, v_, s_, l_, block_k=block_k),
-            check_rep=False, **kwargs)
+        fn = shard_map(inner, check_rep=False, **kwargs)
     return fn(q, k_cache, v_cache, kv_start, kv_len)
 
 
