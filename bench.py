@@ -283,17 +283,24 @@ def main():
         # ~4 VPU ops/weight).
         for tier_bits, tier_col, key in ((8, False, "int8_rtf"),
                                          (4, True, "int4_rtf")):
-            gen_q = build_generator(cfg, ddpm_steps, quantize=True,
-                                    quantize_head=True, bits=tier_bits,
-                                    colscale=tier_col)
-            full_quant_tiers(gen_q.params, tier_bits, tier_col)
-            run_config(gen_q, ids, bench_steps, chunk, 1.3, frame_sec)  # compile
-            wq_, _, _, aq_ = run_config(gen_q, ids, bench_steps, chunk, 1.3,
-                                        frame_sec)
-            extras[key] = round(aq_ / wq_, 3)
-            del gen_q
+            try:
+                gen_q = build_generator(cfg, ddpm_steps, quantize=True,
+                                        quantize_head=True, bits=tier_bits,
+                                        colscale=tier_col)
+                full_quant_tiers(gen_q.params, tier_bits, tier_col)
+                run_config(gen_q, ids, bench_steps, chunk, 1.3, frame_sec)  # compile
+                wq_, _, _, aq_ = run_config(gen_q, ids, bench_steps, chunk,
+                                            1.3, frame_sec)
+                extras[key] = round(aq_ / wq_, 3)
+                del gen_q
+            except Exception as e:  # noqa: BLE001 — keep the line flowing
+                extras[key + "_error"] = repr(e)[:200]
             gc.collect()
     if with_extras:
+      # umbrella try: a failure in any of config2/streaming/engine must not
+      # erase the primary numbers or skip the JSON print (the heavy tiers
+      # below carry their own per-tier try-blocks)
+      try:
         # config 2: CFG 1.3 with 10 diffusion steps (2-speaker regime);
         # warm up with the EXACT step count so cache_len matches and no
         # compile leaks into the measured run
@@ -413,7 +420,13 @@ def main():
         # here or the later `del gen` frees nothing and the 7B build OOMs a
         # 16 GB chip under the leftover ~6 GB
         del eng, reqs, bg, jr
-        gc.collect()
+      except Exception as e:  # noqa: BLE001
+        extras["extras_error"] = repr(e)[:200]
+        try:
+            del eng               # the engine pins the generator's params
+        except NameError:
+            pass
+      gc.collect()
 
     if with_extras and heavy and model_name == "1.5b":
         del gen
@@ -540,33 +553,39 @@ def main():
 
     if os.environ.get("BENCH_ENGINE", "0") == "1":
         # extended engine stress (opt-in): many staggered requests at real
-        # lengths — the default run keeps a lighter version above
-        from vibevoice_tpu.generation.engine import ContinuousEngine
-        slots = int(os.environ.get("BENCH_ENGINE_SLOTS", "4"))
-        n_req = int(os.environ.get("BENCH_ENGINE_REQS", str(2 * slots)))
-        req_steps = int(os.environ.get("BENCH_ENGINE_STEPS", "96"))
-        gen = build_generator(cfg, ddpm_steps, quantize=quant,
-                              quantize_head=quant_head, bits=bits,
-                              colscale=colscale)
-        eng = ContinuousEngine(gen, slots=slots, cache_len=1024,
-                               chunk_steps=16, cfg_scale=1.3)
-        eng.submit({"input_ids": ids[:1]}, max_new_tokens=8,
-                   max_length_times=1000.0, seed=0)
-        eng.drain()
-        reqs, t_e0 = [], time.perf_counter()
-        for i in range(n_req):
-            reqs.append(eng.submit({"input_ids": ids[:1]},
-                                   max_new_tokens=req_steps,
-                                   max_length_times=1000.0, seed=i))
-            if i % 2 == 1:
-                eng.step_chunk()
-        eng.drain()
-        e_wall = time.perf_counter() - t_e0
-        e_audio = sum(0.0 if r.audio is None else len(r.audio) / 24000.0
-                      for r in reqs)
-        assert all(r.error is None for r in reqs)
-        extras["engine_stress_aggregate_rtf"] = round(e_audio / e_wall, 3)
-        extras["engine_stress_reqs"] = n_req
+        # lengths — the default run keeps a lighter version above.  Own
+        # try-block: by this point the chip has built/freed many param trees
+        # and an OOM here must not erase every collected number.
+        try:
+            from vibevoice_tpu.generation.engine import ContinuousEngine
+            slots = int(os.environ.get("BENCH_ENGINE_SLOTS", "4"))
+            n_req = int(os.environ.get("BENCH_ENGINE_REQS", str(2 * slots)))
+            req_steps = int(os.environ.get("BENCH_ENGINE_STEPS", "96"))
+            gen = build_generator(cfg, ddpm_steps, quantize=quant,
+                                  quantize_head=quant_head, bits=bits,
+                                  colscale=colscale)
+            eng = ContinuousEngine(gen, slots=slots, cache_len=1024,
+                                   chunk_steps=16, cfg_scale=1.3)
+            eng.submit({"input_ids": ids[:1]}, max_new_tokens=8,
+                       max_length_times=1000.0, seed=0)
+            eng.drain()
+            reqs, t_e0 = [], time.perf_counter()
+            for i in range(n_req):
+                reqs.append(eng.submit({"input_ids": ids[:1]},
+                                       max_new_tokens=req_steps,
+                                       max_length_times=1000.0, seed=i))
+                if i % 2 == 1:
+                    eng.step_chunk()
+            eng.drain()
+            e_wall = time.perf_counter() - t_e0
+            e_audio = sum(0.0 if r.audio is None else len(r.audio) / 24000.0
+                          for r in reqs)
+            assert all(r.error is None for r in reqs)
+            extras["engine_stress_aggregate_rtf"] = round(e_audio / e_wall, 3)
+            extras["engine_stress_reqs"] = n_req
+        except Exception as e:  # noqa: BLE001
+            extras["engine_stress_error"] = repr(e)[:200]
+        gc.collect()
 
     print(json.dumps({
         "metric": (f"rtf_{model_name}_b{batch}_cfg_ddpm{ddpm_steps}"
