@@ -229,8 +229,10 @@ def _decode_kernel_q8(kv_start_ref, kv_len_ref,  # scalar prefetch: [B] int32
         q = q_ref[0, 0].astype(jnp.float32)          # [G, D]
         k = k_ref[0, 0].astype(jnp.float32)          # [BK, D] (int8 -> f32)
         v = v_ref[0, 0].astype(jnp.float32)          # [BK, D]
-        ks = ks_ref[0, 0].astype(jnp.float32)        # [BK]
-        vs = vs_ref[0, 0].astype(jnp.float32)        # [BK]
+        # scales arrive [BK, 1] (trailing singleton keeps the TPU block-shape
+        # rule: last-two block dims (bk, 1) = (8-multiple, ==overall))
+        ks = ks_ref[0, 0].astype(jnp.float32)[:, 0]  # [BK]
+        vs = vs_ref[0, 0].astype(jnp.float32)[:, 0]  # [BK]
         s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
                                 preferred_element_type=jnp.float32)
         s = s * (ks[None, :] * scale)                # per-key dequant
@@ -289,7 +291,7 @@ def flash_decode_attention_q8(q: jax.Array, k8: jax.Array, ks: jax.Array,
     def _s_index(b_, h, ki, kvs, kvl):
         start_blk = kvs[b_] // bk
         end_blk = (kvl[b_] - 1) // bk
-        return (b_, h, jnp.clip(ki, start_blk, end_blk))
+        return (b_, h, jnp.clip(ki, start_blk, end_blk), 0)
 
     out = pl.pallas_call(
         functools.partial(_decode_kernel_q8, scale=scale, block_k=bk),
@@ -299,9 +301,9 @@ def flash_decode_attention_q8(q: jax.Array, k8: jax.Array, ks: jax.Array,
             in_specs=[
                 pl.BlockSpec((1, 1, group, d), lambda b_, h, ki, kvs, kvl: (b_, h, 0, 0)),
                 pl.BlockSpec((1, 1, bk, d), _kv_index),
-                pl.BlockSpec((1, 1, bk), _s_index),
+                pl.BlockSpec((1, 1, bk, 1), _s_index),
                 pl.BlockSpec((1, 1, bk, d), _kv_index),
-                pl.BlockSpec((1, 1, bk), _s_index),
+                pl.BlockSpec((1, 1, bk, 1), _s_index),
             ],
             out_specs=pl.BlockSpec((1, 1, group, d),
                                    lambda b_, h, ki, kvs, kvl: (b_, h, 0, 0)),
@@ -314,7 +316,7 @@ def flash_decode_attention_q8(q: jax.Array, k8: jax.Array, ks: jax.Array,
         out_shape=jax.ShapeDtypeStruct((b, hkv, group, d), q.dtype),
         interpret=interpret,
     )(kv_start.astype(jnp.int32), kv_len.astype(jnp.int32),
-      qg, k8, ks, v8, vs)
+      qg, k8, ks[..., None], v8, vs[..., None])
     return out.reshape(b, hq, d)
 
 
