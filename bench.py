@@ -416,6 +416,9 @@ def main():
             extras["engine_join_p50_s"] = round(float(np.median(jl)), 3)
             extras["engine_join_p99_s"] = round(
                 float(jl[min(len(jl) - 1, int(np.ceil(0.99 * len(jl))) - 1)]), 3)
+            # alias spellings (p50/p99 submit->first-audio into a live batch)
+            extras["engine_p50_join_s"] = extras["engine_join_p50_s"]
+            extras["engine_p99_join_s"] = extras["engine_join_p99_s"]
         # the engine holds the bf16 generator (and so its params): drop BOTH
         # here or the later `del gen` frees nothing and the 7B build OOMs a
         # 16 GB chip under the leftover ~6 GB
@@ -601,6 +604,7 @@ def main():
         "ms_per_step": round(1000 * wall / max(steps, 1), 2),
         "ttfa_s": round(ttfa_s, 3),
         "compile_s": round(compile_s, 1),
+        "compile_cold_s": round(compile_s, 1),
         "device": str(jax.devices()[0]),
         **extras,
     }))
