@@ -78,6 +78,37 @@ def _grow_cache(state: GenState, new_len: int) -> GenState:
     return state._replace(cache=KVCache(k=k, v=v))
 
 
+def _scatter_voice_embeds(params, cfg: VibeVoiceConfig, lm_dtype, embeds_rows,
+                          speech_tensors, speech_masks, speech_input_mask,
+                          rng, scale_bias):
+    """Voice-prompt acoustic latents -> connector -> scatter into the
+    diffusion-pad slots (reference inference:149-176, 221-224).
+
+    embeds_rows: [B, T, H] the positive prompt rows; speech_tensors: [N, S]
+    waveforms; speech_masks: [N, F] valid frames; speech_input_mask: [B, T]
+    True at diffusion-pad slots.  Returns embeds_rows with the k-th True slot
+    holding the k-th valid frame's connector feature.
+    """
+    mean, _ = tok.encode(params["acoustic"]["encoder"], cfg.acoustic_tokenizer,
+                         speech_tensors[..., None].astype(jnp.float32))
+    lat = tok.sample_latents(rng, mean, cfg.acoustic_tokenizer.fix_std,
+                             cfg.acoustic_tokenizer.std_dist_type)
+    s, bia = scale_bias
+    feats = (lat + bia) * s
+    conn = connectors.apply(params["acoustic_connector"],
+                            feats.astype(lm_dtype))  # [N, F, H]
+    h = conn.shape[-1]
+    flat = conn.reshape(-1, h)
+    valid_frames = speech_masks.reshape(-1)
+    order = jnp.argsort(~valid_frames, stable=True)
+    compact = flat[order]
+    pos_embeds = embeds_rows.reshape(-1, h)
+    tok_mask = speech_input_mask.reshape(-1)
+    idx = jnp.clip(jnp.cumsum(tok_mask) - 1, 0, compact.shape[0] - 1)
+    pos_embeds = jnp.where(tok_mask[:, None], compact[idx], pos_embeds)
+    return pos_embeds.reshape(embeds_rows.shape)
+
+
 @dataclass
 class VibeVoiceGenerationOutput:
     """Mirror of the reference output (inference:39-51)."""
@@ -99,7 +130,8 @@ class VibeVoiceGenerator:
     def __init__(self, params: dict, cfg: VibeVoiceConfig, tokenizer,
                  ddpm_inference_steps: Optional[int] = None,
                  solver: Optional[DPMSolverConfig] = None,
-                 lm_dtype=None, mesh=None, kv_quant: bool = False):
+                 lm_dtype=None, mesh=None, kv_quant: bool = False,
+                 prefix_cache: int = 0):
         from ..utils.compilation_cache import enable_persistent_compilation_cache
         enable_persistent_compilation_cache()
         if lm_dtype is None:
@@ -171,6 +203,17 @@ class VibeVoiceGenerator:
         self._prefill_jit: Dict[Any, Callable] = {}
         self._chunk_jit: Dict[Any, Callable] = {}
         self.last_metrics: Dict[str, dict] = {}
+        # voice-prompt prefix cache (opt-in): repeat voices skip the acoustic
+        # encode + prefix LM forward (generation/prefix_cache.py).  Single
+        # device, b=1 requests (the engine/serving shape) — batched b>1 rows
+        # fall through to the full prefill.
+        pc_n = int(prefix_cache or _os.environ.get("VIBEVOICE_PREFIX_CACHE", "0"))
+        self.prefix_cache = None
+        if pc_n > 0:
+            from .prefix_cache import PrefixCache
+            self.prefix_cache = PrefixCache(pc_n)
+        self._prefix_jit: Dict[Any, Callable] = {}
+        self._suffix_jit: Dict[Any, Callable] = {}
 
     def set_ddpm_inference_steps(self, num_steps: Optional[int] = None) -> None:
         """Reference API parity (inference:146-147). Rebuilds the schedule."""
@@ -234,27 +277,10 @@ class VibeVoiceGenerator:
             b = b2 // 2
             embeds = qwen2.embed_tokens(params["lm"], ids2b).astype(self.lm_dtype)
             if has_speech:
-                # voice-prompt acoustic latents -> connector -> scatter into
-                # the diffusion-pad slots (inference:149-176, 221-224)
-                mean, _ = tok.encode(params["acoustic"]["encoder"],
-                                     cfg.acoustic_tokenizer,
-                                     speech_tensors[..., None].astype(jnp.float32))
-                lat = tok.sample_latents(rng, mean, cfg.acoustic_tokenizer.fix_std,
-                                         cfg.acoustic_tokenizer.std_dist_type)
-                s, bia = self._scale_bias(params)
-                feats = (lat + bia) * s
-                conn = connectors.apply(params["acoustic_connector"],
-                                        feats.astype(self.lm_dtype))  # [N, F, H]
-                h = conn.shape[-1]
-                flat = conn.reshape(-1, h)
-                valid_frames = speech_masks.reshape(-1)
-                order = jnp.argsort(~valid_frames, stable=True)
-                compact = flat[order]
-                pos_embeds = embeds[:b].reshape(-1, h)
-                tok_mask = speech_input_mask.reshape(-1)
-                idx = jnp.clip(jnp.cumsum(tok_mask) - 1, 0, compact.shape[0] - 1)
-                pos_embeds = jnp.where(tok_mask[:, None], compact[idx], pos_embeds)
-                embeds = embeds.at[:b].set(pos_embeds.reshape(b, -1, h))
+                embeds = embeds.at[:b].set(_scatter_voice_embeds(
+                    params, cfg, self.lm_dtype, embeds[:b], speech_tensors,
+                    speech_masks, speech_input_mask, rng,
+                    self._scale_bias(params)))
 
             cache = qwen2.init_kv_cache(cfg.decoder, b2, cache_len,
                                         self.lm_dtype, quant=self.kv_quant)
@@ -275,6 +301,224 @@ class VibeVoiceGenerator:
             return hidden[:, -1, :], cache
 
         return jax.jit(prefill_fn)
+
+    # ------------------------------------------------------------------
+    # Voice-prompt prefix cache (generation/prefix_cache.py)
+    # ------------------------------------------------------------------
+    def _negative_rows(self, b: int, width: int, dtype, negative_prompt_ids,
+                       negative_prompt_attention_mask):
+        """CFG-negative context rows, right-aligned at ``width``: a single
+        speech_start token by default (inference:377-384), or the tokenized
+        negative prompt."""
+        tk = self.tokenizer
+        neg_ids = np.full((b, width), tk.pad_id, dtype)
+        neg_valid = np.zeros((b, width), bool)
+        neg_lens = np.ones((b,), np.int64)
+        if negative_prompt_ids is not None:
+            nids = np.asarray(negative_prompt_ids)
+            if nids.ndim == 1:
+                nids = nids[None, :]
+            if nids.shape[0] == 1 and b > 1:
+                nids = np.broadcast_to(nids, (b, nids.shape[1]))
+            nmask = (np.asarray(negative_prompt_attention_mask)
+                     if negative_prompt_attention_mask is not None
+                     else np.ones_like(nids))
+            for i in range(b):
+                row = nids[i][nmask[i].astype(bool)][-width:]
+                ln = len(row)
+                neg_ids[i, width - ln:] = row
+                neg_valid[i, width - ln:] = True
+                neg_lens[i] = ln
+        else:
+            neg_ids[:, -1] = tk.speech_start_id
+            neg_valid[:, -1] = True
+        return neg_ids, neg_valid, neg_lens
+
+    def _build_prefix_prefill(self, pb: int):
+        """Jitted prefill of ONLY the voice-prompt prefix (b=1, right-aligned
+        in a [1, pb] bucket): voice encode + scatter + LM forward, returning
+        the filled [L, 1, Hkv, pb, Dh] cache."""
+        cfg = self.cfg
+
+        def prefix_fn(params, ids, valid, speech_tensors, speech_masks,
+                      speech_input_mask, rng):
+            embeds = qwen2.embed_tokens(params["lm"], ids).astype(self.lm_dtype)
+            embeds = _scatter_voice_embeds(
+                params, cfg, self.lm_dtype, embeds, speech_tensors,
+                speech_masks, speech_input_mask, rng, self._scale_bias(params))
+            cache = qwen2.init_kv_cache(cfg.decoder, 1, pb, self.lm_dtype,
+                                        quant=self.kv_quant)
+            _, cache = qwen2.prefill(params["lm"], cfg.decoder, embeds,
+                                     valid, cache)
+            return cache
+
+        return jax.jit(prefix_fn)
+
+    def _build_suffix_prefill(self, s_bucket: int, cache_len: int):
+        """Jitted suffix prefill: the script tokens (and the CFG-negative row)
+        run as one [2, s_bucket] block against a cache already holding the
+        transplanted prefix.  block_off is traced, so one program serves any
+        prompt bucket at this (s_bucket, cache_len)."""
+        cfg = self.cfg
+
+        def suffix_fn(params, ids2b, valid2b, pos0, kv_start, block_off, cache):
+            embeds = qwen2.embed_tokens(params["lm"], ids2b).astype(self.lm_dtype)
+            return qwen2.prefill_suffix(params["lm"], cfg.decoder, embeds,
+                                        valid2b, pos0, cache, block_off,
+                                        kv_start)
+
+        return jax.jit(suffix_fn, donate_argnums=(6,))
+
+    def _prefill_state_prefix(self, ids, attn, speech_tensors, speech_masks,
+                              speech_input_mask, negative_prompt_ids,
+                              negative_prompt_attention_mask, rng,
+                              t_bucket: int, cache_len: int,
+                              max_steps_per_sample, timer) -> Optional[GenState]:
+        """Prefix-cached prefill (b=1).  Returns None when the prompt is not
+        eligible (no voice section, unexpected layout, oversized prefix) —
+        the caller falls back to the full prefill.
+
+        Layout invariant: the prompt's real tokens occupy cache slots
+        [t_bucket - init_len, t_bucket), prefix first.  The prefix K/V block
+        is transplanted at kv_start (positions 0..P-1 are pad-independent:
+        qwen2.prefill counts positions from the first valid token), then the
+        suffix block [2, s_bucket] right-aligned at t_bucket runs through
+        prefill_suffix, whose masked write cannot clobber the transplant.
+        On a miss the same transplant + suffix programs run after a
+        prefix-only prefill populates the store — hit and miss are therefore
+        bitwise identical.
+        """
+        pc = self.prefix_cache
+        tk = self.tokenizer
+        cfg = self.cfg
+        b, t0 = ids.shape
+        init_len = attn.sum(axis=-1)
+        smask = np.asarray(speech_input_mask, bool)
+        if smask.shape != ids.shape or not smask.any():
+            return None
+        start = int(t0 - init_len[0])
+        last_true = int(np.nonzero(smask[0])[0].max())
+        # the voice section ends with speech_end + "\n" after the final
+        # diffusion pad (processor._create_voice_prompt; reference
+        # vibevoice_processor.py:391-444)
+        prefix_end = last_true + 3
+        if prefix_end >= t0:                       # no suffix tokens
+            return None
+        if int(ids[0, last_true + 1]) != tk.speech_end_id:
+            return None                            # unexpected prompt layout
+        p_len = prefix_end - start
+        if p_len < 1:
+            return None
+        pb = _bucket_len(p_len, 64)
+        if pb > self.prefill_chunk:
+            return None                            # oversized voice section
+
+        # bucket the voice-prompt frames exactly like the full prefill so
+        # both paths see identical speech shapes
+        speech_tensors = np.asarray(speech_tensors, np.float32)
+        speech_masks_b = np.asarray(speech_masks, bool)
+        n_frames = speech_masks_b.shape[1]
+        fb = _bucket_len(n_frames, 8)
+        if fb != n_frames:
+            speech_tensors = np.pad(
+                speech_tensors,
+                ((0, 0), (0, max(0, fb * self.frame_samples
+                                 - speech_tensors.shape[1]))))
+            speech_masks_b = np.pad(speech_masks_b, ((0, 0), (0, fb - n_frames)))
+
+        prefix_ids = np.asarray(ids[0, start:prefix_end])
+        key = pc.key(prefix_ids, speech_tensors, speech_masks_b, self.kv_quant)
+        entry = pc.get(key)
+        if entry is None:
+            pad_id = tk.pad_id
+            ids_p = np.full((1, pb), pad_id, ids.dtype)
+            ids_p[0, pb - p_len:] = prefix_ids
+            valid_p = np.zeros((1, pb), bool)
+            valid_p[0, pb - p_len:] = True
+            smask_p = np.zeros((1, pb), bool)
+            smask_p[0, pb - p_len:] = smask[0, start:prefix_end]
+            pj_key = (pb, speech_tensors.shape)
+            if pj_key not in self._prefix_jit:
+                self._prefix_jit[pj_key] = self._build_prefix_prefill(pb)
+            # latent rng from the prefix content, NOT the request seed: the
+            # stored K/V must be request-independent
+            k_lat = jnp.asarray(pc.latent_rng_key(key), jnp.uint32)
+            with timer.stage("prefix_prefill"):
+                cache_p = self._prefix_jit[pj_key](
+                    self.params, jnp.asarray(ids_p), jnp.asarray(valid_p),
+                    jnp.asarray(speech_tensors), jnp.asarray(speech_masks_b),
+                    jnp.asarray(smask_p), k_lat)
+            # store only the live tail [pb - p_len, pb)
+            def tail(a):
+                sl = [slice(None)] * a.ndim
+                ax = 3 if a.ndim >= 5 else a.ndim - 1
+                sl[ax] = slice(pb - p_len, pb)
+                return a[tuple(sl)]
+            entry = {"k": jax.tree.map(tail, cache_p.k),
+                     "v": jax.tree.map(tail, cache_p.v),
+                     "p_len": p_len}
+            pc.put(key, entry)
+        if entry["p_len"] != p_len:                # hash collision guard
+            return None
+
+        # ---- transplant + suffix prefill ----
+        s_real = int(init_len[0]) - p_len
+        neg_ids_t, neg_valid_t, neg_lens = self._negative_rows(
+            b, t_bucket, ids.dtype, negative_prompt_ids,
+            negative_prompt_attention_mask)
+        s_bucket = min(_bucket_len(max(s_real, int(neg_lens.max()), 8), 64),
+                       t_bucket)
+        block_off = t_bucket - s_bucket
+
+        pad_id = tk.pad_id
+        ids2b = np.full((2, s_bucket), pad_id, ids.dtype)
+        valid2b = np.zeros((2, s_bucket), bool)
+        ids2b[0, s_bucket - s_real:] = ids[0, prefix_end:]
+        valid2b[0, s_bucket - s_real:] = True
+        ids2b[1] = neg_ids_t[0, t_bucket - s_bucket:]
+        valid2b[1] = neg_valid_t[0, t_bucket - s_bucket:]
+        pos0 = np.array([p_len, 0], np.int32)
+        kv_start2 = np.array([t_bucket - int(init_len[0]),
+                              t_bucket - int(neg_lens[0])], np.int32)
+
+        rng, k_pre = jax.random.split(rng)       # same split as the full path
+        del k_pre                                 # latents came from the store
+        row_rng = jax.vmap(jax.random.fold_in)(
+            jnp.broadcast_to(jnp.asarray(rng, jnp.uint32), (b, 2)),
+            jnp.arange(b, dtype=jnp.uint32))
+
+        sj_key = (s_bucket, cache_len)
+        if sj_key not in self._suffix_jit:
+            self._suffix_jit[sj_key] = self._build_suffix_prefill(
+                s_bucket, cache_len)
+        with timer.stage("prefill"):
+            cache = qwen2.init_kv_cache(cfg.decoder, 2 * b, cache_len,
+                                        self.lm_dtype, quant=self.kv_quant)
+            kvs = int(kv_start2[0])
+
+            def put(dst, blk, scale: bool):
+                idx = (0, 0, 0, kvs) if scale else (0, 0, 0, kvs, 0)
+                return jax.lax.dynamic_update_slice(dst, blk, idx)
+
+            if self.kv_quant:
+                k = {"q": put(cache.k["q"], entry["k"]["q"], False),
+                     "s": put(cache.k["s"], entry["k"]["s"], True)}
+                v = {"q": put(cache.v["q"], entry["v"]["q"], False),
+                     "s": put(cache.v["s"], entry["v"]["s"], True)}
+            else:
+                k = put(cache.k, entry["k"], False)
+                v = put(cache.v, entry["v"], False)
+            cache = qwen2.KVCache(k=k, v=v)
+            last_hidden, cache = self._suffix_jit[sj_key](
+                self.params, jnp.asarray(ids2b), jnp.asarray(valid2b),
+                jnp.asarray(pos0), jnp.asarray(kv_start2),
+                jnp.int32(block_off), cache)
+            jax.block_until_ready(last_hidden)
+        timer.totals["prefix_cache_hit"] = float(
+            "prefix_prefill" not in timer.totals)
+        return self._assemble_state(b, t_bucket, init_len, neg_lens,
+                                    last_hidden, cache, rng, row_rng,
+                                    max_steps_per_sample)
 
     # ------------------------------------------------------------------
     # One generation step (sample -> bookkeeping -> diffuse -> vocode -> LM)
@@ -483,6 +727,15 @@ class VibeVoiceGenerator:
         extra = t_bucket - t0
         init_len = attn.sum(axis=-1)
 
+        if (self.prefix_cache is not None and speech_tensors is not None
+                and b == 1 and self.mesh is None):
+            st = self._prefill_state_prefix(
+                ids, attn, speech_tensors, speech_masks, speech_input_mask,
+                negative_prompt_ids, negative_prompt_attention_mask, rng,
+                t_bucket, cache_len, max_steps_per_sample, timer)
+            if st is not None:
+                return st
+
         # build 2B prompt: rows [0,B) the real prompt, rows [B,2B) the
         # negative (CFG) context — by default a single speech_start token
         # (inference:377-384); with negative_prompt_ids, the tokenized
@@ -491,27 +744,9 @@ class VibeVoiceGenerator:
         pad_id = tk.pad_id
         ids_pad = np.full((b, t_bucket), pad_id, ids.dtype)
         ids_pad[:, extra:] = ids
-        neg_ids = np.full((b, t_bucket), pad_id, ids.dtype)
-        neg_valid = np.zeros((b, t_bucket), bool)
-        neg_lens = np.ones((b,), np.int64)
-        if negative_prompt_ids is not None:
-            nids = np.asarray(negative_prompt_ids)
-            if nids.ndim == 1:
-                nids = nids[None, :]
-            if nids.shape[0] == 1 and b > 1:
-                nids = np.broadcast_to(nids, (b, nids.shape[1]))
-            nmask = (np.asarray(negative_prompt_attention_mask)
-                     if negative_prompt_attention_mask is not None
-                     else np.ones_like(nids))
-            for i in range(b):
-                row = nids[i][nmask[i].astype(bool)][-t_bucket:]
-                ln = len(row)
-                neg_ids[i, t_bucket - ln:] = row
-                neg_valid[i, t_bucket - ln:] = True
-                neg_lens[i] = ln
-        else:
-            neg_ids[:, -1] = tk.speech_start_id
-            neg_valid[:, -1] = True
+        neg_ids, neg_valid, neg_lens = self._negative_rows(
+            b, t_bucket, ids.dtype, negative_prompt_ids,
+            negative_prompt_attention_mask)
         ids2b = np.concatenate([ids_pad, neg_ids], axis=0)
 
         valid2b = np.zeros((2 * b, t_bucket), bool)
@@ -560,6 +795,16 @@ class VibeVoiceGenerator:
             last_hidden, cache = prefill_fn(self.params, *pf_in, k_pre)
             jax.block_until_ready(last_hidden)
 
+        return self._assemble_state(b, t_bucket, init_len, neg_lens,
+                                    last_hidden, cache, rng, row_rng,
+                                    max_steps_per_sample)
+
+    def _assemble_state(self, b: int, t_bucket: int, init_len, neg_lens,
+                        last_hidden, cache, rng, row_rng,
+                        max_steps_per_sample) -> GenState:
+        """Pack prefill results into the initial GenState (shared by the full
+        prefill and the prefix-cache suffix prefill)."""
+        cfg = self.cfg
         kv_start = np.zeros(2 * b, np.int32)
         kv_start[:b] = t_bucket - init_len
         kv_start[b:] = t_bucket - neg_lens

@@ -87,6 +87,32 @@ def _cache_write_block(cache, block_hm, offset: int):
         cache, block_hm.astype(cache.dtype), (0, 0, offset, 0))
 
 
+def _cache_write_block_masked(cache, block_hm, offset: int, valid):
+    """Write a head-major block [B, Hkv, T, Dh] at slot ``offset``, keeping
+    the existing cache contents wherever ``valid`` [B, T] is False.  Used by
+    the prefix-cache suffix prefill: the block's left padding overlaps the
+    transplanted voice-prompt K/V, which must survive the write."""
+    t = block_hm.shape[2]
+    if isinstance(cache, dict):
+        from ..ops.flash_decode import quantize_kv
+        q8, s = quantize_kv(block_hm)
+        oldq = jax.lax.dynamic_slice(
+            cache["q"], (0, 0, offset, 0),
+            (q8.shape[0], q8.shape[1], t, q8.shape[3]))
+        olds = jax.lax.dynamic_slice(
+            cache["s"], (0, 0, offset), (s.shape[0], s.shape[1], t))
+        q8 = jnp.where(valid[:, None, :, None], q8, oldq)
+        s = jnp.where(valid[:, None, :], s, olds)
+        return {"q": jax.lax.dynamic_update_slice(cache["q"], q8, (0, 0, offset, 0)),
+                "s": jax.lax.dynamic_update_slice(cache["s"], s, (0, 0, offset))}
+    blk = block_hm.astype(cache.dtype)
+    old = jax.lax.dynamic_slice(
+        cache, (0, 0, offset, 0),
+        (blk.shape[0], blk.shape[1], t, blk.shape[3]))
+    blk = jnp.where(valid[:, None, :, None], blk, old)
+    return jax.lax.dynamic_update_slice(cache, blk, (0, 0, offset, 0))
+
+
 def init_params(rng: jax.Array, cfg: Qwen2DecoderConfig, dtype=jnp.bfloat16) -> dict:
     """Random init (normal(0, initializer_range), zero biases) matching the
     reference init contract (modeling_vibevoice.py:85-104)."""
@@ -352,6 +378,64 @@ def prefill_chunked(params: dict, cfg: Qwen2DecoderConfig, embeds: jax.Array,
                                      (cache.k, cache.v, last0))
     last = rms_norm(last[:, None, :], params["norm"], cfg.rms_norm_eps)[:, 0]
     return last, KVCache(k=nk, v=nv)
+
+
+def prefill_suffix(params: dict, cfg: Qwen2DecoderConfig, embeds: jax.Array,
+                   valid_mask: jax.Array, pos0: jax.Array, cache: KVCache,
+                   block_off: int, kv_start: jax.Array
+                   ) -> Tuple[jax.Array, KVCache]:
+    """Prefill a suffix block against a cache that already holds a prefix.
+
+    The prefix-cache path (generation/prefix_cache.py): the voice-prompt
+    K/V have been transplanted into ``cache`` at per-row ``kv_start``; this
+    runs the remaining prompt tokens (script + " Speech output:" tail, plus
+    the CFG-negative row's full short prompt) as one block that occupies
+    cache slots [block_off, block_off + S).
+
+    embeds: [B, S, H] suffix embeddings, real tokens RIGHT-aligned in the
+    block; valid_mask: [B, S] (True = real); pos0: [B] RoPE position base
+    per row (= number of prefix tokens already in the cache for that row);
+    kv_start: [B] first live cache slot per row.  Causal masking is by
+    absolute cache slot, which matches position order because each row's
+    prefix slots precede its suffix slots.  Invalid block slots are never
+    written (masked write), so left padding cannot clobber the transplanted
+    prefix.  Returns (last-position hidden [B, H], cache).
+    """
+    from ..ops.flash_attention import flash_attention_cached_any
+
+    b, s, hdim = embeds.shape
+    dh = cfg.resolved_head_dim
+    hq, hkv = cfg.num_attention_heads, cfg.num_key_value_heads
+    positions = pos0[:, None] + jnp.clip(
+        jnp.cumsum(valid_mask, axis=-1) - 1, 0)
+    cos, sin = rope_cos_sin(positions, dh, cfg.rope_theta)
+    q_off = jnp.int32(block_off)
+
+    def body(xc, layer_in):
+        lp, ck, cv = layer_in
+        resid = xc
+        y = rms_norm(xc, lp["ln1"], cfg.rms_norm_eps)
+        q = (qmatmul(y, lp["wq"]) + lp["bq"]).reshape(b, s, hq, dh)
+        k = (qmatmul(y, lp["wk"]) + lp["bk"]).reshape(b, s, hkv, dh)
+        v = (qmatmul(y, lp["wv"]) + lp["bv"]).reshape(b, s, hkv, dh)
+        q = apply_rope(q, cos, sin)
+        k = apply_rope(k, cos, sin)
+        ck = _cache_write_block_masked(ck, k.transpose(0, 2, 1, 3),
+                                       block_off, valid_mask)
+        cv = _cache_write_block_masked(cv, v.transpose(0, 2, 1, 3),
+                                       block_off, valid_mask)
+        attn = flash_attention_cached_any(q, ck, cv, kv_start, q_off)
+        xc = resid + qmatmul(attn.reshape(b, s, hq * dh), lp["wo"])
+        resid = xc
+        y = rms_norm(xc, lp["ln2"], cfg.rms_norm_eps)
+        xc = resid + qmatmul(
+            jax.nn.silu(qmatmul(y, lp["wg"])) * qmatmul(y, lp["wu"]),
+            lp["wd"])
+        return xc, (ck, cv)
+
+    x, (nk, nv) = jax.lax.scan(body, embeds, (params["layers"], cache.k, cache.v))
+    x = rms_norm(x, params["norm"], cfg.rms_norm_eps)
+    return x[:, -1, :], KVCache(k=nk, v=nv)
 
 
 def decode_step(params: dict, cfg: Qwen2DecoderConfig, embeds: jax.Array,
