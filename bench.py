@@ -353,6 +353,26 @@ def main():
             extras["streaming_rtf"] = round(
                 len(pt) * frame_sec / (pt[-1] - t_s0), 3)
 
+        # prefix-cache tier: repeat-voice requests skip the acoustic encode +
+        # voice-section prefill (generation/prefix_cache.py) — measured as
+        # TTFA (prefill + one 1-step chunk) of a voice-prompted request with
+        # a warm store (hit) vs a cleared store (miss), both fully compiled
+        from vibevoice_tpu.generation.prefix_cache import PrefixCache
+        gen.prefix_cache = PrefixCache(2)
+        idsv, spv, spmv, simv = voice_prompt_inputs(
+            1, 23, 96, cfg.acoustic_tokenizer.total_stride)
+        kwv = dict(speech_tensors=spv, speech_masks=spmv,
+                   speech_input_mask=simv)
+        run_config(gen, idsv, 1, 1, 1.3, frame_sec, **kwv)  # compile (miss)
+        t_p0 = time.perf_counter()
+        run_config(gen, idsv, 1, 1, 1.3, frame_sec, **kwv)  # hit
+        extras["prefix_hit_ttfa_s"] = round(time.perf_counter() - t_p0, 3)
+        gen.prefix_cache.clear()
+        t_p1 = time.perf_counter()
+        run_config(gen, idsv, 1, 1, 1.3, frame_sec, **kwv)  # miss, compiled
+        extras["prefix_miss_ttfa_s"] = round(time.perf_counter() - t_p1, 3)
+        gen.prefix_cache = None
+
         # continuous-batching engine (beyond-reference serving): aggregate
         # throughput over staggered joins + join latency tails INTO a live
         # batch (p50/p99 submit -> first audio, what a production request

@@ -178,3 +178,34 @@ def test_lru_eviction_and_key_content():
 def test_capacity_validation():
     with pytest.raises(ValueError):
         PrefixCache(capacity=0)
+
+
+@pytest.mark.slow
+def test_engine_requests_share_prefix(params):
+    """Two engine requests with the same voice: the second is a store hit and
+    both produce identical tokens/audio for the same seed (the prefix cache
+    is keyed on content, not request identity)."""
+    from vibevoice_tpu.generation.engine import ContinuousEngine
+
+    gen = VibeVoiceGenerator(params, CFG, TinyTokenizer(),
+                             ddpm_inference_steps=4, lm_dtype=jnp.float32,
+                             prefix_cache=2)
+    ids, smask, speech, sp_masks = _voice_prompt()
+    inputs = {"input_ids": ids, "speech_tensors": speech,
+              "speech_masks": sp_masks, "speech_input_mask": smask}
+    eng = ContinuousEngine(gen, slots=2, cache_len=512, chunk_steps=4,
+                           cfg_scale=1.3)
+    r1 = eng.submit(dict(inputs), max_new_tokens=12, max_length_times=1000.0,
+                    seed=4)
+    eng.drain()
+    assert r1.error is None
+    assert gen.prefix_cache.misses == 1 and gen.prefix_cache.hits == 0
+    r2 = eng.submit(dict(inputs), max_new_tokens=12, max_length_times=1000.0,
+                    seed=4)
+    eng.drain()
+    assert r2.error is None
+    assert gen.prefix_cache.hits == 1
+    assert r1.tokens == r2.tokens
+    if r1.audio is not None or r2.audio is not None:
+        np.testing.assert_array_equal(np.asarray(r1.audio),
+                                      np.asarray(r2.audio))
