@@ -546,32 +546,38 @@ def main():
             gen7 = None
 
         # config 5: long-form at 32k context — 30.5k-token prompt, then 1024
-        # decode steps sustained through live context 30.5k -> 31.5k.  Own
-        # try-block: an OOM here must not erase the config-3 numbers.
+        # decode steps sustained through live context 30.5k -> 31.5k, with
+        # the int8 KV cache (the capacity configuration: a bf16 dual-context
+        # 32k cache + its chunk-program working set does not fit beside the
+        # 7B int8 weights on one 16 GB chip).  Own try-block: an OOM here
+        # must not erase the config-3 numbers.
+        del gen7
+        gen7 = None
+        gc.collect()
         try:
-            if gen7 is None:
-                raise RuntimeError("7B generator unavailable")
-            gc.collect()                      # free the 4spk tier's state
+            gen7k = build_generator(cfg7, ddpm_steps, quantize=True,
+                                    quantize_head=True, bits=8,
+                                    quantize_embed=True, kv_quant=True)
+            full_quant_tiers(gen7k.params, 8, False)
             deep7 = make_ids(1, 30500)
             lf7_steps = 1024
-            run_config(gen7, deep7, lf7_steps, chunk, 1.3, frame7,
+            run_config(gen7k, deep7, lf7_steps, chunk, 1.3, frame7,
                        stop_check_fn=stop_after_chunks(3))      # warm programs
             gc.collect()                      # warmup state before timed state
-            w7l, s7l, d7l, a7l = run_config(gen7, deep7, lf7_steps, chunk,
+            w7l, s7l, d7l, a7l = run_config(gen7k, deep7, lf7_steps, chunk,
                                             1.3, frame7)
             extras["longform_32k_rtf"] = round(a7l / w7l, 3)
-            pf7 = gen7.last_metrics.get("prefill", {}).get("total_s", 0.0)
+            pf7 = gen7k.last_metrics.get("prefill", {}).get("total_s", 0.0)
             if w7l > pf7 > 0:
                 extras["longform_32k_rtf_sustained"] = round(
                     a7l / (w7l - pf7), 3)
             extras["longform_32k_depth_end"] = 30500 + s7l
             extras["longform_32k_hbm_gb"] = round(
-                tree_gb(gen7.params)
-                + 28 * 2 * 4 * 2 * 128 * 33024 * 2 / 1e9, 2)
-            del gen7
+                tree_gb(gen7k.params)
+                + 28 * 2 * 4 * 2 * 128 * 33024 * 1.25 / 1e9, 2)
+            del gen7k
         except Exception as e:  # noqa: BLE001
             extras["longform_32k_error"] = repr(e)[:200]
-        gen7 = None
         gc.collect()
 
     if os.environ.get("BENCH_ENGINE", "0") == "1":

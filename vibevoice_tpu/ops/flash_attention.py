@@ -322,13 +322,14 @@ def _flash_cached_kernel_q8(kv_start_ref, q_off_ref,
         q = q_ref[0, 0].astype(jnp.float32)
         k = k_ref[0, 0].astype(jnp.float32)
         v = v_ref[0, 0].astype(jnp.float32)
-        # scales arrive [BK, 1] (trailing singleton satisfies the TPU
-        # block-shape rule); drop it after the load
-        ks = ks_ref[0, 0].astype(jnp.float32)[:, 0]
-        vs = vs_ref[0, 0].astype(jnp.float32)[:, 0]
+        # scales arrive LANE-major as [1, BK] blocks of a [B, Hkv, 1, S]
+        # view (slot-in-sublanes blocks force a 32x lane-padding blowup on
+        # the stored scale tensor — see ops/flash_decode.py)
+        ks = ks_ref[0, 0].astype(jnp.float32)        # [1, BK]
+        vs = vs_ref[0, 0].astype(jnp.float32)        # [1, BK]
         s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
                                 preferred_element_type=jnp.float32)
-        s = s * (ks[None, :] * scale)
+        s = s * (ks * scale)
 
         q_ids = q_start + jax.lax.broadcasted_iota(jnp.int32, (block_q, block_k), 0)
         k_ids = k_start + jax.lax.broadcasted_iota(jnp.int32, (block_q, block_k), 1)
@@ -341,7 +342,7 @@ def _flash_cached_kernel_q8(kv_start_ref, q_off_ref,
         alpha = jnp.exp(m_prev - m_new)
         l_scr[:] = l_scr[:] * alpha + jnp.sum(e, axis=-1, keepdims=True)
         acc_scr[:] = acc_scr[:] * alpha + jax.lax.dot_general(
-            e * vs[None, :], v, (((1,), (0,)), ((), ())),
+            e * vs, v, (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32)
         m_scr[:] = m_new
 
@@ -394,7 +395,7 @@ def flash_attention_cached_q8(q: jax.Array, k8: jax.Array, ks: jax.Array,
         q_end = qo[0] + (qi * block_q) % tq + block_q - 1
         lo = kvs[b_] // block_k
         hi = jnp.maximum(q_end // block_k, lo)
-        return (b_, h, jnp.clip(ki, lo, hi), 0)
+        return (b_, h, 0, jnp.clip(ki, lo, hi))
 
     grid = (b, hkv, (group * tq) // block_q, s_len // block_k)
     kernel = functools.partial(_flash_cached_kernel_q8, scale=scale,
@@ -408,9 +409,9 @@ def flash_attention_cached_q8(q: jax.Array, k8: jax.Array, ks: jax.Array,
                 pl.BlockSpec((1, 1, block_q, d),
                              lambda b_, h, qi, ki, kvs, qo: (b_, h, qi, 0)),
                 pl.BlockSpec((1, 1, block_k, d), _kv_index),
-                pl.BlockSpec((1, 1, block_k, 1), _s_index),
+                pl.BlockSpec((1, 1, 1, block_k), _s_index),
                 pl.BlockSpec((1, 1, block_k, d), _kv_index),
-                pl.BlockSpec((1, 1, block_k, 1), _s_index),
+                pl.BlockSpec((1, 1, 1, block_k), _s_index),
             ],
             out_specs=pl.BlockSpec((1, 1, block_q, d),
                                    lambda b_, h, qi, ki, kvs, qo: (b_, h, qi, 0)),
@@ -422,8 +423,8 @@ def flash_attention_cached_q8(q: jax.Array, k8: jax.Array, ks: jax.Array,
         ),
         out_shape=jax.ShapeDtypeStruct((b, hkv, group * tq, d), q.dtype),
         interpret=interpret,
-    )(kv_start.astype(jnp.int32), q_off, qh, k8, ks[..., None],
-      v8, vs[..., None])
+    )(kv_start.astype(jnp.int32), q_off, qh, k8, ks.reshape(b, hkv, 1, s_len),
+      v8, vs.reshape(b, hkv, 1, s_len))
     return out.reshape(b, hq, tq, d).transpose(0, 2, 1, 3)
 
 

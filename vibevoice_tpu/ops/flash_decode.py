@@ -229,13 +229,16 @@ def _decode_kernel_q8(kv_start_ref, kv_len_ref,  # scalar prefetch: [B] int32
         q = q_ref[0, 0].astype(jnp.float32)          # [G, D]
         k = k_ref[0, 0].astype(jnp.float32)          # [BK, D] (int8 -> f32)
         v = v_ref[0, 0].astype(jnp.float32)          # [BK, D]
-        # scales arrive [BK, 1] (trailing singleton keeps the TPU block-shape
-        # rule: last-two block dims (bk, 1) = (8-multiple, ==overall))
-        ks = ks_ref[0, 0].astype(jnp.float32)[:, 0]  # [BK]
-        vs = vs_ref[0, 0].astype(jnp.float32)[:, 0]  # [BK]
+        # scales arrive LANE-major as [1, BK] blocks of a [B, Hkv, 1, S]
+        # view.  The earlier [BK, 1] (slot-in-sublanes) spelling forced XLA
+        # to store the whole scale tensor with the size-Hkv axis in the
+        # 128-lane dimension — a 32x padding blowup (a 7B 32k cache's 29 MB
+        # of scales ballooned to 931 MB of HBM and proportional DMA).
+        ks = ks_ref[0, 0].astype(jnp.float32)        # [1, BK]
+        vs = vs_ref[0, 0].astype(jnp.float32)        # [1, BK]
         s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
                                 preferred_element_type=jnp.float32)
-        s = s * (ks[None, :] * scale)                # per-key dequant
+        s = s * (ks * scale)                         # per-key dequant
 
         g = q.shape[0]
         j = ki * block_k + jax.lax.broadcasted_iota(jnp.int32, (g, block_k), 1)
@@ -244,7 +247,7 @@ def _decode_kernel_q8(kv_start_ref, kv_len_ref,  # scalar prefetch: [B] int32
 
         m_prev = m_scr[:]
         m_new = jnp.maximum(m_prev, jnp.max(s, axis=-1, keepdims=True))
-        p = jnp.exp(s - m_new) * vs[None, :]         # fold v dequant into p
+        p = jnp.exp(s - m_new) * vs                  # fold v dequant into p
         alpha = jnp.exp(m_prev - m_new)
         l_scr[:] = l_scr[:] * alpha + jnp.sum(
             jnp.exp(s - m_new), axis=-1, keepdims=True)
@@ -291,7 +294,7 @@ def flash_decode_attention_q8(q: jax.Array, k8: jax.Array, ks: jax.Array,
     def _s_index(b_, h, ki, kvs, kvl):
         start_blk = kvs[b_] // bk
         end_blk = (kvl[b_] - 1) // bk
-        return (b_, h, jnp.clip(ki, start_blk, end_blk), 0)
+        return (b_, h, 0, jnp.clip(ki, start_blk, end_blk))
 
     out = pl.pallas_call(
         functools.partial(_decode_kernel_q8, scale=scale, block_k=bk),
@@ -301,9 +304,9 @@ def flash_decode_attention_q8(q: jax.Array, k8: jax.Array, ks: jax.Array,
             in_specs=[
                 pl.BlockSpec((1, 1, group, d), lambda b_, h, ki, kvs, kvl: (b_, h, 0, 0)),
                 pl.BlockSpec((1, 1, bk, d), _kv_index),
-                pl.BlockSpec((1, 1, bk, 1), _s_index),
+                pl.BlockSpec((1, 1, 1, bk), _s_index),
                 pl.BlockSpec((1, 1, bk, d), _kv_index),
-                pl.BlockSpec((1, 1, bk, 1), _s_index),
+                pl.BlockSpec((1, 1, 1, bk), _s_index),
             ],
             out_specs=pl.BlockSpec((1, 1, group, d),
                                    lambda b_, h, ki, kvs, kvl: (b_, h, 0, 0)),
@@ -316,7 +319,7 @@ def flash_decode_attention_q8(q: jax.Array, k8: jax.Array, ks: jax.Array,
         out_shape=jax.ShapeDtypeStruct((b, hkv, group, d), q.dtype),
         interpret=interpret,
     )(kv_start.astype(jnp.int32), kv_len.astype(jnp.int32),
-      qg, k8, ks[..., None], v8, vs[..., None])
+      qg, k8, ks.reshape(b, hkv, 1, s), v8, vs.reshape(b, hkv, 1, s))
     return out.reshape(b, hq, d)
 
 
