@@ -63,54 +63,77 @@ def init_kv_cache(cfg: Qwen2DecoderConfig, batch: int, max_len: int,
     return KVCache(k=jnp.zeros(shape, dtype), v=jnp.zeros(shape, dtype))
 
 
-def _cache_write_decode(cache, vec, bidx, write_idx):
-    """Write one vector per (sample, head) at the per-sample pointer.
-    vec: [B, Hkv, Dh]; quantized caches quantize per vector on the way in."""
+def _cache_write_decode(cache, vec, write_idx, lyr):
+    """Write one vector per (sample, head) at the per-sample pointer into
+    layer ``lyr`` of the STACKED cache [L, B, Hkv, S, Dh].
+    vec: [B, Hkv, Dh]; quantized caches quantize per vector on the way in.
+
+    Spelled as per-sample ``dynamic_update_slice`` (batch is small and
+    static) rather than one batched scatter: the scatter's (head, dh)
+    window made XLA prefer a heads-minor cache layout, inserting full-cache
+    layout-conversion copies around every decode step (931 MB of HLO temp
+    per K/V tensor at 7B 32k — the difference between fitting one chip and
+    OOM).  DUS keeps the default head-major layout end to end."""
     if isinstance(cache, dict):
         from ..ops.flash_decode import quantize_kv
         q8, s = quantize_kv(vec)
-        return {"q": cache["q"].at[bidx, :, write_idx].set(q8),
-                "s": cache["s"].at[bidx, :, write_idx].set(s)}
-    return cache.at[bidx, :, write_idx].set(vec.astype(cache.dtype))
+        cq, cs = cache["q"], cache["s"]
+        for bi in range(vec.shape[0]):
+            cq = jax.lax.dynamic_update_slice(
+                cq, q8[bi][None, None, :, None, :],
+                (lyr, bi, 0, write_idx[bi], 0))
+            cs = jax.lax.dynamic_update_slice(
+                cs, s[bi][None, None, :, None], (lyr, bi, 0, write_idx[bi]))
+        return {"q": cq, "s": cs}
+    vec = vec.astype(cache.dtype)
+    for bi in range(vec.shape[0]):
+        cache = jax.lax.dynamic_update_slice(
+            cache, vec[bi][None, None, :, None, :],
+            (lyr, bi, 0, write_idx[bi], 0))
+    return cache
 
 
-def _cache_write_block(cache, block_hm, offset: int):
-    """Write a head-major block [B, Hkv, T, Dh] at slot ``offset``."""
+def _cache_write_block(cache, block_hm, offset, lyr):
+    """Write a head-major block [B, Hkv, T, Dh] at slot ``offset`` of layer
+    ``lyr`` in the stacked cache."""
     if isinstance(cache, dict):
         from ..ops.flash_decode import quantize_kv
         q8, s = quantize_kv(block_hm)
         return {"q": jax.lax.dynamic_update_slice(
-                    cache["q"], q8, (0, 0, offset, 0)),
+                    cache["q"], q8[None], (lyr, 0, 0, offset, 0)),
                 "s": jax.lax.dynamic_update_slice(
-                    cache["s"], s, (0, 0, offset))}
+                    cache["s"], s[None], (lyr, 0, 0, offset))}
     return jax.lax.dynamic_update_slice(
-        cache, block_hm.astype(cache.dtype), (0, 0, offset, 0))
+        cache, block_hm.astype(cache.dtype)[None], (lyr, 0, 0, offset, 0))
 
 
-def _cache_write_block_masked(cache, block_hm, offset: int, valid):
-    """Write a head-major block [B, Hkv, T, Dh] at slot ``offset``, keeping
-    the existing cache contents wherever ``valid`` [B, T] is False.  Used by
-    the prefix-cache suffix prefill: the block's left padding overlaps the
-    transplanted voice-prompt K/V, which must survive the write."""
+def _cache_write_block_masked(cache, block_hm, offset, valid, lyr):
+    """Write a head-major block [B, Hkv, T, Dh] at slot ``offset`` of layer
+    ``lyr``, keeping the existing cache contents wherever ``valid`` [B, T]
+    is False.  Used by the prefix-cache suffix prefill: the block's left
+    padding overlaps the transplanted voice-prompt K/V, which must survive
+    the write."""
     t = block_hm.shape[2]
     if isinstance(cache, dict):
         from ..ops.flash_decode import quantize_kv
         q8, s = quantize_kv(block_hm)
         oldq = jax.lax.dynamic_slice(
-            cache["q"], (0, 0, offset, 0),
-            (q8.shape[0], q8.shape[1], t, q8.shape[3]))
+            cache["q"], (lyr, 0, 0, offset, 0),
+            (1, q8.shape[0], q8.shape[1], t, q8.shape[3]))[0]
         olds = jax.lax.dynamic_slice(
-            cache["s"], (0, 0, offset), (s.shape[0], s.shape[1], t))
+            cache["s"], (lyr, 0, 0, offset), (1, s.shape[0], s.shape[1], t))[0]
         q8 = jnp.where(valid[:, None, :, None], q8, oldq)
         s = jnp.where(valid[:, None, :], s, olds)
-        return {"q": jax.lax.dynamic_update_slice(cache["q"], q8, (0, 0, offset, 0)),
-                "s": jax.lax.dynamic_update_slice(cache["s"], s, (0, 0, offset))}
+        return {"q": jax.lax.dynamic_update_slice(
+                    cache["q"], q8[None], (lyr, 0, 0, offset, 0)),
+                "s": jax.lax.dynamic_update_slice(
+                    cache["s"], s[None], (lyr, 0, 0, offset))}
     blk = block_hm.astype(cache.dtype)
     old = jax.lax.dynamic_slice(
-        cache, (0, 0, offset, 0),
-        (blk.shape[0], blk.shape[1], t, blk.shape[3]))
+        cache, (lyr, 0, 0, offset, 0),
+        (1, blk.shape[0], blk.shape[1], t, blk.shape[3]))[0]
     blk = jnp.where(valid[:, None, :, None], blk, old)
-    return jax.lax.dynamic_update_slice(cache, blk, (0, 0, offset, 0))
+    return jax.lax.dynamic_update_slice(cache, blk[None], (lyr, 0, 0, offset, 0))
 
 
 def init_params(rng: jax.Array, cfg: Qwen2DecoderConfig, dtype=jnp.bfloat16) -> dict:
@@ -185,11 +208,16 @@ def lm_head_weight(params: dict) -> jax.Array:
     return params["embed"].T
 
 
-def _layer(x, lp, cfg: Qwen2DecoderConfig, cos, sin, cache_k, cache_v,
+def _layer(x, lp, lyr, cfg: Qwen2DecoderConfig, cos, sin, cache_k, cache_v,
            write_idx, attn_mask, decode: bool, flash_kv_start=None,
            kv_start=None, kv_len=None, decode_impl: str = "xla",
            shard_ctx=None):
-    """One transformer layer. x: [B, T, H]. cache_k/v: [B, Hkv, S, Dh]."""
+    """One transformer layer.  x: [B, T, H].  cache_k/v are the FULL
+    layer-stacked caches [L, B, Hkv, S, Dh]; ``lyr`` is this layer's index.
+    The stacked cache rides the layer scan's CARRY and is updated in place
+    (DUS) — threading per-layer slices through scan xs->ys instead would
+    force XLA to keep two full cache buffers plus layout-conversion copies
+    around every decode step."""
     b, t, h = x.shape
     dh = cfg.resolved_head_dim
     hq, hkv = cfg.num_attention_heads, cfg.num_key_value_heads
@@ -205,27 +233,27 @@ def _layer(x, lp, cfg: Qwen2DecoderConfig, cos, sin, cache_k, cache_v,
     if decode:
         # write the new token at the per-sample pointer, then attend over the
         # [kv_start, kv_len) live range of the head-major cache
-        bidx = jnp.arange(b)
-        cache_k = _cache_write_decode(cache_k, k[:, 0], bidx, write_idx)
-        cache_v = _cache_write_decode(cache_v, v[:, 0], bidx, write_idx)
+        cache_k = _cache_write_decode(cache_k, k[:, 0], write_idx, lyr)
+        cache_v = _cache_write_decode(cache_v, v[:, 0], write_idx, lyr)
         if decode_impl == "pallas_shmap":
             from ..ops.flash_decode import flash_decode_attention_sharded
             mesh, kv_tp, batch_on_dp = shard_ctx
             attn = flash_decode_attention_sharded(
                 q[:, 0], cache_k, cache_v, kv_start, kv_len,
-                mesh, kv_tp, batch_on_dp)[:, None]
+                mesh, kv_tp, batch_on_dp, layer=lyr)[:, None]
         elif decode_impl == "pallas":
             from ..ops.flash_decode import flash_decode_attention_any
             attn = flash_decode_attention_any(q[:, 0], cache_k, cache_v,
-                                             kv_start, kv_len)[:, None]
+                                              kv_start, kv_len,
+                                              layer=lyr)[:, None]
         else:
             from ..ops.flash_decode import decode_attend_xla
             attn = decode_attend_xla(q[:, 0], cache_k, cache_v,
-                                     kv_start, kv_len)[:, None]
+                                     kv_start, kv_len, layer=lyr)[:, None]
     else:
         # prefill: write the whole block at offset 0 (head-major transpose)
-        cache_k = _cache_write_block(cache_k, k.transpose(0, 2, 1, 3), 0)
-        cache_v = _cache_write_block(cache_v, v.transpose(0, 2, 1, 3), 0)
+        cache_k = _cache_write_block(cache_k, k.transpose(0, 2, 1, 3), 0, lyr)
+        cache_v = _cache_write_block(cache_v, v.transpose(0, 2, 1, 3), 0, lyr)
         if flash_kv_start is not None:
             from ..ops.flash_attention import flash_attention
             attn = flash_attention(q, k, v, flash_kv_start, causal=True)
@@ -283,15 +311,20 @@ def forward(params: dict, cfg: Qwen2DecoderConfig, x: jax.Array,
         x, _ = jax.lax.scan(body_nocache, x, params["layers"])
         return rms_norm(x, params["norm"], cfg.rms_norm_eps), None
 
-    def body(xc, layer_in):
-        lp, ck, cv = layer_in
-        y, ck, cv = _layer(xc, lp, cfg, cos, sin, ck, cv, write_idx, attn_mask,
-                           decode, flash_kv_start=flash_kv_start,
+    n_layers = cfg.num_hidden_layers
+
+    def body(carry, layer_in):
+        xc, ck, cv = carry
+        lp, lyr = layer_in
+        y, ck, cv = _layer(xc, lp, lyr, cfg, cos, sin, ck, cv, write_idx,
+                           attn_mask, decode, flash_kv_start=flash_kv_start,
                            kv_start=kv_start, kv_len=kv_len,
                            decode_impl=decode_impl, shard_ctx=shard_ctx)
-        return y, (ck, cv)
+        return (y, ck, cv), None
 
-    x, (new_k, new_v) = jax.lax.scan(body, x, (params["layers"], cache.k, cache.v))
+    (x, new_k, new_v), _ = jax.lax.scan(
+        body, (x, cache.k, cache.v),
+        (params["layers"], jnp.arange(n_layers, dtype=jnp.int32)))
     x = rms_norm(x, params["norm"], cfg.rms_norm_eps)
     return x, KVCache(k=new_k, v=new_v)
 
@@ -343,6 +376,8 @@ def prefill_chunked(params: dict, cfg: Qwen2DecoderConfig, embeds: jax.Array,
     positions = jnp.clip(jnp.cumsum(valid_mask, axis=-1) - 1, 0)
     kv_start = (t - jnp.sum(valid_mask, axis=-1)).astype(jnp.int32)
 
+    n_layers = cfg.num_hidden_layers
+
     def run_segment(i, carry):
         ck_all, cv_all, _ = carry
         off = i * chunk
@@ -350,8 +385,9 @@ def prefill_chunked(params: dict, cfg: Qwen2DecoderConfig, embeds: jax.Array,
         pos = jax.lax.dynamic_slice_in_dim(positions, off, chunk, axis=1)
         cos, sin = rope_cos_sin(pos, dh, cfg.rope_theta)
 
-        def body(xc, layer_in):
-            lp, ck, cv = layer_in
+        def body(carry_in, layer_in):
+            xc, ck, cv = carry_in
+            lp, lyr = layer_in
             resid = xc
             y = rms_norm(xc, lp["ln1"], cfg.rms_norm_eps)
             q = (qmatmul(y, lp["wq"]) + lp["bq"]).reshape(b, chunk, hq, dh)
@@ -359,18 +395,21 @@ def prefill_chunked(params: dict, cfg: Qwen2DecoderConfig, embeds: jax.Array,
             v = (qmatmul(y, lp["wv"]) + lp["bv"]).reshape(b, chunk, hkv, dh)
             q = apply_rope(q, cos, sin)
             k = apply_rope(k, cos, sin)
-            ck = _cache_write_block(ck, k.transpose(0, 2, 1, 3), off)
-            cv = _cache_write_block(cv, v.transpose(0, 2, 1, 3), off)
-            attn = flash_attention_cached_any(q, ck, cv, kv_start, off)
+            ck = _cache_write_block(ck, k.transpose(0, 2, 1, 3), off, lyr)
+            cv = _cache_write_block(cv, v.transpose(0, 2, 1, 3), off, lyr)
+            attn = flash_attention_cached_any(q, ck, cv, kv_start, off,
+                                              layer=lyr)
             xc = resid + qmatmul(attn.reshape(b, chunk, hq * dh), lp["wo"])
             resid = xc
             y = rms_norm(xc, lp["ln2"], cfg.rms_norm_eps)
             xc = resid + qmatmul(
                 jax.nn.silu(qmatmul(y, lp["wg"])) * qmatmul(y, lp["wu"]),
                 lp["wd"])
-            return xc, (ck, cv)
+            return (xc, ck, cv), None
 
-        x, (nk, nv) = jax.lax.scan(body, x, (params["layers"], ck_all, cv_all))
+        (x, nk, nv), _ = jax.lax.scan(
+            body, (x, ck_all, cv_all),
+            (params["layers"], jnp.arange(n_layers, dtype=jnp.int32)))
         return nk, nv, x[:, -1, :]
 
     last0 = jnp.zeros((b, hdim), embeds.dtype)
@@ -411,8 +450,9 @@ def prefill_suffix(params: dict, cfg: Qwen2DecoderConfig, embeds: jax.Array,
     cos, sin = rope_cos_sin(positions, dh, cfg.rope_theta)
     q_off = jnp.int32(block_off)
 
-    def body(xc, layer_in):
-        lp, ck, cv = layer_in
+    def body(carry, layer_in):
+        xc, ck, cv = carry
+        lp, lyr = layer_in
         resid = xc
         y = rms_norm(xc, lp["ln1"], cfg.rms_norm_eps)
         q = (qmatmul(y, lp["wq"]) + lp["bq"]).reshape(b, s, hq, dh)
@@ -421,19 +461,22 @@ def prefill_suffix(params: dict, cfg: Qwen2DecoderConfig, embeds: jax.Array,
         q = apply_rope(q, cos, sin)
         k = apply_rope(k, cos, sin)
         ck = _cache_write_block_masked(ck, k.transpose(0, 2, 1, 3),
-                                       block_off, valid_mask)
+                                       block_off, valid_mask, lyr)
         cv = _cache_write_block_masked(cv, v.transpose(0, 2, 1, 3),
-                                       block_off, valid_mask)
-        attn = flash_attention_cached_any(q, ck, cv, kv_start, q_off)
+                                       block_off, valid_mask, lyr)
+        attn = flash_attention_cached_any(q, ck, cv, kv_start, q_off,
+                                          layer=lyr)
         xc = resid + qmatmul(attn.reshape(b, s, hq * dh), lp["wo"])
         resid = xc
         y = rms_norm(xc, lp["ln2"], cfg.rms_norm_eps)
         xc = resid + qmatmul(
             jax.nn.silu(qmatmul(y, lp["wg"])) * qmatmul(y, lp["wu"]),
             lp["wd"])
-        return xc, (ck, cv)
+        return (xc, ck, cv), None
 
-    x, (nk, nv) = jax.lax.scan(body, embeds, (params["layers"], cache.k, cache.v))
+    (x, nk, nv), _ = jax.lax.scan(
+        body, (embeds, cache.k, cache.v),
+        (params["layers"], jnp.arange(cfg.num_hidden_layers, dtype=jnp.int32)))
     x = rms_norm(x, params["norm"], cfg.rms_norm_eps)
     return x[:, -1, :], KVCache(k=nk, v=nv)
 

@@ -154,7 +154,8 @@ def flash_attention(q: jax.Array, k: jax.Array, v: jax.Array,
 DEFAULT_BLOCK_K_CACHED = 512
 
 
-def _flash_cached_kernel(kv_start_ref,   # scalar prefetch: [B] int32
+def _flash_cached_kernel(lyr_ref,        # scalar prefetch: [1] int32
+                         kv_start_ref,   # scalar prefetch: [B] int32
                          q_off_ref,      # scalar prefetch: [1] int32
                          q_ref, k_ref, v_ref, o_ref,
                          m_scr, l_scr, acc_scr,
@@ -171,6 +172,7 @@ def _flash_cached_kernel(kv_start_ref,   # scalar prefetch: [B] int32
     (above the causal diagonal or before the left-pad start) are never
     fetched: the BlockSpec index map clamps into the live range and Pallas
     skips the DMA when consecutive grid steps map to the same block."""
+    del lyr_ref  # consumed by the BlockSpec index maps only
     b = pl.program_id(0)
     qi = pl.program_id(2)
     ki = pl.program_id(3)
@@ -189,8 +191,8 @@ def _flash_cached_kernel(kv_start_ref,   # scalar prefetch: [B] int32
 
     def _compute():
         q = q_ref[0, 0].astype(jnp.float32)
-        k = k_ref[0, 0].astype(jnp.float32)
-        v = v_ref[0, 0].astype(jnp.float32)
+        k = k_ref[0, 0, 0].astype(jnp.float32)
+        v = v_ref[0, 0, 0].astype(jnp.float32)
         s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
                                 preferred_element_type=jnp.float32) * scale
 
@@ -224,12 +226,14 @@ def _flash_cached_kernel(kv_start_ref,   # scalar prefetch: [B] int32
 @functools.partial(jax.jit, static_argnames=("block_q", "block_k", "interpret"))
 def flash_attention_cached(q: jax.Array, cache_k: jax.Array, cache_v: jax.Array,
                            kv_start: jax.Array, q_offset: jax.Array,
+                           layer: jax.Array | None = None,
                            block_q: int = DEFAULT_BLOCK_Q,
                            block_k: int = DEFAULT_BLOCK_K_CACHED,
                            interpret: bool | None = None) -> jax.Array:
     """Chunked-prefill attention: q: [B, C, Hq, D] at global positions
     q_offset + [0, C); cache_k/v: [B, Hkv, S, D] head-major (the KV cache
-    buffer, already holding this segment's keys at [q_offset, q_offset+C)).
+    buffer, already holding this segment's keys at [q_offset, q_offset+C)),
+    or layer-stacked [L, B, Hkv, S, D] with ``layer``.
     kv_start: [B] first valid key (left-pad).  q_offset: [] or [1] traced.
     Returns [B, C, Hq, D].
 
@@ -238,8 +242,11 @@ def flash_attention_cached(q: jax.Array, cache_k: jax.Array, cache_v: jax.Array,
     chunked prefill stream each live cache block once per kv head."""
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
+    if cache_k.ndim == 4:
+        cache_k, cache_v = cache_k[None], cache_v[None]
+        layer = jnp.int32(0)
     b, tq, hq, d = q.shape
-    s_len, hkv = cache_k.shape[2], cache_k.shape[1]
+    s_len, hkv = cache_k.shape[3], cache_k.shape[2]
     group = hq // hkv
 
     def _fit(block, t):
@@ -257,13 +264,13 @@ def flash_attention_cached(q: jax.Array, cache_k: jax.Array, cache_v: jax.Array,
 
     q_off = jnp.atleast_1d(jnp.asarray(q_offset, jnp.int32))
 
-    def _kv_index(b_, h, qi, ki, kvs, qo):
+    def _kv_index(b_, h, qi, ki, lyr, kvs, qo):
         # live range for THIS q block: [kv_start, q_pos_end]; dead grid steps
         # re-map to an already-fetched block (no DMA, compute skipped)
         q_end = qo[0] + (qi * block_q) % tq + block_q - 1
         lo = kvs[b_] // block_k
         hi = jnp.maximum(q_end // block_k, lo)
-        return (b_, h, jnp.clip(ki, lo, hi), 0)
+        return (lyr[0], b_, h, jnp.clip(ki, lo, hi), 0)
 
     grid = (b, hkv, (group * tq) // block_q, s_len // block_k)
     kernel = functools.partial(_flash_cached_kernel, scale=scale,
@@ -271,16 +278,16 @@ def flash_attention_cached(q: jax.Array, cache_k: jax.Array, cache_v: jax.Array,
     out = pl.pallas_call(
         kernel,
         grid_spec=pltpu.PrefetchScalarGridSpec(
-            num_scalar_prefetch=2,
+            num_scalar_prefetch=3,
             grid=grid,
             in_specs=[
                 pl.BlockSpec((1, 1, block_q, d),
-                             lambda b_, h, qi, ki, kvs, qo: (b_, h, qi, 0)),
-                pl.BlockSpec((1, 1, block_k, d), _kv_index),
-                pl.BlockSpec((1, 1, block_k, d), _kv_index),
+                             lambda b_, h, qi, ki, lyr, kvs, qo: (b_, h, qi, 0)),
+                pl.BlockSpec((1, 1, 1, block_k, d), _kv_index),
+                pl.BlockSpec((1, 1, 1, block_k, d), _kv_index),
             ],
             out_specs=pl.BlockSpec((1, 1, block_q, d),
-                                   lambda b_, h, qi, ki, kvs, qo: (b_, h, qi, 0)),
+                                   lambda b_, h, qi, ki, lyr, kvs, qo: (b_, h, qi, 0)),
             scratch_shapes=[
                 pltpu.VMEM((block_q, 1), jnp.float32),
                 pltpu.VMEM((block_q, 1), jnp.float32),
@@ -289,7 +296,8 @@ def flash_attention_cached(q: jax.Array, cache_k: jax.Array, cache_v: jax.Array,
         ),
         out_shape=jax.ShapeDtypeStruct((b, hkv, group * tq, d), q.dtype),
         interpret=interpret,
-    )(kv_start.astype(jnp.int32), q_off, qh, cache_k, cache_v)
+    )(jnp.asarray(layer, jnp.int32).reshape(1), kv_start.astype(jnp.int32),
+      q_off, qh, cache_k, cache_v)
     return out.reshape(b, hq, tq, d).transpose(0, 2, 1, 3)
 
 
@@ -299,11 +307,12 @@ def flash_attention_cached(q: jax.Array, cache_k: jax.Array, cache_v: jax.Array,
 # q-k8 dot; the v scale folds into the probability rows before p-v8.
 # ---------------------------------------------------------------------------
 
-def _flash_cached_kernel_q8(kv_start_ref, q_off_ref,
+def _flash_cached_kernel_q8(lyr_ref, kv_start_ref, q_off_ref,
                             q_ref, k_ref, ks_ref, v_ref, vs_ref, o_ref,
                             m_scr, l_scr, acc_scr,
                             *, scale: float, block_q: int, block_k: int,
                             chunk: int):
+    del lyr_ref  # consumed by the BlockSpec index maps only
     b = pl.program_id(0)
     qi = pl.program_id(2)
     ki = pl.program_id(3)
@@ -320,13 +329,13 @@ def _flash_cached_kernel_q8(kv_start_ref, q_off_ref,
 
     def _compute():
         q = q_ref[0, 0].astype(jnp.float32)
-        k = k_ref[0, 0].astype(jnp.float32)
-        v = v_ref[0, 0].astype(jnp.float32)
-        # scales arrive LANE-major as [1, BK] blocks of a [B, Hkv, 1, S]
+        k = k_ref[0, 0, 0].astype(jnp.float32)
+        v = v_ref[0, 0, 0].astype(jnp.float32)
+        # scales arrive LANE-major as [1, BK] blocks of a [L, B, Hkv, 1, S]
         # view (slot-in-sublanes blocks force a 32x lane-padding blowup on
         # the stored scale tensor — see ops/flash_decode.py)
-        ks = ks_ref[0, 0].astype(jnp.float32)        # [1, BK]
-        vs = vs_ref[0, 0].astype(jnp.float32)        # [1, BK]
+        ks = ks_ref[0, 0, 0].astype(jnp.float32)     # [1, BK]
+        vs = vs_ref[0, 0, 0].astype(jnp.float32)     # [1, BK]
         s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
                                 preferred_element_type=jnp.float32)
         s = s * (ks * scale)
@@ -362,15 +371,21 @@ def _flash_cached_kernel_q8(kv_start_ref, q_off_ref,
 def flash_attention_cached_q8(q: jax.Array, k8: jax.Array, ks: jax.Array,
                               v8: jax.Array, vs: jax.Array,
                               kv_start: jax.Array, q_offset: jax.Array,
+                              layer: jax.Array | None = None,
                               block_q: int = DEFAULT_BLOCK_Q,
                               block_k: int = DEFAULT_BLOCK_K_CACHED,
                               interpret: bool | None = None) -> jax.Array:
-    """Chunked-prefill attention against an int8 cache.  Same GQA packing and
-    live-range clamping as the bf16 kernel; KV DMA halves."""
+    """Chunked-prefill attention against an int8 cache (per-layer rank-4 or
+    layer-stacked rank-5 with ``layer``).  Same GQA packing and live-range
+    clamping as the bf16 kernel; KV DMA halves."""
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
+    if k8.ndim == 4:
+        k8, ks, v8, vs = k8[None], ks[None], v8[None], vs[None]
+        layer = jnp.int32(0)
+    nl = k8.shape[0]
     b, tq, hq, d = q.shape
-    s_len, hkv = k8.shape[2], k8.shape[1]
+    s_len, hkv = k8.shape[3], k8.shape[2]
     group = hq // hkv
 
     def _fit(block, t):
@@ -385,17 +400,17 @@ def flash_attention_cached_q8(q: jax.Array, k8: jax.Array, ks: jax.Array,
     qh = q.transpose(0, 2, 1, 3).reshape(b, hkv, group * tq, d)
     q_off = jnp.atleast_1d(jnp.asarray(q_offset, jnp.int32))
 
-    def _kv_index(b_, h, qi, ki, kvs, qo):
+    def _kv_index(b_, h, qi, ki, lyr, kvs, qo):
         q_end = qo[0] + (qi * block_q) % tq + block_q - 1
         lo = kvs[b_] // block_k
         hi = jnp.maximum(q_end // block_k, lo)
-        return (b_, h, jnp.clip(ki, lo, hi), 0)
+        return (lyr[0], b_, h, jnp.clip(ki, lo, hi), 0)
 
-    def _s_index(b_, h, qi, ki, kvs, qo):
+    def _s_index(b_, h, qi, ki, lyr, kvs, qo):
         q_end = qo[0] + (qi * block_q) % tq + block_q - 1
         lo = kvs[b_] // block_k
         hi = jnp.maximum(q_end // block_k, lo)
-        return (b_, h, 0, jnp.clip(ki, lo, hi))
+        return (lyr[0], b_, h, 0, jnp.clip(ki, lo, hi))
 
     grid = (b, hkv, (group * tq) // block_q, s_len // block_k)
     kernel = functools.partial(_flash_cached_kernel_q8, scale=scale,
@@ -403,18 +418,18 @@ def flash_attention_cached_q8(q: jax.Array, k8: jax.Array, ks: jax.Array,
     out = pl.pallas_call(
         kernel,
         grid_spec=pltpu.PrefetchScalarGridSpec(
-            num_scalar_prefetch=2,
+            num_scalar_prefetch=3,
             grid=grid,
             in_specs=[
                 pl.BlockSpec((1, 1, block_q, d),
-                             lambda b_, h, qi, ki, kvs, qo: (b_, h, qi, 0)),
-                pl.BlockSpec((1, 1, block_k, d), _kv_index),
-                pl.BlockSpec((1, 1, 1, block_k), _s_index),
-                pl.BlockSpec((1, 1, block_k, d), _kv_index),
-                pl.BlockSpec((1, 1, 1, block_k), _s_index),
+                             lambda b_, h, qi, ki, lyr, kvs, qo: (b_, h, qi, 0)),
+                pl.BlockSpec((1, 1, 1, block_k, d), _kv_index),
+                pl.BlockSpec((1, 1, 1, 1, block_k), _s_index),
+                pl.BlockSpec((1, 1, 1, block_k, d), _kv_index),
+                pl.BlockSpec((1, 1, 1, 1, block_k), _s_index),
             ],
             out_specs=pl.BlockSpec((1, 1, block_q, d),
-                                   lambda b_, h, qi, ki, kvs, qo: (b_, h, qi, 0)),
+                                   lambda b_, h, qi, ki, lyr, kvs, qo: (b_, h, qi, 0)),
             scratch_shapes=[
                 pltpu.VMEM((block_q, 1), jnp.float32),
                 pltpu.VMEM((block_q, 1), jnp.float32),
@@ -423,15 +438,18 @@ def flash_attention_cached_q8(q: jax.Array, k8: jax.Array, ks: jax.Array,
         ),
         out_shape=jax.ShapeDtypeStruct((b, hkv, group * tq, d), q.dtype),
         interpret=interpret,
-    )(kv_start.astype(jnp.int32), q_off, qh, k8, ks.reshape(b, hkv, 1, s_len),
-      v8, vs.reshape(b, hkv, 1, s_len))
+    )(jnp.asarray(layer, jnp.int32).reshape(1), kv_start.astype(jnp.int32),
+      q_off, qh, k8, ks.reshape(nl, b, hkv, 1, s_len),
+      v8, vs.reshape(nl, b, hkv, 1, s_len))
     return out.reshape(b, hq, tq, d).transpose(0, 2, 1, 3)
 
 
-def flash_attention_cached_any(q, cache_k, cache_v, kv_start, q_offset):
+def flash_attention_cached_any(q, cache_k, cache_v, kv_start, q_offset,
+                               layer=None):
     """Dispatch on the cache representation (bf16 array vs int8 {"q","s"})."""
     if isinstance(cache_k, dict):
         return flash_attention_cached_q8(q, cache_k["q"], cache_k["s"],
                                          cache_v["q"], cache_v["s"],
-                                         kv_start, q_offset)
-    return flash_attention_cached(q, cache_k, cache_v, kv_start, q_offset)
+                                         kv_start, q_offset, layer=layer)
+    return flash_attention_cached(q, cache_k, cache_v, kv_start, q_offset,
+                                  layer=layer)

@@ -31,10 +31,11 @@ NEG_INF = float(-2.0 ** 30)
 DEFAULT_BLOCK_K = 512
 
 
-def _decode_kernel(kv_start_ref, kv_len_ref,  # scalar prefetch: [B] int32
+def _decode_kernel(lyr_ref, kv_start_ref, kv_len_ref,  # scalar prefetch
                    q_ref, k_ref, v_ref, o_ref,
                    m_scr, l_scr, acc_scr,
                    *, scale: float, block_k: int):
+    del lyr_ref  # consumed by the BlockSpec index maps only
     b = pl.program_id(0)
     ki = pl.program_id(2)
     nk = pl.num_programs(2)
@@ -51,8 +52,8 @@ def _decode_kernel(kv_start_ref, kv_len_ref,  # scalar prefetch: [B] int32
     @pl.when(jnp.logical_and(ki >= start_blk, ki <= end_blk))
     def _compute():
         q = q_ref[0, 0].astype(jnp.float32)          # [G, D]
-        k = k_ref[0, 0].astype(jnp.float32)          # [BK, D]
-        v = v_ref[0, 0].astype(jnp.float32)          # [BK, D]
+        k = k_ref[0, 0, 0].astype(jnp.float32)       # [BK, D]
+        v = v_ref[0, 0, 0].astype(jnp.float32)       # [BK, D]
         s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
                                 preferred_element_type=jnp.float32) * scale  # [G, BK]
 
@@ -80,15 +81,23 @@ def _decode_kernel(kv_start_ref, kv_len_ref,  # scalar prefetch: [B] int32
 @functools.partial(jax.jit, static_argnames=("block_k", "interpret"))
 def flash_decode_attention(q: jax.Array, k_cache: jax.Array, v_cache: jax.Array,
                            kv_start: jax.Array, kv_len: jax.Array,
+                           layer: jax.Array | None = None,
                            block_k: int = DEFAULT_BLOCK_K,
                            interpret: bool | None = None) -> jax.Array:
-    """q: [B, Hq, D]; k_cache/v_cache: [B, Hkv, S, D] (head-major);
-    kv_start/kv_len: [B] — valid cache range is kv_start <= j < kv_len.
-    Returns [B, Hq, D]."""
+    """q: [B, Hq, D]; k_cache/v_cache: [B, Hkv, S, D] head-major, or the
+    FULL layer-stacked cache [L, B, Hkv, S, D] with ``layer`` the layer to
+    attend against (the layer scan carries the stacked cache in place —
+    per-layer slicing outside the kernel would either copy the slice or,
+    as xs->ys scan threading, double cache memory with full-cache layout
+    copies around every step).  kv_start/kv_len: [B] — valid cache range is
+    kv_start <= j < kv_len.  Returns [B, Hq, D]."""
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
+    if k_cache.ndim == 4:
+        k_cache, v_cache = k_cache[None], v_cache[None]
+        layer = jnp.int32(0)
     b, hq, d = q.shape
-    hkv, s = k_cache.shape[1], k_cache.shape[2]
+    hkv, s = k_cache.shape[2], k_cache.shape[3]
     group = hq // hkv
     scale = d ** -0.5
 
@@ -102,23 +111,24 @@ def flash_decode_attention(q: jax.Array, k_cache: jax.Array, v_cache: jax.Array,
     # [B, Hkv, G, D] so each grid point owns the query group of one kv head
     qg = q.reshape(b, hkv, group, d)
 
-    def _kv_index(b_, h, ki, kvs, kvl):
+    def _kv_index(b_, h, ki, lyr, kvs, kvl):
         start_blk = kvs[b_] // bk
         end_blk = (kvl[b_] - 1) // bk
-        return (b_, h, jnp.clip(ki, start_blk, end_blk), 0)
+        return (lyr[0], b_, h, jnp.clip(ki, start_blk, end_blk), 0)
 
     out = pl.pallas_call(
         functools.partial(_decode_kernel, scale=scale, block_k=bk),
         grid_spec=pltpu.PrefetchScalarGridSpec(
-            num_scalar_prefetch=2,
+            num_scalar_prefetch=3,
             grid=(b, hkv, nk),
             in_specs=[
-                pl.BlockSpec((1, 1, group, d), lambda b_, h, ki, kvs, kvl: (b_, h, 0, 0)),
-                pl.BlockSpec((1, 1, bk, d), _kv_index),
-                pl.BlockSpec((1, 1, bk, d), _kv_index),
+                pl.BlockSpec((1, 1, group, d),
+                             lambda b_, h, ki, lyr, kvs, kvl: (b_, h, 0, 0)),
+                pl.BlockSpec((1, 1, 1, bk, d), _kv_index),
+                pl.BlockSpec((1, 1, 1, bk, d), _kv_index),
             ],
             out_specs=pl.BlockSpec((1, 1, group, d),
-                                   lambda b_, h, ki, kvs, kvl: (b_, h, 0, 0)),
+                                   lambda b_, h, ki, lyr, kvs, kvl: (b_, h, 0, 0)),
             scratch_shapes=[
                 pltpu.VMEM((group, 1), jnp.float32),
                 pltpu.VMEM((group, 1), jnp.float32),
@@ -127,7 +137,8 @@ def flash_decode_attention(q: jax.Array, k_cache: jax.Array, v_cache: jax.Array,
         ),
         out_shape=jax.ShapeDtypeStruct((b, hkv, group, d), q.dtype),
         interpret=interpret,
-    )(kv_start.astype(jnp.int32), kv_len.astype(jnp.int32), qg, k_cache, v_cache)
+    )(jnp.asarray(layer, jnp.int32).reshape(1), kv_start.astype(jnp.int32),
+      kv_len.astype(jnp.int32), qg, k_cache, v_cache)
     return out.reshape(b, hq, d)
 
 
@@ -135,47 +146,61 @@ def flash_decode_attention_sharded(q: jax.Array, k_cache: jax.Array,
                                    v_cache: jax.Array, kv_start: jax.Array,
                                    kv_len: jax.Array, mesh, kv_tp: bool,
                                    batch_on_dp: bool,
+                                   layer: jax.Array | None = None,
                                    block_k: int = DEFAULT_BLOCK_K) -> jax.Array:
     """TP/DP-sharded wrapper: a pallas_call is opaque to GSPMD, so the kernel
     is mapped per-shard with shard_map.  With the cache sharded on (dp batch,
     tp kv-heads) the attention is fully shard-local — each tp shard owns the
     query group of its kv heads, no collectives.  The head-sharded output
-    feeds the rowwise (tp) o-projection, exactly the Megatron dataflow."""
+    feeds the rowwise (tp) o-projection, exactly the Megatron dataflow.
+    Caches may be per-layer [B, Hkv, S, D] or layer-stacked [L, ...] with
+    ``layer`` (the layer axis is unsharded)."""
     from jax.sharding import PartitionSpec as P
     try:
         from jax import shard_map
     except ImportError:  # older jax
         from jax.experimental.shard_map import shard_map
 
+    def _leaf(c):
+        return c["q"] if is_quantized_kv(c) else c
+
+    stacked = _leaf(k_cache).ndim == 5
+    lead = (None,) if stacked else ()
     dp = "dp" if batch_on_dp else None
     tp = "tp" if kv_tp else None
     qspec = P(dp, tp, None)              # [B, Hq, D] — heads split with kv
-    kvspec = P(dp, tp, None, None)       # [B, Hkv, S, D]
+    kvspec = P(*lead, dp, tp, None, None)
     sspec = P(dp)                        # [B]
+    if layer is None:
+        layer = jnp.int32(0)
+    layer = jnp.asarray(layer, jnp.int32).reshape(1)
 
     if is_quantized_kv(k_cache):
         # int8 cache: {"q","s"} leaves shard on the same (dp, tp) axes —
         # per-vector scales stay local to their kv head's shard
-        cspec = {"q": kvspec, "s": P(dp, tp, None)}
+        cspec = {"q": kvspec, "s": P(*lead, dp, tp, None)}
 
-        def inner(q_, k_, v_, s_, l_):
+        def inner(q_, k_, v_, s_, l_, lyr_):
             return flash_decode_attention_q8(q_, k_["q"], k_["s"],
                                              v_["q"], v_["s"], s_, l_,
+                                             layer=lyr_[0] if stacked else None,
                                              block_k=block_k)
     else:
         cspec = kvspec
 
-        def inner(q_, k_, v_, s_, l_):
+        def inner(q_, k_, v_, s_, l_, lyr_):
             return flash_decode_attention(q_, k_, v_, s_, l_,
+                                          layer=lyr_[0] if stacked else None,
                                           block_k=block_k)
 
-    kwargs = dict(mesh=mesh, in_specs=(qspec, cspec, cspec, sspec, sspec),
+    kwargs = dict(mesh=mesh,
+                  in_specs=(qspec, cspec, cspec, sspec, sspec, P(None)),
                   out_specs=qspec)
     try:
         fn = shard_map(inner, check_vma=False, **kwargs)
     except TypeError:  # older jax spells it check_rep
         fn = shard_map(inner, check_rep=False, **kwargs)
-    return fn(q, k_cache, v_cache, kv_start, kv_len)
+    return fn(q, k_cache, v_cache, kv_start, kv_len, layer)
 
 
 # ---------------------------------------------------------------------------
@@ -207,10 +232,11 @@ def dequantize_kv(leaf, dtype=jnp.bfloat16) -> jax.Array:
             * leaf["s"][..., None]).astype(dtype)
 
 
-def _decode_kernel_q8(kv_start_ref, kv_len_ref,  # scalar prefetch: [B] int32
+def _decode_kernel_q8(lyr_ref, kv_start_ref, kv_len_ref,  # scalar prefetch
                       q_ref, k_ref, ks_ref, v_ref, vs_ref, o_ref,
                       m_scr, l_scr, acc_scr,
                       *, scale: float, block_k: int):
+    del lyr_ref  # consumed by the BlockSpec index maps only
     b = pl.program_id(0)
     ki = pl.program_id(2)
     nk = pl.num_programs(2)
@@ -227,15 +253,15 @@ def _decode_kernel_q8(kv_start_ref, kv_len_ref,  # scalar prefetch: [B] int32
     @pl.when(jnp.logical_and(ki >= start_blk, ki <= end_blk))
     def _compute():
         q = q_ref[0, 0].astype(jnp.float32)          # [G, D]
-        k = k_ref[0, 0].astype(jnp.float32)          # [BK, D] (int8 -> f32)
-        v = v_ref[0, 0].astype(jnp.float32)          # [BK, D]
-        # scales arrive LANE-major as [1, BK] blocks of a [B, Hkv, 1, S]
+        k = k_ref[0, 0, 0].astype(jnp.float32)       # [BK, D] (int8 -> f32)
+        v = v_ref[0, 0, 0].astype(jnp.float32)       # [BK, D]
+        # scales arrive LANE-major as [1, BK] blocks of a [L, B, Hkv, 1, S]
         # view.  The earlier [BK, 1] (slot-in-sublanes) spelling forced XLA
         # to store the whole scale tensor with the size-Hkv axis in the
         # 128-lane dimension — a 32x padding blowup (a 7B 32k cache's 29 MB
         # of scales ballooned to 931 MB of HBM and proportional DMA).
-        ks = ks_ref[0, 0].astype(jnp.float32)        # [1, BK]
-        vs = vs_ref[0, 0].astype(jnp.float32)        # [1, BK]
+        ks = ks_ref[0, 0, 0].astype(jnp.float32)     # [1, BK]
+        vs = vs_ref[0, 0, 0].astype(jnp.float32)     # [1, BK]
         s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
                                 preferred_element_type=jnp.float32)
         s = s * (ks * scale)                         # per-key dequant
@@ -266,15 +292,21 @@ def _decode_kernel_q8(kv_start_ref, kv_len_ref,  # scalar prefetch: [B] int32
 def flash_decode_attention_q8(q: jax.Array, k8: jax.Array, ks: jax.Array,
                               v8: jax.Array, vs: jax.Array,
                               kv_start: jax.Array, kv_len: jax.Array,
+                              layer: jax.Array | None = None,
                               block_k: int = DEFAULT_BLOCK_K,
                               interpret: bool | None = None) -> jax.Array:
     """int8-cache decode attention.  q: [B, Hq, D]; k8/v8: [B, Hkv, S, D]
-    int8; ks/vs: [B, Hkv, S] per-vector scales.  Same live-range clamping as
-    the bf16 kernel; KV DMA is halved."""
+    int8 (or layer-stacked [L, B, Hkv, S, D] with ``layer``); ks/vs:
+    [B, Hkv, S] ([L, B, Hkv, S]) per-vector scales.  Same live-range
+    clamping as the bf16 kernel; KV DMA is halved."""
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
+    if k8.ndim == 4:
+        k8, ks, v8, vs = k8[None], ks[None], v8[None], vs[None]
+        layer = jnp.int32(0)
+    nl = k8.shape[0]
     b, hq, d = q.shape
-    hkv, s = k8.shape[1], k8.shape[2]
+    hkv, s = k8.shape[2], k8.shape[3]
     group = hq // hkv
     scale = d ** -0.5
 
@@ -286,30 +318,31 @@ def flash_decode_attention_q8(q: jax.Array, k8: jax.Array, ks: jax.Array,
 
     qg = q.reshape(b, hkv, group, d)
 
-    def _kv_index(b_, h, ki, kvs, kvl):
+    def _kv_index(b_, h, ki, lyr, kvs, kvl):
         start_blk = kvs[b_] // bk
         end_blk = (kvl[b_] - 1) // bk
-        return (b_, h, jnp.clip(ki, start_blk, end_blk), 0)
+        return (lyr[0], b_, h, jnp.clip(ki, start_blk, end_blk), 0)
 
-    def _s_index(b_, h, ki, kvs, kvl):
+    def _s_index(b_, h, ki, lyr, kvs, kvl):
         start_blk = kvs[b_] // bk
         end_blk = (kvl[b_] - 1) // bk
-        return (b_, h, 0, jnp.clip(ki, start_blk, end_blk))
+        return (lyr[0], b_, h, 0, jnp.clip(ki, start_blk, end_blk))
 
     out = pl.pallas_call(
         functools.partial(_decode_kernel_q8, scale=scale, block_k=bk),
         grid_spec=pltpu.PrefetchScalarGridSpec(
-            num_scalar_prefetch=2,
+            num_scalar_prefetch=3,
             grid=(b, hkv, nk),
             in_specs=[
-                pl.BlockSpec((1, 1, group, d), lambda b_, h, ki, kvs, kvl: (b_, h, 0, 0)),
-                pl.BlockSpec((1, 1, bk, d), _kv_index),
-                pl.BlockSpec((1, 1, 1, bk), _s_index),
-                pl.BlockSpec((1, 1, bk, d), _kv_index),
-                pl.BlockSpec((1, 1, 1, bk), _s_index),
+                pl.BlockSpec((1, 1, group, d),
+                             lambda b_, h, ki, lyr, kvs, kvl: (b_, h, 0, 0)),
+                pl.BlockSpec((1, 1, 1, bk, d), _kv_index),
+                pl.BlockSpec((1, 1, 1, 1, bk), _s_index),
+                pl.BlockSpec((1, 1, 1, bk, d), _kv_index),
+                pl.BlockSpec((1, 1, 1, 1, bk), _s_index),
             ],
             out_specs=pl.BlockSpec((1, 1, group, d),
-                                   lambda b_, h, ki, kvs, kvl: (b_, h, 0, 0)),
+                                   lambda b_, h, ki, lyr, kvs, kvl: (b_, h, 0, 0)),
             scratch_shapes=[
                 pltpu.VMEM((group, 1), jnp.float32),
                 pltpu.VMEM((group, 1), jnp.float32),
@@ -318,28 +351,37 @@ def flash_decode_attention_q8(q: jax.Array, k8: jax.Array, ks: jax.Array,
         ),
         out_shape=jax.ShapeDtypeStruct((b, hkv, group, d), q.dtype),
         interpret=interpret,
-    )(kv_start.astype(jnp.int32), kv_len.astype(jnp.int32),
-      qg, k8, ks.reshape(b, hkv, 1, s), v8, vs.reshape(b, hkv, 1, s))
+    )(jnp.asarray(layer, jnp.int32).reshape(1), kv_start.astype(jnp.int32),
+      kv_len.astype(jnp.int32), qg, k8, ks.reshape(nl, b, hkv, 1, s),
+      v8, vs.reshape(nl, b, hkv, 1, s))
     return out.reshape(b, hq, d)
 
 
 def flash_decode_attention_any(q, k_cache, v_cache, kv_start, kv_len,
-                               block_k: int = DEFAULT_BLOCK_K):
+                               layer=None, block_k: int = DEFAULT_BLOCK_K):
     """Dispatch on cache representation: bf16 arrays or int8 {"q","s"}."""
     if is_quantized_kv(k_cache):
         return flash_decode_attention_q8(q, k_cache["q"], k_cache["s"],
                                          v_cache["q"], v_cache["s"],
-                                         kv_start, kv_len, block_k=block_k)
+                                         kv_start, kv_len, layer=layer,
+                                         block_k=block_k)
     return flash_decode_attention(q, k_cache, v_cache, kv_start, kv_len,
-                                  block_k=block_k)
+                                  layer=layer, block_k=block_k)
 
 
 def decode_attend_xla(q: jax.Array, k_cache: jax.Array, v_cache: jax.Array,
-                      kv_start: jax.Array, kv_len: jax.Array) -> jax.Array:
+                      kv_start: jax.Array, kv_len: jax.Array,
+                      layer: jax.Array | None = None) -> jax.Array:
     """XLA fallback with identical semantics on the head-major cache
     (used on CPU meshes and under GSPMD sharding, where a pallas_call
     cannot be auto-partitioned).  Reads the full buffer.  int8 caches are
-    dequantized inline (the fallback is a correctness path)."""
+    dequantized inline (the fallback is a correctness path).  ``layer``
+    selects one layer of a stacked [L, ...] cache."""
+    if layer is not None:
+        k_cache = jax.tree.map(
+            lambda a: jax.lax.dynamic_index_in_dim(a, layer, 0, False), k_cache)
+        v_cache = jax.tree.map(
+            lambda a: jax.lax.dynamic_index_in_dim(a, layer, 0, False), v_cache)
     if is_quantized_kv(k_cache):
         k_cache = dequantize_kv(k_cache, q.dtype)
         v_cache = dequantize_kv(v_cache, q.dtype)
