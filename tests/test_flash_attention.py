@@ -198,6 +198,36 @@ class TestFlashDecode:
         np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
                                    rtol=2e-5, atol=2e-5)
 
+    def test_split_chain_blocks_match_reference(self):
+        """Big caches sweep in multi-split blocks (_pick_block -> splits>1);
+        the split merge must equal the single-chain math exactly."""
+        from vibevoice_tpu.ops.flash_decode import (_pick_block,
+                                                    decode_attend_xla,
+                                                    flash_decode_attention)
+        s = 16384
+        bk, splits = _pick_block(s, 4096)
+        assert bk == 2048 and splits == 4, (bk, splits)
+        rs = np.random.RandomState(3)
+        b, hq, hkv, d = 2, 4, 2, 64
+        q = jnp.asarray(rs.randn(b, hq, d), jnp.float32)
+        k = jnp.asarray(rs.randn(b, hkv, s, d), jnp.float32)
+        v = jnp.asarray(rs.randn(b, hkv, s, d), jnp.float32)
+        kv_start = jnp.asarray([0, 700], jnp.int32)
+        kv_len = jnp.asarray([3000, 2500], jnp.int32)
+        ref = decode_attend_xla(q, k, v, kv_start, kv_len)
+        out = flash_decode_attention(q, k, v, kv_start, kv_len,
+                                     interpret=True)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   rtol=2e-5, atol=2e-5)
+
+    def test_pick_block_properties(self):
+        from vibevoice_tpu.ops.flash_decode import _pick_block
+        for s in (64, 256, 2048, 4096, 8192, 16384, 36864, 65536):
+            bk, splits = _pick_block(s, 4096)
+            assert s % bk == 0, (s, bk)
+            assert bk // max(splits, 1) <= 512
+            assert bk <= max(s // 8, 256) or s <= 2048, (s, bk)
+
     def test_single_block_and_edge_ranges(self):
         from vibevoice_tpu.ops.flash_decode import (decode_attend_xla,
                                                     flash_decode_attention)

@@ -49,6 +49,15 @@ def _round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
 
 
+def _round_cache(n: int) -> int:
+    """Cache capacities: multiples of 4096 once big enough — the flash
+    decode kernels sweep the cache in 4096-slot blocks of 512-slot
+    split-softmax chains (ops/flash_decode.py _pick_block), and a capacity
+    4096 divides keeps the big-block path; small caches stay at 256-slot
+    granularity (≤ 12% padding either way)."""
+    return _round_up(n, 4096 if n > 8192 else 256)
+
+
 def _bucket_len(n: int, base: int = 64) -> int:
     """Quarter-octave shape bucket: round n up to the next multiple of
     2^ceil(log2(n))/4, floored at `base`.  Bounds the number of distinct
@@ -899,13 +908,13 @@ class VibeVoiceGenerator:
         if t_bucket > self.prefill_chunk:
             # segmented prefill wants a whole number of segments
             t_bucket = _round_up(t_bucket, self.prefill_chunk)
-        cache_len_final = _round_up(t_bucket + max_steps + 2, 256)
+        cache_len_final = _round_cache(t_bucket + max_steps + 2)
         if self.decode_impl in ("pallas", "pallas_shmap"):
             # flash decode never touches dead slots: allocate final size up
             # front — one chunk program for the whole run, no growth copies
             cache_len = cache_len_final
         else:
-            cache_len = min(_round_up(t_bucket + 4 * chunk_steps + 2, 256),
+            cache_len = min(_round_cache(t_bucket + 4 * chunk_steps + 2),
                             cache_len_final)
         rng = jax.random.PRNGKey(seed)
         from ..utils.profiling import StageTimer
@@ -976,7 +985,7 @@ class VibeVoiceGenerator:
             n_dispatched += 1
             need = t_bucket + dispatched + k_steps + 2
             if need > cache_len and cache_len < cache_len_final:
-                new_len = min(max(cache_len * 2, _round_up(need, 256)), cache_len_final)
+                new_len = min(max(cache_len * 2, _round_cache(need)), cache_len_final)
                 with timer.stage("cache_grow"):
                     state = _grow_cache(state, new_len)
                 cache_len = new_len

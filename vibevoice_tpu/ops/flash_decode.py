@@ -28,17 +28,37 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 NEG_INF = float(-2.0 ** 30)
-DEFAULT_BLOCK_K = 512
+DEFAULT_BLOCK_K = 4096
+_SUB_BLOCK = 512
+
+
+def _pick_block(s: int, block_k: int):
+    """Block size for the k sweep: large blocks amortize per-grid-step cost,
+    but a block should stay a modest fraction of the buffer so the clamped
+    index maps don't over-read shallow live ranges inside big caches.
+    Returns (bk, splits) with bk dividing s and splits = bk / sub-block."""
+    want = min(block_k, max(_SUB_BLOCK // 2, s // 8), s)
+    bk = 1 << (want.bit_length() - 1) if want & (want - 1) else want
+    while s % bk != 0:
+        bk //= 2
+    bk = max(bk, 8)
+    return bk, max(1, bk // _SUB_BLOCK)
 
 
 def _decode_kernel(lyr_ref, kv_start_ref, kv_len_ref,  # scalar prefetch
                    q_ref, k_ref, v_ref, o_ref,
                    m_scr, l_scr, acc_scr,
-                   *, scale: float, block_k: int):
+                   *, scale: float, block_k: int, splits: int):
+    """Online-softmax k sweep.  Each grid step covers ``block_k`` cache slots
+    processed as ``splits`` INDEPENDENT partial-softmax chains merged once at
+    the end of the body: the strict per-block (dot -> max -> exp -> rescale)
+    dependency chain, not DMA or dot throughput, was the measured bottleneck
+    (2.6x device-time win at 7B/30k-deep geometry)."""
     del lyr_ref  # consumed by the BlockSpec index maps only
     b = pl.program_id(0)
     ki = pl.program_id(2)
     nk = pl.num_programs(2)
+    sub = block_k // splits
 
     @pl.when(ki == 0)
     def _init():
@@ -52,24 +72,40 @@ def _decode_kernel(lyr_ref, kv_start_ref, kv_len_ref,  # scalar prefetch
     @pl.when(jnp.logical_and(ki >= start_blk, ki <= end_blk))
     def _compute():
         q = q_ref[0, 0].astype(jnp.float32)          # [G, D]
-        k = k_ref[0, 0, 0].astype(jnp.float32)       # [BK, D]
-        v = v_ref[0, 0, 0].astype(jnp.float32)       # [BK, D]
-        s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
-                                preferred_element_type=jnp.float32) * scale  # [G, BK]
-
         g = q.shape[0]
-        j = ki * block_k + jax.lax.broadcasted_iota(jnp.int32, (g, block_k), 1)
-        valid = jnp.logical_and(j >= kv_start_ref[b], j < kv_len_ref[b])
-        s = jnp.where(valid, s, NEG_INF)
+        parts = []
+        for i in range(splits):
+            k = k_ref[0, 0, 0, i * sub:(i + 1) * sub].astype(jnp.float32)
+            v = v_ref[0, 0, 0, i * sub:(i + 1) * sub].astype(jnp.float32)
+            s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
+                                    preferred_element_type=jnp.float32) * scale
+            j = (ki * block_k + i * sub
+                 + jax.lax.broadcasted_iota(jnp.int32, (g, sub), 1))
+            valid = jnp.logical_and(j >= kv_start_ref[b], j < kv_len_ref[b])
+            s = jnp.where(valid, s, NEG_INF)
+            m_i = jnp.max(s, axis=-1, keepdims=True)     # [G, 1]
+            e = jnp.exp(s - m_i)
+            l_i = jnp.sum(e, axis=-1, keepdims=True)
+            pv_i = jax.lax.dot_general(
+                e, v, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+            parts.append((m_i, l_i, pv_i))
 
+        m_new, l_new, acc_new = parts[0]
+        for m_i, l_i, pv_i in parts[1:]:
+            m2 = jnp.maximum(m_new, m_i)
+            a1 = jnp.exp(m_new - m2)
+            a2 = jnp.exp(m_i - m2)
+            l_new = l_new * a1 + l_i * a2
+            acc_new = acc_new * a1 + pv_i * a2
+            m_new = m2
         m_prev = m_scr[:]                            # [G, 1]
-        m_new = jnp.maximum(m_prev, jnp.max(s, axis=-1, keepdims=True))
-        p = jnp.exp(s - m_new)                       # [G, BK]
-        alpha = jnp.exp(m_prev - m_new)
-        l_scr[:] = l_scr[:] * alpha + jnp.sum(p, axis=-1, keepdims=True)
-        acc_scr[:] = acc_scr[:] * alpha + jax.lax.dot_general(
-            p, v, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32)
-        m_scr[:] = m_new
+        m2 = jnp.maximum(m_prev, m_new)
+        a1 = jnp.exp(m_prev - m2)
+        a2 = jnp.exp(m_new - m2)
+        l_scr[:] = l_scr[:] * a1 + l_new * a2
+        acc_scr[:] = acc_scr[:] * a1 + acc_new * a2
+        m_scr[:] = m2
 
     @pl.when(ki == nk - 1)
     def _finalize():
@@ -101,11 +137,7 @@ def flash_decode_attention(q: jax.Array, k_cache: jax.Array, v_cache: jax.Array,
     group = hq // hkv
     scale = d ** -0.5
 
-    bk = min(block_k, s)
-    while s % bk != 0:
-        bk //= 2
-    bk = max(bk, 8)
-    assert s % bk == 0, (s, bk)
+    bk, splits = _pick_block(s, block_k)
     nk = s // bk
 
     # [B, Hkv, G, D] so each grid point owns the query group of one kv head
@@ -117,7 +149,8 @@ def flash_decode_attention(q: jax.Array, k_cache: jax.Array, v_cache: jax.Array,
         return (lyr[0], b_, h, jnp.clip(ki, start_blk, end_blk), 0)
 
     out = pl.pallas_call(
-        functools.partial(_decode_kernel, scale=scale, block_k=bk),
+        functools.partial(_decode_kernel, scale=scale, block_k=bk,
+                          splits=splits),
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=3,
             grid=(b, hkv, nk),
@@ -235,11 +268,19 @@ def dequantize_kv(leaf, dtype=jnp.bfloat16) -> jax.Array:
 def _decode_kernel_q8(lyr_ref, kv_start_ref, kv_len_ref,  # scalar prefetch
                       q_ref, k_ref, ks_ref, v_ref, vs_ref, o_ref,
                       m_scr, l_scr, acc_scr,
-                      *, scale: float, block_k: int):
+                      *, scale: float, block_k: int, splits: int):
+    """int8-cache variant of the split-chain sweep (see _decode_kernel).
+
+    Scales arrive LANE-major as [1, BK] blocks of a [L, B, Hkv, 1, S] view.
+    The earlier [BK, 1] (slot-in-sublanes) spelling forced XLA to store the
+    whole scale tensor with the size-Hkv axis in the 128-lane dimension — a
+    32x padding blowup (a 7B 32k cache's 29 MB of scales ballooned to 931 MB
+    of HBM and proportional DMA)."""
     del lyr_ref  # consumed by the BlockSpec index maps only
     b = pl.program_id(0)
     ki = pl.program_id(2)
     nk = pl.num_programs(2)
+    sub = block_k // splits
 
     @pl.when(ki == 0)
     def _init():
@@ -253,33 +294,43 @@ def _decode_kernel_q8(lyr_ref, kv_start_ref, kv_len_ref,  # scalar prefetch
     @pl.when(jnp.logical_and(ki >= start_blk, ki <= end_blk))
     def _compute():
         q = q_ref[0, 0].astype(jnp.float32)          # [G, D]
-        k = k_ref[0, 0, 0].astype(jnp.float32)       # [BK, D] (int8 -> f32)
-        v = v_ref[0, 0, 0].astype(jnp.float32)       # [BK, D]
-        # scales arrive LANE-major as [1, BK] blocks of a [L, B, Hkv, 1, S]
-        # view.  The earlier [BK, 1] (slot-in-sublanes) spelling forced XLA
-        # to store the whole scale tensor with the size-Hkv axis in the
-        # 128-lane dimension — a 32x padding blowup (a 7B 32k cache's 29 MB
-        # of scales ballooned to 931 MB of HBM and proportional DMA).
-        ks = ks_ref[0, 0, 0].astype(jnp.float32)     # [1, BK]
-        vs = vs_ref[0, 0, 0].astype(jnp.float32)     # [1, BK]
-        s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
-                                preferred_element_type=jnp.float32)
-        s = s * (ks * scale)                         # per-key dequant
-
         g = q.shape[0]
-        j = ki * block_k + jax.lax.broadcasted_iota(jnp.int32, (g, block_k), 1)
-        valid = jnp.logical_and(j >= kv_start_ref[b], j < kv_len_ref[b])
-        s = jnp.where(valid, s, NEG_INF)
+        parts = []
+        for i in range(splits):
+            k = k_ref[0, 0, 0, i * sub:(i + 1) * sub].astype(jnp.float32)
+            v = v_ref[0, 0, 0, i * sub:(i + 1) * sub].astype(jnp.float32)
+            ks = ks_ref[0, 0, 0, :, i * sub:(i + 1) * sub].astype(jnp.float32)
+            vs = vs_ref[0, 0, 0, :, i * sub:(i + 1) * sub].astype(jnp.float32)
+            s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
+                                    preferred_element_type=jnp.float32)
+            s = s * (ks * scale)                     # per-key dequant
+            j = (ki * block_k + i * sub
+                 + jax.lax.broadcasted_iota(jnp.int32, (g, sub), 1))
+            valid = jnp.logical_and(j >= kv_start_ref[b], j < kv_len_ref[b])
+            s = jnp.where(valid, s, NEG_INF)
+            m_i = jnp.max(s, axis=-1, keepdims=True)
+            e = jnp.exp(s - m_i)
+            l_i = jnp.sum(e, axis=-1, keepdims=True)
+            pv_i = jax.lax.dot_general(
+                e * vs, v, (((1,), (0,)), ((), ())),  # fold v dequant into p
+                preferred_element_type=jnp.float32)
+            parts.append((m_i, l_i, pv_i))
 
+        m_new, l_new, acc_new = parts[0]
+        for m_i, l_i, pv_i in parts[1:]:
+            m2 = jnp.maximum(m_new, m_i)
+            a1 = jnp.exp(m_new - m2)
+            a2 = jnp.exp(m_i - m2)
+            l_new = l_new * a1 + l_i * a2
+            acc_new = acc_new * a1 + pv_i * a2
+            m_new = m2
         m_prev = m_scr[:]
-        m_new = jnp.maximum(m_prev, jnp.max(s, axis=-1, keepdims=True))
-        p = jnp.exp(s - m_new) * vs                  # fold v dequant into p
-        alpha = jnp.exp(m_prev - m_new)
-        l_scr[:] = l_scr[:] * alpha + jnp.sum(
-            jnp.exp(s - m_new), axis=-1, keepdims=True)
-        acc_scr[:] = acc_scr[:] * alpha + jax.lax.dot_general(
-            p, v, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32)
-        m_scr[:] = m_new
+        m2 = jnp.maximum(m_prev, m_new)
+        a1 = jnp.exp(m_prev - m2)
+        a2 = jnp.exp(m_new - m2)
+        l_scr[:] = l_scr[:] * a1 + l_new * a2
+        acc_scr[:] = acc_scr[:] * a1 + acc_new * a2
+        m_scr[:] = m2
 
     @pl.when(ki == nk - 1)
     def _finalize():
@@ -310,10 +361,7 @@ def flash_decode_attention_q8(q: jax.Array, k8: jax.Array, ks: jax.Array,
     group = hq // hkv
     scale = d ** -0.5
 
-    bk = min(block_k, s)
-    while s % bk != 0:
-        bk //= 2
-    bk = max(bk, 8)
+    bk, splits = _pick_block(s, block_k)
     nk = s // bk
 
     qg = q.reshape(b, hkv, group, d)
@@ -329,7 +377,8 @@ def flash_decode_attention_q8(q: jax.Array, k8: jax.Array, ks: jax.Array,
         return (lyr[0], b_, h, 0, jnp.clip(ki, start_blk, end_blk))
 
     out = pl.pallas_call(
-        functools.partial(_decode_kernel_q8, scale=scale, block_k=bk),
+        functools.partial(_decode_kernel_q8, scale=scale, block_k=bk,
+                          splits=splits),
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=3,
             grid=(b, hkv, nk),
