@@ -73,8 +73,9 @@ def _bucket_len(n: int, base: int = 64) -> int:
 @partial(jax.jit, static_argnames=("new_len",))
 def _grow_cache_arrays(kv, new_len: int):
     def grow(a):
-        # slot axis is 3 for [L,B,H,S,D] data, the last for [L,B,H,S] scales
-        ax = 3 if a.ndim == 5 else a.ndim - 1
+        # slot axis is 3 for [L,B,H,S,D] data, the last for
+        # [L,B,H,1,S] scales (distinguished by the singleton at axis 3)
+        ax = 3 if a.ndim == 5 and a.shape[3] != 1 else a.ndim - 1
         pad = [(0, 0)] * a.ndim
         pad[ax] = (0, new_len - a.shape[ax])
         return jnp.pad(a, pad)
@@ -251,8 +252,9 @@ class VibeVoiceGenerator:
             tree, sh, is_leaf=lambda x: x is None)
 
     def _cache_sharding(self, b2: int, ndim: int = 5):
-        """NamedSharding for a cache leaf: 5-D [L,B,Hkv,S,Dh] data, or the
-        4-D [L,B,Hkv,S] per-vector scales of a quantized cache."""
+        """NamedSharding for a cache leaf: the 5-D [L,B,Hkv,S,Dh] data and
+        the [L,B,Hkv,1,S] per-vector scales of a quantized cache share the
+        spec (dp on batch, tp on heads, nothing on the trailing axes)."""
         if self.mesh is None:
             return None
         from jax.sharding import NamedSharding, PartitionSpec
@@ -460,7 +462,7 @@ class VibeVoiceGenerator:
             # store only the live tail [pb - p_len, pb)
             def tail(a):
                 sl = [slice(None)] * a.ndim
-                ax = 3 if a.ndim >= 5 else a.ndim - 1
+                ax = 3 if a.ndim == 5 and a.shape[3] != 1 else a.ndim - 1
                 sl[ax] = slice(pb - p_len, pb)
                 return a[tuple(sl)]
             entry = {"k": jax.tree.map(tail, cache_p.k),
@@ -506,7 +508,7 @@ class VibeVoiceGenerator:
             kvs = int(kv_start2[0])
 
             def put(dst, blk, scale: bool):
-                idx = (0, 0, 0, kvs) if scale else (0, 0, 0, kvs, 0)
+                idx = (0, 0, 0, 0, kvs) if scale else (0, 0, 0, kvs, 0)
                 return jax.lax.dynamic_update_slice(dst, blk, idx)
 
             if self.kv_quant:

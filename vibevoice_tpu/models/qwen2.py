@@ -38,9 +38,12 @@ class KVCache(NamedTuple):
     so the flash decode kernel streams dense KV blocks (ops/flash_decode.py).
 
     Quantized (``kv_quant``) caches store each leaf as {"q": int8
-    [L, B, Hkv, S, Dh], "s": f32 [L, B, Hkv, S]} — one symmetric scale per
-    stored vector.  Halves KV HBM traffic and memory; dequantization happens
-    inside the attention kernels (ops/flash_decode.py int8 variants).
+    [L, B, Hkv, S, Dh], "s": f32 [L, B, Hkv, 1, S]} — one symmetric scale
+    per stored vector.  Halves KV HBM traffic and memory; dequantization
+    happens inside the attention kernels (ops/flash_decode.py int8
+    variants).  The scale's slot axis is LAST (lane-major, the exact view
+    the kernels consume): storing it slot-major instead makes XLA convert
+    the layout with a full-tensor copy per layer step (33 MB at 7B 32k).
     """
     k: jax.Array
     v: jax.Array
@@ -58,7 +61,7 @@ def init_kv_cache(cfg: Qwen2DecoderConfig, batch: int, max_len: int,
     if quant:
         def leaf():
             return {"q": jnp.zeros(shape, jnp.int8),
-                    "s": jnp.zeros(shape[:-1], jnp.float32)}
+                    "s": jnp.zeros(shape[:3] + (1, max_len), jnp.float32)}
         return KVCache(k=leaf(), v=leaf())
     return KVCache(k=jnp.zeros(shape, dtype), v=jnp.zeros(shape, dtype))
 
@@ -83,7 +86,8 @@ def _cache_write_decode(cache, vec, write_idx, lyr):
                 cq, q8[bi][None, None, :, None, :],
                 (lyr, bi, 0, write_idx[bi], 0))
             cs = jax.lax.dynamic_update_slice(
-                cs, s[bi][None, None, :, None], (lyr, bi, 0, write_idx[bi]))
+                cs, s[bi][None, None, :, None, None],
+                (lyr, bi, 0, 0, write_idx[bi]))
         return {"q": cq, "s": cs}
     vec = vec.astype(cache.dtype)
     for bi in range(vec.shape[0]):
@@ -102,7 +106,8 @@ def _cache_write_block(cache, block_hm, offset, lyr):
         return {"q": jax.lax.dynamic_update_slice(
                     cache["q"], q8[None], (lyr, 0, 0, offset, 0)),
                 "s": jax.lax.dynamic_update_slice(
-                    cache["s"], s[None], (lyr, 0, 0, offset))}
+                    cache["s"], s[None, :, :, None, :],
+                    (lyr, 0, 0, 0, offset))}
     return jax.lax.dynamic_update_slice(
         cache, block_hm.astype(cache.dtype)[None], (lyr, 0, 0, offset, 0))
 
@@ -121,13 +126,15 @@ def _cache_write_block_masked(cache, block_hm, offset, valid, lyr):
             cache["q"], (lyr, 0, 0, offset, 0),
             (1, q8.shape[0], q8.shape[1], t, q8.shape[3]))[0]
         olds = jax.lax.dynamic_slice(
-            cache["s"], (lyr, 0, 0, offset), (1, s.shape[0], s.shape[1], t))[0]
+            cache["s"], (lyr, 0, 0, 0, offset),
+            (1, s.shape[0], s.shape[1], 1, t))[0, :, :, 0]
         q8 = jnp.where(valid[:, None, :, None], q8, oldq)
         s = jnp.where(valid[:, None, :], s, olds)
         return {"q": jax.lax.dynamic_update_slice(
                     cache["q"], q8[None], (lyr, 0, 0, offset, 0)),
                 "s": jax.lax.dynamic_update_slice(
-                    cache["s"], s[None], (lyr, 0, 0, offset))}
+                    cache["s"], s[None, :, :, None, :],
+                    (lyr, 0, 0, 0, offset))}
     blk = block_hm.astype(cache.dtype)
     old = jax.lax.dynamic_slice(
         cache, (lyr, 0, 0, offset, 0),

@@ -49,9 +49,13 @@ def _flash_kernel(kv_start_ref,  # scalar prefetch: [B] int32
     k_start = ki * block_k
 
     def _compute():
-        q = q_ref[0, 0].astype(jnp.float32)          # [BQ, D]
-        k = k_ref[0, 0].astype(jnp.float32)          # [BK, D]
-        v = v_ref[0, 0].astype(jnp.float32)          # [BK, D]
+        # dots run in the STORED dtype (bf16 in production) with f32
+        # accumulation: prefill is MXU-throughput-bound and f32 MXU passes
+        # run at 1/4 the bf16 rate (profiled 63 ms -> ~16 ms per
+        # segment-layer at 7B/30k).  f32 callers (tests) keep f32 dots.
+        q = q_ref[0, 0]                              # [BQ, D]
+        k = k_ref[0, 0]                              # [BK, D]
+        v = v_ref[0, 0]                              # [BK, D]
         s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
                                 preferred_element_type=jnp.float32) * scale  # [BQ, BK]
 
@@ -69,7 +73,8 @@ def _flash_kernel(kv_start_ref,  # scalar prefetch: [B] int32
         alpha = jnp.exp(m_prev - m_new)              # [BQ, 1]
         l_scr[:] = l_scr[:] * alpha + jnp.sum(p, axis=-1, keepdims=True)
         acc_scr[:] = acc_scr[:] * alpha + jax.lax.dot_general(
-            p, v, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32)
+            p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
         m_scr[:] = m_new
 
     if causal:
@@ -151,7 +156,8 @@ def flash_attention(q: jax.Array, k: jax.Array, v: jax.Array,
 # Chunked-prefill kernel: q segment vs the (head-major) KV cache
 # ---------------------------------------------------------------------------
 
-DEFAULT_BLOCK_K_CACHED = 512
+DEFAULT_BLOCK_K_CACHED = 2048
+DEFAULT_BLOCK_Q_CACHED = 512
 
 
 def _flash_cached_kernel(lyr_ref,        # scalar prefetch: [1] int32
@@ -160,7 +166,7 @@ def _flash_cached_kernel(lyr_ref,        # scalar prefetch: [1] int32
                          q_ref, k_ref, v_ref, o_ref,
                          m_scr, l_scr, acc_scr,
                          *, scale: float, block_q: int, block_k: int,
-                         chunk: int):
+                         chunk: int, splits: int):
     """Segment attention for chunked prefill: queries live at GLOBAL
     positions q_off + [0, chunk); keys are the KV cache buffer.  Causality
     (k <= q_global) doubles as the live-range upper bound — slots past the
@@ -171,12 +177,19 @@ def _flash_cached_kernel(lyr_ref,        # scalar prefetch: [1] int32
     block streams once per KV head, not once per query head.  Dead k blocks
     (above the causal diagonal or before the left-pad start) are never
     fetched: the BlockSpec index map clamps into the live range and Pallas
-    skips the DMA when consecutive grid steps map to the same block."""
+    skips the DMA when consecutive grid steps map to the same block.
+
+    Like the decode kernel, each k block is ``splits`` independent
+    partial-softmax chains merged once per body, and dots run in the
+    stored dtype (bf16 in production, f32 accumulation) — the serial
+    per-block chain plus 1/4-rate f32 MXU passes made the original
+    spelling 63 ms/segment-layer at 7B/30k."""
     del lyr_ref  # consumed by the BlockSpec index maps only
     b = pl.program_id(0)
     qi = pl.program_id(2)
     ki = pl.program_id(3)
     nk = pl.num_programs(3)
+    sub = block_k // splits
 
     @pl.when(ki == 0)
     def _init():
@@ -190,26 +203,42 @@ def _flash_cached_kernel(lyr_ref,        # scalar prefetch: [1] int32
     k_start = ki * block_k
 
     def _compute():
-        q = q_ref[0, 0].astype(jnp.float32)
-        k = k_ref[0, 0, 0].astype(jnp.float32)
-        v = v_ref[0, 0, 0].astype(jnp.float32)
-        s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
-                                preferred_element_type=jnp.float32) * scale
+        q = q_ref[0, 0]
+        parts = []
+        for i in range(splits):
+            k = k_ref[0, 0, 0, i * sub:(i + 1) * sub]
+            v = v_ref[0, 0, 0, i * sub:(i + 1) * sub]
+            s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
+                                    preferred_element_type=jnp.float32) * scale
+            q_ids = q_start + jax.lax.broadcasted_iota(
+                jnp.int32, (block_q, sub), 0)
+            k_ids = (k_start + i * sub + jax.lax.broadcasted_iota(
+                jnp.int32, (block_q, sub), 1))
+            mask = jnp.logical_and(k_ids >= kv_start_ref[b], k_ids <= q_ids)
+            s = jnp.where(mask, s, NEG_INF)
+            m_i = jnp.max(s, axis=-1, keepdims=True)
+            e = jnp.exp(s - m_i)
+            l_i = jnp.sum(e, axis=-1, keepdims=True)
+            pv_i = jax.lax.dot_general(
+                e.astype(v.dtype), v, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+            parts.append((m_i, l_i, pv_i))
 
-        q_ids = q_start + jax.lax.broadcasted_iota(jnp.int32, (block_q, block_k), 0)
-        k_ids = k_start + jax.lax.broadcasted_iota(jnp.int32, (block_q, block_k), 1)
-        mask = jnp.logical_and(k_ids >= kv_start_ref[b], k_ids <= q_ids)
-        s = jnp.where(mask, s, NEG_INF)
-
+        m_new, l_new, acc_new = parts[0]
+        for m_i, l_i, pv_i in parts[1:]:
+            m2 = jnp.maximum(m_new, m_i)
+            a1 = jnp.exp(m_new - m2)
+            a2 = jnp.exp(m_i - m2)
+            l_new = l_new * a1 + l_i * a2
+            acc_new = acc_new * a1 + pv_i * a2
+            m_new = m2
         m_prev = m_scr[:]
-        m_cur = jnp.max(s, axis=-1, keepdims=True)
-        m_new = jnp.maximum(m_prev, m_cur)
-        p = jnp.exp(s - m_new)
-        alpha = jnp.exp(m_prev - m_new)
-        l_scr[:] = l_scr[:] * alpha + jnp.sum(p, axis=-1, keepdims=True)
-        acc_scr[:] = acc_scr[:] * alpha + jax.lax.dot_general(
-            p, v, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32)
-        m_scr[:] = m_new
+        m2 = jnp.maximum(m_prev, m_new)
+        a1 = jnp.exp(m_prev - m2)
+        a2 = jnp.exp(m_new - m2)
+        l_scr[:] = l_scr[:] * a1 + l_new * a2
+        acc_scr[:] = acc_scr[:] * a1 + acc_new * a2
+        m_scr[:] = m2
 
     in_range = jnp.logical_and(
         k_start <= q_start + block_q - 1,                 # causal upper bound
@@ -227,7 +256,7 @@ def _flash_cached_kernel(lyr_ref,        # scalar prefetch: [1] int32
 def flash_attention_cached(q: jax.Array, cache_k: jax.Array, cache_v: jax.Array,
                            kv_start: jax.Array, q_offset: jax.Array,
                            layer: jax.Array | None = None,
-                           block_q: int = DEFAULT_BLOCK_Q,
+                           block_q: int = DEFAULT_BLOCK_Q_CACHED,
                            block_k: int = DEFAULT_BLOCK_K_CACHED,
                            interpret: bool | None = None) -> jax.Array:
     """Chunked-prefill attention: q: [B, C, Hq, D] at global positions
@@ -255,8 +284,9 @@ def flash_attention_cached(q: jax.Array, cache_k: jax.Array, cache_v: jax.Array,
             block //= 2
         return max(block, 8)
 
+    from .flash_decode import _pick_block
     block_q = _fit(block_q, tq)       # divides the chunk -> blocks never
-    block_k = _fit(block_k, s_len)    # straddle a head boundary after packing
+    block_k, splits = _pick_block(s_len, block_k)  # straddle a head boundary
     scale = d ** -0.5
 
     # GQA packing: [B, C, Hq, D] -> [B, Hkv, G*C, D], rows head-contiguous
@@ -274,7 +304,8 @@ def flash_attention_cached(q: jax.Array, cache_k: jax.Array, cache_v: jax.Array,
 
     grid = (b, hkv, (group * tq) // block_q, s_len // block_k)
     kernel = functools.partial(_flash_cached_kernel, scale=scale,
-                               block_q=block_q, block_k=block_k, chunk=tq)
+                               block_q=block_q, block_k=block_k, chunk=tq,
+                               splits=splits)
     out = pl.pallas_call(
         kernel,
         grid_spec=pltpu.PrefetchScalarGridSpec(
@@ -311,12 +342,20 @@ def _flash_cached_kernel_q8(lyr_ref, kv_start_ref, q_off_ref,
                             q_ref, k_ref, ks_ref, v_ref, vs_ref, o_ref,
                             m_scr, l_scr, acc_scr,
                             *, scale: float, block_q: int, block_k: int,
-                            chunk: int):
+                            chunk: int, splits: int):
+    """int8-cache variant of _flash_cached_kernel (split partial-softmax
+    chains, stored-dtype dots — int8 values are exact in bf16 so the q-dtype
+    dots are lossless vs the stored data; f32 MXU passes run at 1/4 rate).
+
+    Scales arrive LANE-major as [1, BK] blocks of a [L, B, Hkv, 1, S] view
+    (slot-in-sublanes blocks force a 32x lane-padding blowup on the stored
+    scale tensor — see ops/flash_decode.py)."""
     del lyr_ref  # consumed by the BlockSpec index maps only
     b = pl.program_id(0)
     qi = pl.program_id(2)
     ki = pl.program_id(3)
     nk = pl.num_programs(3)
+    sub = block_k // splits
 
     @pl.when(ki == 0)
     def _init():
@@ -328,32 +367,46 @@ def _flash_cached_kernel_q8(lyr_ref, kv_start_ref, q_off_ref,
     k_start = ki * block_k
 
     def _compute():
-        q = q_ref[0, 0].astype(jnp.float32)
-        k = k_ref[0, 0, 0].astype(jnp.float32)
-        v = v_ref[0, 0, 0].astype(jnp.float32)
-        # scales arrive LANE-major as [1, BK] blocks of a [L, B, Hkv, 1, S]
-        # view (slot-in-sublanes blocks force a 32x lane-padding blowup on
-        # the stored scale tensor — see ops/flash_decode.py)
-        ks = ks_ref[0, 0, 0].astype(jnp.float32)     # [1, BK]
-        vs = vs_ref[0, 0, 0].astype(jnp.float32)     # [1, BK]
-        s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
-                                preferred_element_type=jnp.float32)
-        s = s * (ks * scale)
+        q = q_ref[0, 0]
+        parts = []
+        for i in range(splits):
+            k = k_ref[0, 0, 0, i * sub:(i + 1) * sub].astype(q.dtype)
+            v = v_ref[0, 0, 0, i * sub:(i + 1) * sub].astype(q.dtype)
+            ks = ks_ref[0, 0, 0, :, i * sub:(i + 1) * sub].astype(jnp.float32)
+            vs = vs_ref[0, 0, 0, :, i * sub:(i + 1) * sub].astype(jnp.float32)
+            s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
+                                    preferred_element_type=jnp.float32)
+            s = s * (ks * scale)
 
-        q_ids = q_start + jax.lax.broadcasted_iota(jnp.int32, (block_q, block_k), 0)
-        k_ids = k_start + jax.lax.broadcasted_iota(jnp.int32, (block_q, block_k), 1)
-        mask = jnp.logical_and(k_ids >= kv_start_ref[b], k_ids <= q_ids)
-        s = jnp.where(mask, s, NEG_INF)
+            q_ids = q_start + jax.lax.broadcasted_iota(
+                jnp.int32, (block_q, sub), 0)
+            k_ids = (k_start + i * sub + jax.lax.broadcasted_iota(
+                jnp.int32, (block_q, sub), 1))
+            mask = jnp.logical_and(k_ids >= kv_start_ref[b], k_ids <= q_ids)
+            s = jnp.where(mask, s, NEG_INF)
+            m_i = jnp.max(s, axis=-1, keepdims=True)
+            e = jnp.exp(s - m_i)
+            l_i = jnp.sum(e, axis=-1, keepdims=True)
+            pv_i = jax.lax.dot_general(
+                (e * vs).astype(q.dtype), v, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+            parts.append((m_i, l_i, pv_i))
 
+        m_new, l_new, acc_new = parts[0]
+        for m_i, l_i, pv_i in parts[1:]:
+            m2 = jnp.maximum(m_new, m_i)
+            a1 = jnp.exp(m_new - m2)
+            a2 = jnp.exp(m_i - m2)
+            l_new = l_new * a1 + l_i * a2
+            acc_new = acc_new * a1 + pv_i * a2
+            m_new = m2
         m_prev = m_scr[:]
-        m_new = jnp.maximum(m_prev, jnp.max(s, axis=-1, keepdims=True))
-        e = jnp.exp(s - m_new)
-        alpha = jnp.exp(m_prev - m_new)
-        l_scr[:] = l_scr[:] * alpha + jnp.sum(e, axis=-1, keepdims=True)
-        acc_scr[:] = acc_scr[:] * alpha + jax.lax.dot_general(
-            e * vs, v, (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32)
-        m_scr[:] = m_new
+        m2 = jnp.maximum(m_prev, m_new)
+        a1 = jnp.exp(m_prev - m2)
+        a2 = jnp.exp(m_new - m2)
+        l_scr[:] = l_scr[:] * a1 + l_new * a2
+        acc_scr[:] = acc_scr[:] * a1 + acc_new * a2
+        m_scr[:] = m2
 
     in_range = jnp.logical_and(
         k_start <= q_start + block_q - 1,
@@ -372,7 +425,7 @@ def flash_attention_cached_q8(q: jax.Array, k8: jax.Array, ks: jax.Array,
                               v8: jax.Array, vs: jax.Array,
                               kv_start: jax.Array, q_offset: jax.Array,
                               layer: jax.Array | None = None,
-                              block_q: int = DEFAULT_BLOCK_Q,
+                              block_q: int = DEFAULT_BLOCK_Q_CACHED,
                               block_k: int = DEFAULT_BLOCK_K_CACHED,
                               interpret: bool | None = None) -> jax.Array:
     """Chunked-prefill attention against an int8 cache (per-layer rank-4 or
@@ -381,9 +434,13 @@ def flash_attention_cached_q8(q: jax.Array, k8: jax.Array, ks: jax.Array,
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
     if k8.ndim == 4:
-        k8, ks, v8, vs = k8[None], ks[None], v8[None], vs[None]
+        # per-layer API: [B, Hkv, S, D] data with [B, Hkv, S] (quantize_kv)
+        # or [B, Hkv, 1, S] (cache-layout) scales
+        k8, v8 = k8[None], v8[None]
+        if ks.ndim == 3:
+            ks, vs = ks[:, :, None, :], vs[:, :, None, :]
+        ks, vs = ks[None], vs[None]
         layer = jnp.int32(0)
-    nl = k8.shape[0]
     b, tq, hq, d = q.shape
     s_len, hkv = k8.shape[3], k8.shape[2]
     group = hq // hkv
@@ -394,8 +451,9 @@ def flash_attention_cached_q8(q: jax.Array, k8: jax.Array, ks: jax.Array,
             block //= 2
         return max(block, 8)
 
+    from .flash_decode import _pick_block
     block_q = _fit(block_q, tq)
-    block_k = _fit(block_k, s_len)
+    block_k, splits = _pick_block(s_len, block_k)
     scale = d ** -0.5
     qh = q.transpose(0, 2, 1, 3).reshape(b, hkv, group * tq, d)
     q_off = jnp.atleast_1d(jnp.asarray(q_offset, jnp.int32))
@@ -414,7 +472,8 @@ def flash_attention_cached_q8(q: jax.Array, k8: jax.Array, ks: jax.Array,
 
     grid = (b, hkv, (group * tq) // block_q, s_len // block_k)
     kernel = functools.partial(_flash_cached_kernel_q8, scale=scale,
-                               block_q=block_q, block_k=block_k, chunk=tq)
+                               block_q=block_q, block_k=block_k, chunk=tq,
+                               splits=splits)
     out = pl.pallas_call(
         kernel,
         grid_spec=pltpu.PrefetchScalarGridSpec(
@@ -439,8 +498,7 @@ def flash_attention_cached_q8(q: jax.Array, k8: jax.Array, ks: jax.Array,
         out_shape=jax.ShapeDtypeStruct((b, hkv, group * tq, d), q.dtype),
         interpret=interpret,
     )(jnp.asarray(layer, jnp.int32).reshape(1), kv_start.astype(jnp.int32),
-      q_off, qh, k8, ks.reshape(nl, b, hkv, 1, s_len),
-      v8, vs.reshape(nl, b, hkv, 1, s_len))
+      q_off, qh, k8, ks, v8, vs)
     return out.reshape(b, hq, tq, d).transpose(0, 2, 1, 3)
 
 

@@ -210,8 +210,11 @@ def flash_decode_attention_sharded(q: jax.Array, k_cache: jax.Array,
 
     if is_quantized_kv(k_cache):
         # int8 cache: {"q","s"} leaves shard on the same (dp, tp) axes —
-        # per-vector scales stay local to their kv head's shard
-        cspec = {"q": kvspec, "s": P(*lead, dp, tp, None)}
+        # per-vector scales stay local to their kv head's shard.  Scale
+        # leaves have the cache layout [..., Hkv, 1, S] (rank matches q).
+        sspec_scale = P(*lead, dp, tp,
+                        *([None] * (k_cache["s"].ndim - len(lead) - 2)))
+        cspec = {"q": kvspec, "s": sspec_scale}
 
         def inner(q_, k_, v_, s_, l_, lyr_):
             return flash_decode_attention_q8(q_, k_["q"], k_["s"],
@@ -261,8 +264,12 @@ def quantize_kv(x: jax.Array):
 
 
 def dequantize_kv(leaf, dtype=jnp.bfloat16) -> jax.Array:
-    return (leaf["q"].astype(jnp.float32)
-            * leaf["s"][..., None]).astype(dtype)
+    s = leaf["s"]
+    if s.ndim == leaf["q"].ndim:        # cache layout: [..., 1, S] scales
+        s = s.swapaxes(-1, -2)          # -> [..., S, 1]
+    else:                               # quantize_kv layout: [..., S] scales
+        s = s[..., None]
+    return (leaf["q"].astype(jnp.float32) * s).astype(dtype)
 
 
 def _decode_kernel_q8(lyr_ref, kv_start_ref, kv_len_ref,  # scalar prefetch
@@ -353,9 +360,13 @@ def flash_decode_attention_q8(q: jax.Array, k8: jax.Array, ks: jax.Array,
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
     if k8.ndim == 4:
-        k8, ks, v8, vs = k8[None], ks[None], v8[None], vs[None]
+        # per-layer API: [B, Hkv, S, D] data with [B, Hkv, S] (quantize_kv)
+        # or [B, Hkv, 1, S] (cache-layout) scales
+        k8, v8 = k8[None], v8[None]
+        if ks.ndim == 3:
+            ks, vs = ks[:, :, None, :], vs[:, :, None, :]
+        ks, vs = ks[None], vs[None]
         layer = jnp.int32(0)
-    nl = k8.shape[0]
     b, hq, d = q.shape
     hkv, s = k8.shape[2], k8.shape[3]
     group = hq // hkv
@@ -401,8 +412,7 @@ def flash_decode_attention_q8(q: jax.Array, k8: jax.Array, ks: jax.Array,
         out_shape=jax.ShapeDtypeStruct((b, hkv, group, d), q.dtype),
         interpret=interpret,
     )(jnp.asarray(layer, jnp.int32).reshape(1), kv_start.astype(jnp.int32),
-      kv_len.astype(jnp.int32), qg, k8, ks.reshape(nl, b, hkv, 1, s),
-      v8, vs.reshape(nl, b, hkv, 1, s))
+      kv_len.astype(jnp.int32), qg, k8, ks, v8, vs)
     return out.reshape(b, hq, d)
 
 
