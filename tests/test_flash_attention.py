@@ -160,6 +160,36 @@ def test_generate_long_prompt_uses_chunked_prefill(monkeypatch):
             np.testing.assert_allclose(a, b_, atol=2e-4)
 
 
+def test_cached_prefill_split_chains_match_reference():
+    """An 8k cache makes _pick_block return splits=2 for the cached-prefill
+    kernel; the in-body partial-softmax merge must equal plain attention."""
+    from vibevoice_tpu.ops.flash_decode import _pick_block, decode_attend_xla
+    from vibevoice_tpu.ops.flash_attention import (DEFAULT_BLOCK_K_CACHED,
+                                                   flash_attention_cached)
+
+    s_len = 8192
+    assert _pick_block(s_len, DEFAULT_BLOCK_K_CACHED)[1] > 1
+    rs = np.random.RandomState(5)
+    b, c, hq, hkv, d = 2, 16, 4, 2, 32
+    off = 1990                                 # live range crosses sub-blocks
+    q = jnp.asarray(rs.randn(b, c, hq, d), jnp.float32)
+    k = jnp.zeros((b, hkv, s_len, d), jnp.float32)
+    v = jnp.zeros((b, hkv, s_len, d), jnp.float32)
+    k = k.at[:, :, :off + c].set(jnp.asarray(
+        rs.randn(b, hkv, off + c, d), jnp.float32))
+    v = v.at[:, :, :off + c].set(jnp.asarray(
+        rs.randn(b, hkv, off + c, d), jnp.float32))
+    kv_start = jnp.asarray([0, 7], jnp.int32)
+
+    out = flash_attention_cached(q, k, v, kv_start, jnp.int32(off),
+                                 interpret=True)
+    for i in range(0, c, 5):
+        ref = decode_attend_xla(q[:, i], k, v, kv_start,
+                                jnp.full((b,), off + i + 1, jnp.int32))
+        np.testing.assert_allclose(np.asarray(out[:, i]), np.asarray(ref),
+                                   rtol=2e-3, atol=2e-3)
+
+
 class TestFlashDecode:
     """ops/flash_decode.py: single-query attention against the head-major
     cache (SURVEY §2.3 FlashAttention2 decode row)."""

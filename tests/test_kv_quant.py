@@ -244,3 +244,33 @@ def test_engine_kv_quant_matches_solo():
         solo_t = trim(ref.sequences[0].tolist())
         n = min(len(req.tokens), len(solo_t))
         assert n > 0 and req.tokens[:n] == solo_t[:n], f"request {i}"
+
+
+def test_flash_cached_q8_split_chains_match_reference():
+    """8k int8 cache -> splits=2 in the q8 chunked-prefill kernel; the split
+    merge plus lane-major scale slicing must equal the dequant reference."""
+    from vibevoice_tpu.ops.flash_attention import (DEFAULT_BLOCK_K_CACHED,
+                                                   flash_attention_cached_q8)
+    from vibevoice_tpu.ops.flash_decode import _pick_block
+
+    s_len = 8192
+    assert _pick_block(s_len, DEFAULT_BLOCK_K_CACHED)[1] > 1
+    rs = np.random.RandomState(6)
+    b, c, hq, hkv, d = 2, 16, 4, 2, 32
+    off = 1990
+    q = jnp.asarray(rs.randn(b, c, hq, d), jnp.float32)
+    k = jnp.asarray(rs.randn(b, hkv, s_len, d), jnp.float32)
+    v = jnp.asarray(rs.randn(b, hkv, s_len, d), jnp.float32)
+    k8, ks = quantize_kv(k)
+    v8, vs = quantize_kv(v)
+    kv_start = jnp.asarray([0, 7], jnp.int32)
+
+    out = flash_attention_cached_q8(q, k8, ks, v8, vs, kv_start,
+                                    jnp.int32(off), interpret=True)
+    kd = dequantize_kv({"q": k8, "s": ks}, jnp.float32)
+    vd = dequantize_kv({"q": v8, "s": vs}, jnp.float32)
+    for i in range(0, c, 5):
+        ref = decode_attend_xla(q[:, i], kd, vd, kv_start,
+                                jnp.full((b,), off + i + 1, jnp.int32))
+        np.testing.assert_allclose(np.asarray(out[:, i]), np.asarray(ref),
+                                   rtol=2e-3, atol=2e-3)
