@@ -64,3 +64,31 @@ def test_growth_preserves_prefix_behavior():
     n = out_short.sequences.shape[1]
     np.testing.assert_array_equal(out_short.sequences[:, :16],
                                   out_long.sequences[:, :16])
+
+
+def test_cache_growth_kv_quant():
+    """Cache growth with an int8 cache: the rank-5 [L,B,Hkv,1,S] scale
+    leaves grow on their LAST axis (slot), not axis 3 — and the grown run's
+    prefix equals the ungrown run's."""
+    params = vibevoice.init_params(jax.random.PRNGKey(2), CFG, jnp.float32)
+    tk = TinyTokenizer()
+    ids = np.random.RandomState(2).randint(20, 200, (1, 16))
+    ids[:, -1] = tk.speech_start_id
+    kw = dict(cfg_scale=1.2, max_length_times=1000.0, chunk_steps=16, seed=4)
+
+    gen1 = VibeVoiceGenerator(params, CFG, tk, ddpm_inference_steps=3,
+                              lm_dtype=jnp.float32, kv_quant=True)
+    # force diffusion frames on BOTH runs so the long run spans cache buckets
+    # and the prefix comparison is apples-to-apples
+    gen1.valid_ids = jnp.full_like(gen1.valid_ids, tk.speech_diffusion_id)
+    out_short = gen1.generate(ids, max_new_tokens=16, **kw)
+    gen2 = VibeVoiceGenerator(params, CFG, tk, ddpm_inference_steps=3,
+                              lm_dtype=jnp.float32, kv_quant=True)
+    gen2.valid_ids = jnp.full_like(gen2.valid_ids, tk.speech_diffusion_id)
+    out_long = gen2.generate(ids, max_new_tokens=400, **kw)
+
+    # growth actually happened, with consistent quantized-cache geometry
+    cache_lens = {key[-1] for key in gen2._chunk_jit.keys()}
+    assert len(cache_lens) >= 2, cache_lens
+    np.testing.assert_array_equal(out_short.sequences[:, :16],
+                                  out_long.sequences[:, :16])
