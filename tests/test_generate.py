@@ -259,3 +259,21 @@ def test_external_stream_end_aborts_one_sample(model):
     assert (out.sequences[0][8:] == tk.eos_id).all()
     # sample 1's stream delivered audio; sample 0's queue got nothing
     assert streamer.audio_queues[0].qsize() <= 1   # stop sentinel only
+
+
+def test_assemble_state_leaves_own_distinct_buffers(model):
+    """The fused single-dispatch assemble (generate.py:_build_assemble) must
+    give every GenState leaf its own buffer: the chunk program donates the
+    whole state, and XLA rejects donating one buffer twice.  Identical
+    zero/full constants (neg_ptr vs pos_len, the many same-shape conv-state
+    zeros) are exactly the leaves a compiler would dedup — the per-leaf
+    optimization_barriers exist to stop that."""
+    ids = _prompt()
+    from vibevoice_tpu.utils.profiling import StageTimer
+    state = model._prefill_state(
+        ids, np.ones_like(ids), None, None, None, None, None,
+        jax.random.PRNGKey(0), 16, 64, np.full((1,), 1 << 30, np.int64),
+        StageTimer())
+    ptrs = [l.unsafe_buffer_pointer() for l in jax.tree.leaves(state)
+            if hasattr(l, "unsafe_buffer_pointer")]
+    assert len(ptrs) == len(set(ptrs)), "aliased GenState leaf buffers"

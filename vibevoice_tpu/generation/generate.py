@@ -212,6 +212,7 @@ class VibeVoiceGenerator:
             "VIBEVOICE_PREFILL_CHUNK", "4096"))
         self._prefill_jit: Dict[Any, Callable] = {}
         self._chunk_jit: Dict[Any, Callable] = {}
+        self._assemble_jit: Dict[int, Callable] = {}
         self.last_metrics: Dict[str, dict] = {}
         # voice-prompt prefix cache (opt-in): repeat voices skip the acoustic
         # encode + prefix LM forward (generation/prefix_cache.py).  Single
@@ -691,7 +692,11 @@ class VibeVoiceGenerator:
                 acoustic_state=ac_state, semantic_state=sem_state, rng=rng,
                 row_rng=state.row_rng)
             out = StepOutput(tokens=token.astype(jnp.int32),
-                             audio=audio[..., 0].astype(jnp.float32),
+                             # native tokenizer dtype on the wire (bf16 at
+                             # serving): the values were computed in that
+                             # dtype, so the host-side f32 upcast is lossless
+                             # and the device->host audio bytes halve
+                             audio=audio[..., 0],
                              diffused=diffuse, finished=finished)
             return new_state, out
 
@@ -810,6 +815,39 @@ class VibeVoiceGenerator:
                                     last_hidden, cache, rng, row_rng,
                                     max_steps_per_sample)
 
+    def _build_assemble(self, b: int):
+        """One jitted program that materializes every small GenState leaf —
+        counters, flags, and the ~70 streaming-conv zero buffers — in a
+        single dispatch.  Building them leaf-by-leaf on the host costs one
+        device round-trip each (~180 ms per generate() call on a tunneled
+        chip, measured — it dominated TTFA and engine-join latency)."""
+        cfg = self.cfg
+        tok_dtype = self.tok_dtype
+
+        @jax.jit
+        def assemble_fn(kv_start, t_bucket, max_steps, row_rng):
+            full_b = jnp.full((b,), t_bucket, jnp.int32)
+            leaves = (
+                kv_start,
+                full_b,                       # pos_len
+                full_b,                       # neg_ptr
+                full_b,                       # neg_init_ptr
+                jnp.zeros((b,), bool),        # finished
+                jnp.zeros((b,), bool),        # reach_max
+                max_steps,
+                row_rng,
+                jnp.int32(0),                 # step
+                tok.init_decoder_state(cfg.acoustic_tokenizer, b, tok_dtype),
+                tok.init_encoder_state(cfg.semantic_tokenizer, b, tok_dtype),
+            )
+            # per-leaf barriers: the chunk program donates the state, so every
+            # leaf needs its own buffer — without them XLA dedups the identical
+            # zero/full constants (the neg_ptr/neg_init_ptr aliasing hazard,
+            # generalized to the many same-shape conv-state zeros)
+            return jax.tree.map(jax.lax.optimization_barrier, leaves)
+
+        return assemble_fn
+
     def _assemble_state(self, b: int, t_bucket: int, init_len, neg_lens,
                         last_hidden, cache, rng, row_rng,
                         max_steps_per_sample) -> GenState:
@@ -819,6 +857,22 @@ class VibeVoiceGenerator:
         kv_start = np.zeros(2 * b, np.int32)
         kv_start[:b] = t_bucket - init_len
         kv_start[b:] = t_bucket - neg_lens
+
+        if self.mesh is None:
+            if b not in self._assemble_jit:
+                self._assemble_jit[b] = self._build_assemble(b)
+            (kv_start_a, pos_len_a, neg_ptr_a, neg_init_a, finished_a,
+             reach_max_a, max_steps_a, row_rng_a, step_a, ac_state,
+             sem_state) = self._assemble_jit[b](
+                jnp.asarray(kv_start), jnp.int32(t_bucket),
+                jnp.asarray(max_steps_per_sample, jnp.int32), row_rng)
+            return GenState(
+                cache=cache, kv_start=kv_start_a, pos_len=pos_len_a,
+                neg_ptr=neg_ptr_a, neg_init_ptr=neg_init_a,
+                last_hidden=last_hidden, finished=finished_a,
+                reach_max=reach_max_a, step=step_a,
+                max_steps_per_sample=max_steps_a, acoustic_state=ac_state,
+                semantic_state=sem_state, rng=rng, row_rng=row_rng_a)
 
         batched = self._put_batched((
             jnp.asarray(kv_start),

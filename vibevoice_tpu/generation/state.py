@@ -59,6 +59,7 @@ class GenState(NamedTuple):
 
 class StepOutput(NamedTuple):
     tokens: jax.Array       # [B] int32 sampled this step
-    audio: jax.Array        # [B, frame_samples] float32 vocoded chunk
+    audio: jax.Array        # [B, frame_samples] vocoded chunk, tokenizer
+                            # compute dtype (bf16 at serving; hosts upcast)
     diffused: jax.Array     # [B] bool — audio valid this step
     finished: jax.Array     # [B] bool — post-step finished flags
