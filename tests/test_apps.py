@@ -359,3 +359,41 @@ def test_generation_settings_persistence(tmp_path, monkeypatch):
     # 3 speakers -> three visible voice cards at construction
     vis = [c.visible for c in ui.components if (c.label or "").startswith("Voice ")]
     assert vis == [True, True, True, False]
+
+
+def test_generate_handler_routes_tagged_stream(tmp_path, monkeypatch):
+    """The generate handler clears both audio widgets first, streams
+    incremental chunks to the streaming widget, and routes the final
+    concatenated render to the separate complete-audio widget (reference
+    two-widget layout + clear_audio_outputs, main.py:2442-2465, 2656-2668)."""
+    import numpy as np
+    from vibevoice_tpu.apps import gradio_app
+    from vibevoice_tpu.apps.gradio_app import VibeVoiceDemo
+
+    monkeypatch.chdir(tmp_path)
+    demo = VibeVoiceDemo(load_on_demand=True)
+    ui = gradio_app.build_ui_headless(demo)
+
+    chunk = np.zeros(8, np.int16)
+    full = np.ones(16, np.int16)
+
+    def fake_stream(*a, tagged=False, **k):
+        assert tagged
+        yield ("chunk", 24000, chunk)
+        yield ("chunk", 24000, chunk)
+        yield ("final", 24000, full)
+
+    demo.generate_podcast_streaming = fake_stream
+    gen_fn = next(fn for c in ui.components for ev, fn, ins, outs in c.events
+                  if (c.args and c.args[0] == "🎧 Generate podcast"))
+    ys = list(gen_fn("VibeVoice-1.5B", 2, "Speaker 1: hi", None, None, None,
+                     None, 1.3, False, 0.9, 0.9, 0, 5, False, ""))
+    # first yield clears both widgets; middle yields stream chunks and leave
+    # the complete widget untouched; last yield parks the stream and delivers
+    # the full render
+    assert ys[0][0] is None and ys[0][1] is None
+    assert ys[1][0] == (24000, chunk) or ys[1][0][1] is chunk
+    assert isinstance(ys[1][1], dict)          # gr.update() passthrough
+    assert ys[-1][0] is None
+    assert ys[-1][1][1] is full
+    assert "2-speaker session" in ys[0][2]

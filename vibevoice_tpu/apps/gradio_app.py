@@ -237,9 +237,17 @@ class VibeVoiceDemo:
                                    diffusion_steps: Optional[int] = None,
                                    normalize_voices: bool = False,
                                    min_yield_seconds: float = 2.0,
+                                   tagged: bool = False,
                                    ) -> Iterator[tuple]:
         """Yields (sample_rate, int16 chunk) tuples; final yield is the full
-        audio. Mirrors the chunk-buffering policy of main.py:913-999."""
+        audio. Mirrors the chunk-buffering policy of main.py:913-999.
+
+        With ``tagged=True`` yields ("chunk"|"final", sample_rate, data)
+        instead, so a UI can route incremental chunks to a streaming widget
+        and the final concatenated audio to a separate complete-audio widget
+        (the reference's two-widget layout, main.py:2442-2465)."""
+        def _emit(kind, sr, data):
+            return (kind, sr, data) if tagged else (sr, data)
         self.stop_generation = False
         self.is_generating = True
         try:
@@ -302,11 +310,13 @@ class VibeVoiceDemo:
                 buffered_samples += len(chunk)
                 if (buffered_samples >= min_yield_seconds * SAMPLE_RATE
                         or time.time() - last_yield > 15.0):
-                    yield SAMPLE_RATE, convert_to_16_bit_wav(np.concatenate(buffered))
+                    yield _emit("chunk", SAMPLE_RATE,
+                                convert_to_16_bit_wav(np.concatenate(buffered)))
                     buffered, buffered_samples = [], 0
                     last_yield = time.time()
             if buffered:
-                yield SAMPLE_RATE, convert_to_16_bit_wav(np.concatenate(buffered))
+                yield _emit("chunk", SAMPLE_RATE,
+                            convert_to_16_bit_wav(np.concatenate(buffered)))
 
             thread.join(timeout=30.0)
             if err:
@@ -318,7 +328,8 @@ class VibeVoiceDemo:
                 gt = m.get("generate_total", {}).get("total_s")
                 self.log(f"Done: {total:.1f}s audio"
                          + (f" in {gt:.1f}s (RTF {total / gt:.2f})" if gt else ""))
-                yield SAMPLE_RATE, convert_to_16_bit_wav(np.concatenate(all_chunks))
+                yield _emit("final", SAMPLE_RATE,
+                            convert_to_16_bit_wav(np.concatenate(all_chunks)))
         finally:
             self.is_generating = False
             self.manager.after_generate()
@@ -357,6 +368,65 @@ def build_ui_headless(demo: VibeVoiceDemo):
     return create_demo_interface(demo)
 
 
+# Original dark theme (covers the reference's custom-CSS row,
+# main.py:1936-2130, with our own design — gradients, cards, soft focus
+# rings — rather than the reference's stylesheet).
+CUSTOM_CSS = """
+:root {
+  --vv-bg: #10131a; --vv-panel: #181c26; --vv-edge: #2a3142;
+  --vv-ink: #e8ebf2; --vv-dim: #9aa3b5; --vv-accent: #5eb0ff;
+  --vv-accent2: #9f7bff;
+}
+.gradio-container {
+  background: linear-gradient(165deg, var(--vv-bg) 0%, #141925 60%, #101722 100%);
+  color: var(--vv-ink);
+}
+.vv-header {
+  padding: 18px 22px; border-radius: 14px; margin-bottom: 10px;
+  background: linear-gradient(100deg, rgba(94,176,255,.14), rgba(159,123,255,.10));
+  border: 1px solid var(--vv-edge);
+}
+.vv-header h1 { margin: 0; font-size: 1.5rem; letter-spacing: .3px; }
+.vv-header p { margin: 4px 0 0; color: var(--vv-dim); }
+.vv-scene {
+  padding: 8px 14px; border-left: 3px solid var(--vv-accent);
+  border-radius: 6px; background: rgba(94,176,255,.07);
+  color: var(--vv-ink); font-weight: 600; min-height: 1.2em;
+}
+.vv-footer { text-align: center; color: var(--vv-dim); font-size: .85rem;
+  margin-top: 14px; border-top: 1px solid var(--vv-edge); padding-top: 8px; }
+button.primary { background: linear-gradient(90deg, var(--vv-accent), var(--vv-accent2)) !important; }
+.block, .form, .panel { border-color: var(--vv-edge) !important; }
+*:focus-visible { outline: 2px solid var(--vv-accent) !important; }
+"""
+
+HEADER_HTML = """
+<div class="vv-header">
+  <h1>🎙️ VibeVoice-TPU</h1>
+  <p>Long-form multi-speaker text-to-speech, served from a TPU mesh —
+     streaming audio, voice prompts, Script-AI drafting.</p>
+</div>
+"""
+
+FOOTER_HTML = """
+<div class="vv-footer">VibeVoice-TPU · JAX/XLA/Pallas serving stack ·
+audio is synthetic — label it as such when you publish it.</div>
+"""
+
+USAGE_TIPS_MD = """
+**Tips**
+- One line per turn, `Speaker 1: …` through `Speaker 4: …`; the speaker
+  slider controls how many voice cards are active.
+- Voice prompts are optional — drop `.wav` files into `voices/` or
+  `custom_voices/` and hit *Refresh voices*.
+- Lower *CFG scale* = freer delivery; higher = closer to the prompt voice.
+- *Diffusion steps* trades audio fidelity for speed (5 is the serving
+  default, 10+ for final renders).
+- Long scripts stream as they render — the complete file lands in the
+  *Complete audio* widget when generation finishes.
+"""
+
+
 def create_demo_interface(demo: VibeVoiceDemo):
     import gradio as gr
 
@@ -370,9 +440,11 @@ def create_demo_interface(demo: VibeVoiceDemo):
                 f"**Offline:** {'yes' if demo.manager.offline else 'no'}")
 
     s = demo.settings
-    with gr.Blocks(title="VibeVoice-TPU", theme=gr.themes.Soft()) as ui:
-        gr.Markdown("# 🎙️ VibeVoice-TPU — long-form multi-speaker TTS on TPU")
+    with gr.Blocks(title="VibeVoice-TPU", theme=gr.themes.Soft(),
+                   css=CUSTOM_CSS) as ui:
+        gr.HTML(HEADER_HTML)
         status_md = gr.Markdown(status_text())
+        scene_html = gr.HTML("", elem_classes=["vv-scene"])
         with gr.Row():
             with gr.Column():
                 model_dd = gr.Dropdown(demo.manager.available_models(),
@@ -413,12 +485,25 @@ def create_demo_interface(demo: VibeVoiceDemo):
                 script_box = gr.Textbox(lines=12, label="Script (Speaker N: ...)")
                 gen_btn = gr.Button("🎧 Generate podcast", variant="primary")
                 stop_btn = gr.Button("⏹ Stop")
-                audio_out = gr.Audio(label="Audio", streaming=True, autoplay=True)
+                audio_out = gr.Audio(label="Streaming audio", streaming=True,
+                                     autoplay=True)
+                complete_audio = gr.Audio(label="Complete audio",
+                                          streaming=False)
                 log_out = gr.Textbox(label="Log", lines=8)
                 with gr.Row():
                     clear_log_btn = gr.Button("🧹 Clear log", size="sm")
                     save_log_btn = gr.Button("💾 Download log", size="sm")
                 log_file = gr.File(label="Session log", visible=False)
+        with gr.Accordion("💡 Usage tips", open=False):
+            gr.Markdown(USAGE_TIPS_MD)
+        gr.HTML(FOOTER_HTML)
+
+        def scene_title(n, script):
+            first = next((ln.strip() for ln in (script or "").splitlines()
+                          if ln.strip()), "")
+            if len(first) > 70:
+                first = first[:67] + "…"
+            return f"🎬 {int(n)}-speaker session — {first}" if first else ""
 
         def on_generate(model_name, n, script, v1, v2, v3, v4, cfg, st, temp,
                         tp, tk, ds, nv, neg):
@@ -430,13 +515,26 @@ def create_demo_interface(demo: VibeVoiceDemo):
                                diffusion_steps=int(ds),
                                normalize_voices=bool(nv))
             voices = [v for v in (v1, v2, v3, v4) if v and v != "(none)"]
-            for sr, chunk in demo.generate_podcast_streaming(
+            scene = scene_title(n, script)
+            final = None
+            # clear both audio widgets before the new render (reference
+            # clear_audio_outputs, main.py:2656-2668)
+            yield None, None, scene, demo.log_text, status_text()
+            # tagged stream: incremental chunks feed the streaming widget,
+            # the final concatenated render lands in the complete-audio
+            # widget (reference two-widget layout, main.py:2442-2465)
+            for kind, sr, data in demo.generate_podcast_streaming(
                     int(n), script, voices, cfg_scale=cfg, do_sample=st,
                     temperature=temp, top_p=tp, top_k=int(tk),
                     negative_prompt=neg or "",
-                    diffusion_steps=int(ds), normalize_voices=nv):
-                yield (sr, chunk), demo.log_text, status_text()
-            yield None, demo.log_text, status_text()
+                    diffusion_steps=int(ds), normalize_voices=nv,
+                    tagged=True):
+                if kind == "final":
+                    final = (sr, data)
+                else:
+                    yield ((sr, data), gr.update(), scene, demo.log_text,
+                           status_text())
+            yield None, final, scene, demo.log_text, status_text()
 
         def on_load_example(name):
             ex = demo.examples.get(name)
@@ -458,7 +556,8 @@ def create_demo_interface(demo: VibeVoiceDemo):
                       [model_dd, num_speakers, script_box, *voice_dds,
                        cfg_scale, do_sample, temperature, top_p, top_k, steps,
                        norm_voices, negative_box],
-                      [audio_out, log_out, status_md])
+                      [audio_out, complete_audio, scene_html, log_out,
+                       status_md])
         stop_btn.click(lambda: demo.stop())
         gen_script_btn.click(
             lambda t, n: demo.generate_script(t, int(n), 2.0),

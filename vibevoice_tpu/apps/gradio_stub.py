@@ -66,6 +66,14 @@ class Markdown(Component):
     pass
 
 
+class HTML(Component):
+    pass
+
+
+class Accordion(_Layout):
+    pass
+
+
 class Dropdown(Component):
     def __init__(self, choices=None, **kwargs):
         super().__init__(choices, **kwargs)

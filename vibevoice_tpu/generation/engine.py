@@ -365,6 +365,8 @@ class ContinuousEngine:
         run_chunk = self._run_chunk_fn()
         self.state, out = run_chunk(self.gen.params, self.state,
                                     jnp.float32(self.cfg_scale))
+        from .generate import _start_host_copies
+        _start_host_copies(out)  # overlap the four leaf fetches (tunnel RTT)
         K, B = self.chunk_steps, self.slots
         toks = np.asarray(out.tokens).reshape(K, B)
         audio = np.asarray(out.audio).astype(np.float32).reshape(

@@ -82,6 +82,20 @@ def _grow_cache_arrays(kv, new_len: int):
     return jax.tree.map(grow, kv)
 
 
+def _start_host_copies(out) -> None:
+    """Enqueue async device->host copies for every StepOutput leaf the moment
+    a chunk is dispatched.  ``np.asarray`` fetches the four leaves one at a
+    time — on a tunneled device that serializes four ~35 ms round-trips per
+    chunk (measured; it dominated short-run wall time).  Async copies start
+    as soon as the chunk finishes on device and run concurrently, so the
+    blocking fetch finds the bytes already on the host."""
+    for leaf in out:
+        try:
+            leaf.copy_to_host_async()
+        except Exception:  # noqa: BLE001 — best-effort (sharded/CPU arrays)
+            return
+
+
 def _grow_cache(state: GenState, new_len: int) -> GenState:
     from ..models.qwen2 import KVCache
     k, v = _grow_cache_arrays((state.cache.k, state.cache.v), new_len)
@@ -808,8 +822,11 @@ class VibeVoiceGenerator:
                 None if not has_speech else jnp.asarray(speech_tensors, jnp.float32),
                 None if not has_speech else jnp.asarray(speech_masks),
                 None if not has_speech else jnp.asarray(smask_pad)))
+            # no host sync: nothing host-side needs the prefill results, so
+            # the first chunk dispatch pipelines behind prefill on device
+            # (the block cost a full device round-trip per generate call);
+            # the stage therefore times the enqueue, not device execution
             last_hidden, cache = prefill_fn(self.params, *pf_in, k_pre)
-            jax.block_until_ready(last_hidden)
 
         return self._assemble_state(b, t_bucket, init_len, neg_lens,
                                     last_hidden, cache, rng, row_rng,
@@ -1047,6 +1064,7 @@ class VibeVoiceGenerator:
                 cache_len = new_len
             run_chunk = get_run_chunk(k_steps, cache_len)
             state, out = run_chunk(self.params, state, cfg_scale_arr)
+            _start_host_copies(out)
             return state, out, k_steps
 
         # double-buffered loop: chunk k+1 is dispatched BEFORE chunk k's
