@@ -289,7 +289,7 @@ def test_int4c_roundtrip_and_dispatch():
 def test_int4c_pallas_kernel_matches_xla_interpret():
     """int4c kernel (interpret): unpack -> bf16 MXU dot -> column scale at
     flush equals the explicit bf16 dequant dot."""
-    from vibevoice_tpu.ops.int4 import (_int4c_matmul_2d, _unpack,
+    from vibevoice_tpu.ops.int4 import (_int4c_matmul_2d, _unpack_c,
                                         quantize_weight_int4c)
     rs = np.random.RandomState(7)
     for m, inn, out in [(2, 512, 256), (8, 1024, 384), (300, 512, 128)]:
@@ -298,7 +298,7 @@ def test_int4c_pallas_kernel_matches_xla_interpret():
         pad = (-m) % 256 if m > 256 else 0
         xp = jnp.pad(x, ((0, pad), (0, 0)))
         y = _int4c_matmul_2d(xp, qw["q4c"], qw["s4c"], interpret=True)[:m]
-        lo, hi = _unpack(qw["q4c"])
+        lo, hi = _unpack_c(qw["q4c"])
         q = jnp.concatenate([lo, hi], axis=-2).astype(jnp.bfloat16)
         ref = (jnp.dot(x.astype(jnp.bfloat16), q,
                        preferred_element_type=jnp.float32)
@@ -307,10 +307,76 @@ def test_int4c_pallas_kernel_matches_xla_interpret():
                                    rtol=1e-3, atol=1e-3)
 
 
+def test_int4_stacked_kernels_match_sliced(monkeypatch):
+    """Stacked-weight kernels (layer index via scalar prefetch) produce the
+    same result as slicing the layer and running the 2D kernel — for the
+    int4c W4A16, int4c W4A8, and group-16 tiers (interpret mode).  These are
+    the scan-body paths: a pallas operand cannot fuse a dynamic-slice, so the
+    scan closes over the [L, in/2, out] stack and routes via "_lyr"."""
+    from vibevoice_tpu.ops.int4 import (_int4_matmul_2d, _int4_matmul_stacked,
+                                        _int4c_matmul_2d,
+                                        _int4c_matmul_stacked,
+                                        _int4c_w4a8_matmul_2d,
+                                        _int4c_w4a8_matmul_stacked,
+                                        quantize_weight_int4,
+                                        quantize_weight_int4c)
+    rs = np.random.RandomState(11)
+    L, inn, out, m = 3, 512, 256, 4
+    w = jnp.asarray(rs.randn(L, inn, out), jnp.float32)
+    x = jnp.asarray(rs.randn(m, inn), jnp.float32)
+    qc = quantize_weight_int4c(w)
+    qg = quantize_weight_int4(w)
+    sx = jnp.maximum(jnp.max(jnp.abs(x), axis=-1, keepdims=True) / 127.0,
+                     1e-12)
+    xq = jnp.clip(jnp.round(x / sx), -127, 127).astype(jnp.int8)
+    for lyr in (0, 2):
+        ref = _int4c_matmul_2d(x, qc["q4c"][lyr], qc["s4c"][lyr],
+                               interpret=True)
+        got = _int4c_matmul_stacked(x, qc["q4c"], qc["s4c"],
+                                    jnp.int32(lyr), interpret=True)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                                   rtol=1e-4, atol=1e-4)
+
+        ref8 = _int4c_w4a8_matmul_2d(xq, sx, qc["q4c"][lyr], qc["s4c"][lyr],
+                                     interpret=True)
+        got8 = _int4c_w4a8_matmul_stacked(xq, sx, qc["q4c"], qc["s4c"],
+                                          jnp.int32(lyr), interpret=True)
+        np.testing.assert_allclose(np.asarray(got8), np.asarray(ref8),
+                                   rtol=1e-5, atol=1e-5)
+
+        refg = _int4_matmul_2d(x, qg["q4"][lyr], qg["s4"][lyr],
+                               interpret=True)
+        gotg = _int4_matmul_stacked(x, qg["q4"], qg["s4"],
+                                    jnp.int32(lyr), interpret=True)
+        np.testing.assert_allclose(np.asarray(gotg), np.asarray(refg),
+                                   rtol=1e-5, atol=1e-5)
+
+
+def test_int4_layer_view_routing():
+    """qmatmul on a "_lyr"-wrapped stacked leaf equals qmatmul on the sliced
+    leaf (XLA fallback path on CPU) — the contract the layer scans rely on."""
+    from vibevoice_tpu.ops.int4 import quantize_weight_int4c
+    from vibevoice_tpu.ops.quant import layer_view, split_stacked_quant
+
+    rs = np.random.RandomState(13)
+    w = jnp.asarray(rs.randn(2, 64, 32), jnp.float32)
+    layers = {"wq": quantize_weight_int4c(w), "b": jnp.zeros((2, 32))}
+    xs, stacked = split_stacked_quant(layers)
+    assert set(stacked) == {"wq"} and set(xs) == {"b"}
+    x = jnp.asarray(rs.randn(3, 64), jnp.float32)
+    for lyr in (0, 1):
+        lp = layer_view({"b": layers["b"][lyr]}, stacked, jnp.int32(lyr))
+        got = qmatmul(x, lp["wq"])
+        ref = qmatmul(x, {"q4c": layers["wq"]["q4c"][lyr],
+                          "s4c": layers["wq"]["s4c"][lyr]})
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                                   rtol=1e-6, atol=1e-6)
+
+
 def test_int4c_w4a8_kernel_matches_explicit_math():
     """W4A8 int4c kernel (interpret): s8 x s8 MXU dot with scales applied to
     the accumulator equals the explicit int32 math."""
-    from vibevoice_tpu.ops.int4 import (_int4c_w4a8_matmul_2d, _unpack,
+    from vibevoice_tpu.ops.int4 import (_int4c_w4a8_matmul_2d, _unpack_c,
                                         quantize_weight_int4c)
     rs = np.random.RandomState(9)
     m, inn, out = 4, 512, 256
@@ -319,7 +385,7 @@ def test_int4c_w4a8_kernel_matches_explicit_math():
     sx = jnp.maximum(jnp.max(jnp.abs(x), axis=-1, keepdims=True) / 127.0, 1e-12)
     xq = jnp.clip(jnp.round(x / sx), -127, 127).astype(jnp.int8)
     y = _int4c_w4a8_matmul_2d(xq, sx, qw["q4c"], qw["s4c"], interpret=True)
-    lo, hi = _unpack(qw["q4c"])
+    lo, hi = _unpack_c(qw["q4c"])
     q = jnp.concatenate([lo, hi], axis=-2).astype(jnp.int32)
     ref = (jnp.dot(xq.astype(jnp.int32), q).astype(jnp.float32)
            * sx * qw["s4c"].astype(jnp.float32))

@@ -76,10 +76,18 @@ def precompute_modulations(params: dict, cfg: DiffusionHeadConfig,
     cp = condition @ params["cond_proj"]                               # [N, H]
     sc = jax.nn.silu(cp[None, :, :] + t_emb[:, None, :])               # [S, N, H]
 
-    def one_layer(_, ada_l):
-        return None, qmatmul(sc, ada_l)                                # [S, N, 3H]
+    from ..ops.quant import layer_view, split_stacked_quant
+    ada = params["layers"]["ada"]
+    ada_xs, ada_stacked = split_stacked_quant({"ada": ada})
+    n_l = (next(iter(ada.values())) if isinstance(ada, dict) else ada).shape[0]
 
-    _, layer_mods = jax.lax.scan(one_layer, None, params["layers"]["ada"])
+    def one_layer(_, layer_in):
+        lp_xs, lyr = layer_in
+        lp = layer_view(lp_xs, ada_stacked, lyr)
+        return None, qmatmul(sc, lp["ada"])                            # [S, N, 3H]
+
+    _, layer_mods = jax.lax.scan(
+        one_layer, None, (ada_xs, jnp.arange(n_l, dtype=jnp.int32)))
     layer_mods = jnp.swapaxes(layer_mods, 0, 1)                        # [S, L, N, 3H]
     final_mods = sc @ params["final_ada"]                              # [S, N, 2H]
     return layer_mods, final_mods
@@ -94,16 +102,21 @@ def apply_with_mods(params: dict, cfg: DiffusionHeadConfig, noisy: jax.Array,
     x = noisy.astype(dtype) @ params["noisy_proj"]
     lw = params["layers"]
     ffn = {"norm": lw["norm"], "wg": lw["wg"], "wu": lw["wu"], "wd": lw["wd"]}
+    from ..ops.quant import layer_view, split_stacked_quant
+    ffn_xs, ffn_stacked = split_stacked_quant(ffn)
+    n_l = layer_mods.shape[0]
 
     def body(xc, inp):
-        lp, mod = inp
+        lp_xs, lyr, mod = inp
+        lp = layer_view(lp_xs, ffn_stacked, lyr)
         shift, scale, gate = jnp.split(mod, 3, axis=-1)
         y = rms_norm(xc, lp["norm"], cfg.rms_norm_eps) * (1 + scale) + shift
         y = qmatmul(jax.nn.silu(qmatmul(y, lp["wg"])) * qmatmul(y, lp["wu"]),
                     lp["wd"])
         return xc + gate * y, None
 
-    x, _ = jax.lax.scan(body, x, (ffn, layer_mods))
+    x, _ = jax.lax.scan(
+        body, x, (ffn_xs, jnp.arange(n_l, dtype=jnp.int32), layer_mods))
 
     shift, scale = jnp.split(final_mod, 2, axis=-1)
     x = rms_norm(x, None, cfg.rms_norm_eps) * (1 + scale) + shift
@@ -118,8 +131,13 @@ def apply(params: dict, cfg: DiffusionHeadConfig, noisy: jax.Array,
     t_emb = timestep_embedding(timesteps, cfg.freq_embed_size).astype(dtype)
     t_emb = jax.nn.silu(t_emb @ params["t_mlp1"]) @ params["t_mlp2"]
     c = condition @ params["cond_proj"] + t_emb
+    from ..ops.quant import layer_view, split_stacked_quant
+    l_xs, l_stacked = split_stacked_quant(params["layers"])
+    n_l = l_xs["norm"].shape[0]
 
-    def body(xc, lp):
+    def body(xc, layer_in):
+        lp_xs, lyr = layer_in
+        lp = layer_view(lp_xs, l_stacked, lyr)
         mod = qmatmul(jax.nn.silu(c), lp["ada"])
         shift, scale, gate = jnp.split(mod, 3, axis=-1)
         y = rms_norm(xc, lp["norm"], cfg.rms_norm_eps) * (1 + scale) + shift
@@ -127,7 +145,7 @@ def apply(params: dict, cfg: DiffusionHeadConfig, noisy: jax.Array,
                     lp["wd"])
         return xc + gate * y, None
 
-    x, _ = jax.lax.scan(body, x, params["layers"])
+    x, _ = jax.lax.scan(body, x, (l_xs, jnp.arange(n_l, dtype=jnp.int32)))
 
     shift, scale = jnp.split(jax.nn.silu(c) @ params["final_ada"], 2, axis=-1)
     x = rms_norm(x, None, cfg.rms_norm_eps) * (1 + scale) + shift

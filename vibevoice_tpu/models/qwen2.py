@@ -296,9 +296,14 @@ def forward(params: dict, cfg: Qwen2DecoderConfig, x: jax.Array,
     dh = cfg.resolved_head_dim
     cos, sin = rope_cos_sin(positions, dh, cfg.rope_theta)
 
+    from ..ops.quant import layer_view, split_stacked_quant
+    xs_layers, stacked = split_stacked_quant(params["layers"])
+
     if cache is None:
         # no-cache path (training forward)
-        def body_nocache(xc, lp):
+        def body_nocache(xc, layer_in):
+            lp_xs, lyr = layer_in
+            lp = layer_view(lp_xs, stacked, lyr)
             b, t, _ = xc.shape
             resid = xc
             y = rms_norm(xc, lp["ln1"], cfg.rms_norm_eps)
@@ -315,14 +320,17 @@ def forward(params: dict, cfg: Qwen2DecoderConfig, x: jax.Array,
                                  lp["wd"])
             return xc, None
 
-        x, _ = jax.lax.scan(body_nocache, x, params["layers"])
+        x, _ = jax.lax.scan(
+            body_nocache, x,
+            (xs_layers, jnp.arange(cfg.num_hidden_layers, dtype=jnp.int32)))
         return rms_norm(x, params["norm"], cfg.rms_norm_eps), None
 
     n_layers = cfg.num_hidden_layers
 
     def body(carry, layer_in):
         xc, ck, cv = carry
-        lp, lyr = layer_in
+        lp_xs, lyr = layer_in
+        lp = layer_view(lp_xs, stacked, lyr)
         y, ck, cv = _layer(xc, lp, lyr, cfg, cos, sin, ck, cv, write_idx,
                            attn_mask, decode, flash_kv_start=flash_kv_start,
                            kv_start=kv_start, kv_len=kv_len,
@@ -331,7 +339,7 @@ def forward(params: dict, cfg: Qwen2DecoderConfig, x: jax.Array,
 
     (x, new_k, new_v), _ = jax.lax.scan(
         body, (x, cache.k, cache.v),
-        (params["layers"], jnp.arange(n_layers, dtype=jnp.int32)))
+        (xs_layers, jnp.arange(n_layers, dtype=jnp.int32)))
     x = rms_norm(x, params["norm"], cfg.rms_norm_eps)
     return x, KVCache(k=new_k, v=new_v)
 
@@ -384,6 +392,8 @@ def prefill_chunked(params: dict, cfg: Qwen2DecoderConfig, embeds: jax.Array,
     kv_start = (t - jnp.sum(valid_mask, axis=-1)).astype(jnp.int32)
 
     n_layers = cfg.num_hidden_layers
+    from ..ops.quant import layer_view, split_stacked_quant
+    xs_layers, stacked = split_stacked_quant(params["layers"])
 
     def run_segment(i, carry):
         ck_all, cv_all, _ = carry
@@ -394,7 +404,8 @@ def prefill_chunked(params: dict, cfg: Qwen2DecoderConfig, embeds: jax.Array,
 
         def body(carry_in, layer_in):
             xc, ck, cv = carry_in
-            lp, lyr = layer_in
+            lp_xs, lyr = layer_in
+            lp = layer_view(lp_xs, stacked, lyr)
             resid = xc
             y = rms_norm(xc, lp["ln1"], cfg.rms_norm_eps)
             q = (qmatmul(y, lp["wq"]) + lp["bq"]).reshape(b, chunk, hq, dh)
@@ -416,7 +427,7 @@ def prefill_chunked(params: dict, cfg: Qwen2DecoderConfig, embeds: jax.Array,
 
         (x, nk, nv), _ = jax.lax.scan(
             body, (x, ck_all, cv_all),
-            (params["layers"], jnp.arange(n_layers, dtype=jnp.int32)))
+            (xs_layers, jnp.arange(n_layers, dtype=jnp.int32)))
         return nk, nv, x[:, -1, :]
 
     last0 = jnp.zeros((b, hdim), embeds.dtype)
@@ -457,9 +468,13 @@ def prefill_suffix(params: dict, cfg: Qwen2DecoderConfig, embeds: jax.Array,
     cos, sin = rope_cos_sin(positions, dh, cfg.rope_theta)
     q_off = jnp.int32(block_off)
 
+    from ..ops.quant import layer_view, split_stacked_quant
+    xs_layers, stacked = split_stacked_quant(params["layers"])
+
     def body(carry, layer_in):
         xc, ck, cv = carry
-        lp, lyr = layer_in
+        lp_xs, lyr = layer_in
+        lp = layer_view(lp_xs, stacked, lyr)
         resid = xc
         y = rms_norm(xc, lp["ln1"], cfg.rms_norm_eps)
         q = (qmatmul(y, lp["wq"]) + lp["bq"]).reshape(b, s, hq, dh)
@@ -483,7 +498,7 @@ def prefill_suffix(params: dict, cfg: Qwen2DecoderConfig, embeds: jax.Array,
 
     (x, nk, nv), _ = jax.lax.scan(
         body, (embeds, cache.k, cache.v),
-        (params["layers"], jnp.arange(cfg.num_hidden_layers, dtype=jnp.int32)))
+        (xs_layers, jnp.arange(cfg.num_hidden_layers, dtype=jnp.int32)))
     x = rms_norm(x, params["norm"], cfg.rms_norm_eps)
     return x[:, -1, :], KVCache(k=nk, v=nv)
 

@@ -60,7 +60,9 @@ def set_impl(impl: str) -> None:
 
 
 def is_quantized_int4(leaf: Any) -> bool:
-    return isinstance(leaf, dict) and set(leaf.keys()) == {"q4", "s4"}
+    # "_lyr" marks a trace-time layer-view of a stacked leaf (quant.layer_view)
+    return (isinstance(leaf, dict)
+            and {"q4", "s4"} <= set(leaf.keys()) <= {"q4", "s4", "_lyr"})
 
 
 def quantizable_int4(shape, group_size: int = GROUP) -> bool:
@@ -188,6 +190,8 @@ def _int4_matmul_2d(x: jax.Array, q4: jax.Array, s4: jax.Array,
         ],
         out_specs=pl.BlockSpec((bm, bo), lambda mi, o, i: (mi, o)),
         scratch_shapes=[pltpu.VMEM((bm, bo), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary")),
         out_shape=jax.ShapeDtypeStruct((m, out), jnp.float32),
         interpret=interpret,
     )(x, x, q4, s4, s4)
@@ -201,15 +205,30 @@ def _int4_matmul_2d(x: jax.Array, q4: jax.Array, s4: jax.Array,
 # inside the kernel (and the [groups, gs, out] -> [in, out] reshape is a
 # Mosaic relayout); at batch 1 that ALU stream outweighs the bandwidth
 # saving, which is why plain int4 measures SLOWER than int8.  With one scale
-# per OUTPUT COLUMN the kernel is just unpack -> bf16 MXU dot, and the scale
-# applies to the [m, out] accumulator at flush — O(m*out), not O(in*out).
-# Coarser scales cost accuracy (this is the speed tier; group-16 remains the
-# fidelity tier) but keep the symmetric-linear grid of the reference's NF4
-# analogue.
+# per OUTPUT COLUMN the scale applies to the [m, out] accumulator at flush —
+# O(m*out), not O(in*out).  Coarser scales cost accuracy (this is the speed
+# tier; group-16 remains the fidelity tier) but keep the symmetric-linear
+# grid of the reference's NF4 analogue.
+#
+# Packing is chosen to make the in-kernel unpack ONE native-int8 AND:
+#   packed (int8) = 16*q_hi + (q_lo + 8)       q in [-8, 7]
+# i.e. the HI nibble rides SIGNED in the byte's top bits and the LO nibble
+# rides BIASED (u = q_lo + 8 in [0, 15]) in the bottom bits.  Then with
+# u = p & 15 (the only unpack op — legal on int8 lanes; the arithmetic shift
+# a sign-extending unpack needs is NOT, forcing the int8->int32->bf16
+# round-trip that made the old kernel VPU-bound):
+#
+#   x_hi @ q_hi = (x_hi @ p - x_hi @ u) / 16          (exact)
+#   x_lo @ q_lo =  x_lo @ u - 8 * sum(x_lo)           (rank-1 correction)
+#
+# Both p and u feed the MXU directly; the divide/correction apply to the
+# [m, out] accumulators at flush.
 
 
 def is_quantized_int4c(leaf: Any) -> bool:
-    return isinstance(leaf, dict) and set(leaf.keys()) == {"q4c", "s4c"}
+    # "_lyr" marks a trace-time layer-view of a stacked leaf (quant.layer_view)
+    return (isinstance(leaf, dict)
+            and {"q4c", "s4c"} <= set(leaf.keys()) <= {"q4c", "s4c", "_lyr"})
 
 
 def quantizable_int4c(shape) -> bool:
@@ -219,55 +238,94 @@ def quantizable_int4c(shape) -> bool:
 
 
 def quantize_weight_int4c(w: jax.Array) -> Dict[str, jax.Array]:
-    """Symmetric per-output-column int4, split-half packed.
+    """Symmetric per-output-column int4, split-half packed (lo biased, hi
+    signed — see block comment above).
     w: [..., in, out] -> {"q4c": int8 [..., in/2, out], "s4c": f32 [..., 1, out]}."""
     assert w.shape[-2] % 2 == 0, w.shape
     wf = w.astype(jnp.float32)
     amax = jnp.max(jnp.abs(wf), axis=-2, keepdims=True)          # [..., 1, out]
     scale = jnp.maximum(amax / 7.0, 1e-12)
-    q = jnp.clip(jnp.round(wf / scale), -8, 7).astype(jnp.int8)
+    q = jnp.clip(jnp.round(wf / scale), -8, 7).astype(jnp.int32)
     half = q.shape[-2] // 2
-    lo = q[..., :half, :]
-    hi = q[..., half:, :]
-    packed = jnp.bitwise_or(jnp.bitwise_and(lo, 0xF), jnp.left_shift(hi, 4))
+    lo_b = q[..., :half, :] + 8                          # biased: [0, 15]
+    hi_s = q[..., half:, :]                              # signed: [-8, 7]
+    packed = jnp.bitwise_or(lo_b, jnp.left_shift(hi_s, 4))
     return {"q4c": packed.astype(jnp.int8), "s4c": scale}
 
 
+def _unpack_c(packed: jax.Array):
+    """int4c packed int8 -> (lo, hi) int8 nibble values in [-8, 7]."""
+    p = packed.astype(jnp.int32)
+    lo = jnp.bitwise_and(p, 15) - 8
+    hi = jnp.right_shift(p, 4)          # arithmetic: floor(p/16) == q_hi
+    return lo.astype(jnp.int8), hi.astype(jnp.int8)
+
+
 def dequantize_weight_int4c(qw: Dict[str, jax.Array], dtype=jnp.bfloat16) -> jax.Array:
-    lo, hi = _unpack(qw["q4c"])
+    lo, hi = _unpack_c(qw["q4c"])
     q = jnp.concatenate([lo, hi], axis=-2).astype(jnp.float32)
     return (q * qw["s4c"].astype(jnp.float32)).astype(dtype)
 
 
-def _int4c_kernel(x_lo_ref, x_hi_ref, q4_ref, s_ref, o_ref, acc_scr):
+def _int4c_kernel(x_lo_ref, x_hi_ref, q4_ref, s_ref, o_ref,
+                  acc_p_scr, acc_u_scr, xsum_scr):
+    """W4A16: bf16 MXU dots against the packed byte and its low nibble;
+    hi/lo contributions recombined algebraically at flush."""
     i = pl.program_id(2)
     ni = pl.num_programs(2)
 
     @pl.when(i == 0)
     def _init():
-        acc_scr[:] = jnp.zeros_like(acc_scr)
+        acc_p_scr[:] = jnp.zeros_like(acc_p_scr)
+        acc_u_scr[:] = jnp.zeros_like(acc_u_scr)
+        xsum_scr[:] = jnp.zeros_like(xsum_scr)
 
-    p = q4_ref[...].astype(jnp.int32)                    # [BP, BO]
-    lo = ((jnp.bitwise_and(p, 15) ^ 8) - 8).astype(jnp.bfloat16)
-    hi = jnp.right_shift(p, 4).astype(jnp.bfloat16)      # arithmetic shift
-    acc_scr[:] += (
-        jax.lax.dot_general(x_lo_ref[...].astype(jnp.bfloat16), lo,
-                            (((1,), (0,)), ((), ())),
-                            preferred_element_type=jnp.float32)
-        + jax.lax.dot_general(x_hi_ref[...].astype(jnp.bfloat16), hi,
-                              (((1,), (0,)), ((), ())),
-                              preferred_element_type=jnp.float32))
+    p = q4_ref[...]                                       # int8 [BP, BO]
+    u = jnp.bitwise_and(p, jnp.int8(15))                  # native i8 lanes
+    p_bf = p.astype(jnp.bfloat16)                         # exact: |p| <= 127
+    u_bf = u.astype(jnp.bfloat16)
+
+    x_lo = x_lo_ref[...].astype(jnp.bfloat16)             # [BM, BP]
+    x_hi = x_hi_ref[...].astype(jnp.bfloat16)
+    m = x_lo.shape[0]
+    x2 = jnp.concatenate([x_lo, x_hi], axis=0)            # [2BM, BP]
+
+    acc_p_scr[:] += jax.lax.dot_general(
+        x_hi, p_bf, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    acc_u_scr[:] += jax.lax.dot_general(
+        x2, u_bf, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    xsum_scr[:] += jnp.sum(x_lo.astype(jnp.float32), axis=1, keepdims=True)
 
     @pl.when(i == ni - 1)
     def _flush():
-        o_ref[...] = (acc_scr[:] * s_ref[...].astype(jnp.float32)
+        d_u_lo = acc_u_scr[:m]
+        d_u_hi = acc_u_scr[m:]
+        hi = (acc_p_scr[:] - d_u_hi) * 0.0625             # = x_hi @ q_hi
+        lo = d_u_lo - 8.0 * xsum_scr[:]                   # = x_lo @ q_lo
+        o_ref[...] = ((hi + lo) * s_ref[...].astype(jnp.float32)
                       ).astype(o_ref.dtype)
 
 
 def _plan_c(half: int, out: int) -> Optional[Tuple[int, int]]:
-    bp = next((c for c in (512, 384, 256, 128) if half % c == 0), 0)
-    bo = next((c for c in (512, 256, 128) if out % c == 0), 0)
-    return (bp, bo) if bp and bo else None
+    """Largest lane/sublane-aligned divisors with the weight block under
+    ~768 KB (double-buffered block + f32 accumulators must fit VMEM).  Bigger
+    blocks = fewer grid steps = less flush/init overhead; covering the whole
+    half (bp == half) removes the accumulation loop entirely."""
+    bp = next((c for c in (1024, 896, 768, 640, 512, 384, 256, 128)
+               if half % c == 0), 0)
+    bo = next((c for c in (1024, 896, 768, 640, 512, 384, 256, 128)
+               if out % c == 0), 0)
+    if not (bp and bo):
+        return None
+    while bp * bo > 768 * 1024 and bo > 128:
+        bo = next((c for c in (896, 768, 640, 512, 384, 256, 128)
+                   if c < bo and out % c == 0), 128)
+    while bp * bo > 768 * 1024 and bp > 128:
+        bp = next((c for c in (896, 768, 640, 512, 384, 256, 128)
+                   if c < bp and half % c == 0), 128)
+    return (bp, bo)
 
 
 @functools.partial(jax.jit, static_argnames=("interpret",))
@@ -292,39 +350,53 @@ def _int4c_matmul_2d(x: jax.Array, q4: jax.Array, s4: jax.Array,
             pl.BlockSpec((1, bo), lambda mi, o, i: (0, o)),
         ],
         out_specs=pl.BlockSpec((bm, bo), lambda mi, o, i: (mi, o)),
-        scratch_shapes=[pltpu.VMEM((bm, bo), jnp.float32)],
+        scratch_shapes=[pltpu.VMEM((bm, bo), jnp.float32),
+                        pltpu.VMEM((2 * bm, bo), jnp.float32),
+                        pltpu.VMEM((bm, 1), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary")),
         out_shape=jax.ShapeDtypeStruct((m, out), jnp.float32),
         interpret=interpret,
     )(x, x, q4, s4)
 
 
 def _int4c_w4a8_kernel(x_lo_ref, x_hi_ref, q4_ref, s_ref, sx_ref, o_ref,
-                       acc_scr):
-    """W4A8: int8 activations x int8-unpacked nibbles on the MXU's native
-    s8 x s8 -> s32 mode — no per-element bf16 convert of the weight stream.
-    Scales (per-column weight scale x per-row activation scale) apply to the
-    [bm, bo] accumulator at flush."""
+                       acc_p_scr, acc_u_scr, xsum_scr):
+    """W4A8: int8 activations on the MXU's native s8 x s8 -> s32 mode against
+    the packed byte and its low nibble — same algebraic recombination as the
+    W4A16 kernel, integer accumulators.  Scales (per-column weight scale x
+    per-row activation scale) apply to the [bm, bo] accumulator at flush."""
     i = pl.program_id(2)
     ni = pl.num_programs(2)
 
     @pl.when(i == 0)
     def _init():
-        acc_scr[:] = jnp.zeros_like(acc_scr)
+        acc_p_scr[:] = jnp.zeros_like(acc_p_scr)
+        acc_u_scr[:] = jnp.zeros_like(acc_u_scr)
+        xsum_scr[:] = jnp.zeros_like(xsum_scr)
 
-    # nibble math in i32 lanes (Mosaic won't legalize i8 arith), results cast
-    # to s8 so the dots run in the MXU's native s8 x s8 -> s32 mode
-    p = q4_ref[...].astype(jnp.int32)
-    lo = ((jnp.bitwise_and(p, 15) ^ 8) - 8).astype(jnp.int8)
-    hi = jnp.right_shift(p, 4).astype(jnp.int8)          # arithmetic shift
-    acc_scr[:] += (
-        jax.lax.dot_general(x_lo_ref[...], lo, (((1,), (0,)), ((), ())),
-                            preferred_element_type=jnp.int32)
-        + jax.lax.dot_general(x_hi_ref[...], hi, (((1,), (0,)), ((), ())),
-                              preferred_element_type=jnp.int32))
+    p = q4_ref[...]                                       # int8 [BP, BO]
+    u = jnp.bitwise_and(p, jnp.int8(15))                  # native i8 lanes
+
+    x_lo = x_lo_ref[...]
+    x_hi = x_hi_ref[...]
+    m = x_lo.shape[0]
+    x2 = jnp.concatenate([x_lo, x_hi], axis=0)            # [2BM, BP] int8
+
+    acc_p_scr[:] += jax.lax.dot_general(
+        x_hi, p, (((1,), (0,)), ((), ())), preferred_element_type=jnp.int32)
+    acc_u_scr[:] += jax.lax.dot_general(
+        x2, u, (((1,), (0,)), ((), ())), preferred_element_type=jnp.int32)
+    xsum_scr[:] += jnp.sum(x_lo.astype(jnp.int32), axis=1, keepdims=True)
 
     @pl.when(i == ni - 1)
     def _flush():
-        o_ref[...] = (acc_scr[:].astype(jnp.float32)
+        d_u_lo = acc_u_scr[:m]
+        d_u_hi = acc_u_scr[m:]
+        hi16 = acc_p_scr[:] - d_u_hi                      # = 16 * x_hi @ q_hi
+        lo = d_u_lo - 8 * xsum_scr[:]                     # = x_lo @ q_lo
+        o_ref[...] = ((hi16.astype(jnp.float32) * 0.0625
+                       + lo.astype(jnp.float32))
                       * sx_ref[...].astype(jnp.float32)
                       * s_ref[...].astype(jnp.float32)).astype(o_ref.dtype)
 
@@ -352,10 +424,255 @@ def _int4c_w4a8_matmul_2d(xq: jax.Array, sx: jax.Array, q4: jax.Array,
             pl.BlockSpec((bm, 1), lambda mi, o, i: (mi, 0)),
         ],
         out_specs=pl.BlockSpec((bm, bo), lambda mi, o, i: (mi, o)),
-        scratch_shapes=[pltpu.VMEM((bm, bo), jnp.int32)],
+        scratch_shapes=[pltpu.VMEM((bm, bo), jnp.int32),
+                        pltpu.VMEM((2 * bm, bo), jnp.int32),
+                        pltpu.VMEM((bm, 1), jnp.int32)],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary")),
         out_shape=jax.ShapeDtypeStruct((m, out), jnp.float32),
         interpret=interpret,
     )(xq, xq, q4, s4, sx)
+
+
+# ---------------------------------------------------------------------------
+# Stacked-weight variants (layer-scanned models)
+# ---------------------------------------------------------------------------
+# LM / diffusion-head weights live layer-STACKED ([L, in, out]) and are
+# consumed inside a lax.scan.  Slicing layer l's weight out of the stack and
+# passing it to a pallas_call forces XLA to MATERIALIZE the slice (a pallas
+# operand cannot fuse a dynamic-slice), costing an extra HBM write+read of
+# every quantized weight every step — profiled at ~1.3 ms/step on the 1.5B
+# int4 tier (dynamic-slice_bitcast_fusion ops), more than the entire unpack.
+# These variants instead take the FULL stack plus the layer index as a
+# scalar-prefetch argument (same pattern as the stacked KV cache in
+# ops/flash_decode.py): the index maps address layer l's blocks directly, so
+# only the needed bytes ever move.
+#
+# Dispatch: the scan body wraps the stacked leaf as {"q4c", "s4c", "_lyr"}
+# (see quant.layer_view); int4c_matmul/int4_matmul route on "_lyr".
+
+
+def _int4c_stacked_kernel(lyr_ref, x_lo_ref, x_hi_ref, q4_ref, s_ref, o_ref,
+                          acc_p_scr, acc_u_scr, xsum_scr):
+    del lyr_ref                                           # consumed by index maps
+    i = pl.program_id(2)
+    ni = pl.num_programs(2)
+
+    @pl.when(i == 0)
+    def _init():
+        acc_p_scr[:] = jnp.zeros_like(acc_p_scr)
+        acc_u_scr[:] = jnp.zeros_like(acc_u_scr)
+        xsum_scr[:] = jnp.zeros_like(xsum_scr)
+
+    p = q4_ref[0]                                         # int8 [BP, BO]
+    u = jnp.bitwise_and(p, jnp.int8(15))
+    p_bf = p.astype(jnp.bfloat16)
+    u_bf = u.astype(jnp.bfloat16)
+
+    x_lo = x_lo_ref[...].astype(jnp.bfloat16)
+    x_hi = x_hi_ref[...].astype(jnp.bfloat16)
+    m = x_lo.shape[0]
+    x2 = jnp.concatenate([x_lo, x_hi], axis=0)
+
+    acc_p_scr[:] += jax.lax.dot_general(
+        x_hi, p_bf, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    acc_u_scr[:] += jax.lax.dot_general(
+        x2, u_bf, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    xsum_scr[:] += jnp.sum(x_lo.astype(jnp.float32), axis=1, keepdims=True)
+
+    @pl.when(i == ni - 1)
+    def _flush():
+        hi = (acc_p_scr[:] - acc_u_scr[m:]) * 0.0625
+        lo = acc_u_scr[:m] - 8.0 * xsum_scr[:]
+        o_ref[...] = ((hi + lo) * s_ref[0].astype(jnp.float32)
+                      ).astype(o_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def _int4c_matmul_stacked(x: jax.Array, q4s: jax.Array, s4s: jax.Array,
+                          lyr: jax.Array, interpret: bool = False) -> jax.Array:
+    """x: [M, IN], q4s: [L, IN/2, OUT], s4s: [L, 1, OUT], lyr: scalar int32
+    -> [M, OUT] f32, using only layer ``lyr``'s blocks of the stack."""
+    m, inn = x.shape
+    _, half, out = q4s.shape
+    bp, bo = _plan_c(half, out)
+    bm = m if m <= 256 else 256
+    assert m % bm == 0, (m, bm)
+    ni = half // bp
+
+    grid = (m // bm, out // bo, ni)
+    return pl.pallas_call(
+        _int4c_stacked_kernel,
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=grid,
+            in_specs=[
+                pl.BlockSpec((bm, bp), lambda mi, o, i, lref: (mi, i)),
+                pl.BlockSpec((bm, bp),
+                             lambda mi, o, i, lref, _ni=ni: (mi, i + _ni)),
+                pl.BlockSpec((1, bp, bo), lambda mi, o, i, lref: (lref[0], i, o)),
+                pl.BlockSpec((1, 1, bo), lambda mi, o, i, lref: (lref[0], 0, o)),
+            ],
+            out_specs=pl.BlockSpec((bm, bo), lambda mi, o, i, lref: (mi, o)),
+            scratch_shapes=[pltpu.VMEM((bm, bo), jnp.float32),
+                            pltpu.VMEM((2 * bm, bo), jnp.float32),
+                            pltpu.VMEM((bm, 1), jnp.float32)],
+        ),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary")),
+        out_shape=jax.ShapeDtypeStruct((m, out), jnp.float32),
+        interpret=interpret,
+    )(jnp.asarray(lyr, jnp.int32).reshape(1), x, x, q4s, s4s)
+
+
+def _int4c_w4a8_stacked_kernel(lyr_ref, x_lo_ref, x_hi_ref, q4_ref, s_ref,
+                               sx_ref, o_ref, acc_p_scr, acc_u_scr, xsum_scr):
+    del lyr_ref
+    i = pl.program_id(2)
+    ni = pl.num_programs(2)
+
+    @pl.when(i == 0)
+    def _init():
+        acc_p_scr[:] = jnp.zeros_like(acc_p_scr)
+        acc_u_scr[:] = jnp.zeros_like(acc_u_scr)
+        xsum_scr[:] = jnp.zeros_like(xsum_scr)
+
+    p = q4_ref[0]
+    u = jnp.bitwise_and(p, jnp.int8(15))
+    x_lo = x_lo_ref[...]
+    x_hi = x_hi_ref[...]
+    m = x_lo.shape[0]
+    x2 = jnp.concatenate([x_lo, x_hi], axis=0)
+
+    acc_p_scr[:] += jax.lax.dot_general(
+        x_hi, p, (((1,), (0,)), ((), ())), preferred_element_type=jnp.int32)
+    acc_u_scr[:] += jax.lax.dot_general(
+        x2, u, (((1,), (0,)), ((), ())), preferred_element_type=jnp.int32)
+    xsum_scr[:] += jnp.sum(x_lo.astype(jnp.int32), axis=1, keepdims=True)
+
+    @pl.when(i == ni - 1)
+    def _flush():
+        hi16 = acc_p_scr[:] - acc_u_scr[m:]
+        lo = acc_u_scr[:m] - 8 * xsum_scr[:]
+        o_ref[...] = ((hi16.astype(jnp.float32) * 0.0625
+                       + lo.astype(jnp.float32))
+                      * sx_ref[...].astype(jnp.float32)
+                      * s_ref[0].astype(jnp.float32)).astype(o_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def _int4c_w4a8_matmul_stacked(xq: jax.Array, sx: jax.Array, q4s: jax.Array,
+                               s4s: jax.Array, lyr: jax.Array,
+                               interpret: bool = False) -> jax.Array:
+    m, inn = xq.shape
+    _, half, out = q4s.shape
+    bp, bo = _plan_c(half, out)
+    bm = m if m <= 256 else 256
+    assert m % bm == 0, (m, bm)
+    ni = half // bp
+
+    grid = (m // bm, out // bo, ni)
+    return pl.pallas_call(
+        _int4c_w4a8_stacked_kernel,
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=grid,
+            in_specs=[
+                pl.BlockSpec((bm, bp), lambda mi, o, i, lref: (mi, i)),
+                pl.BlockSpec((bm, bp),
+                             lambda mi, o, i, lref, _ni=ni: (mi, i + _ni)),
+                pl.BlockSpec((1, bp, bo), lambda mi, o, i, lref: (lref[0], i, o)),
+                pl.BlockSpec((1, 1, bo), lambda mi, o, i, lref: (lref[0], 0, o)),
+                pl.BlockSpec((bm, 1), lambda mi, o, i, lref: (mi, 0)),
+            ],
+            out_specs=pl.BlockSpec((bm, bo), lambda mi, o, i, lref: (mi, o)),
+            scratch_shapes=[pltpu.VMEM((bm, bo), jnp.int32),
+                            pltpu.VMEM((2 * bm, bo), jnp.int32),
+                            pltpu.VMEM((bm, 1), jnp.int32)],
+        ),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary")),
+        out_shape=jax.ShapeDtypeStruct((m, out), jnp.float32),
+        interpret=interpret,
+    )(jnp.asarray(lyr, jnp.int32).reshape(1), xq, xq, q4s, s4s, sx)
+
+
+def _int4_stacked_kernel(lyr_ref, x_lo_ref, x_hi_ref, q4_ref, s_lo_ref,
+                         s_hi_ref, o_ref, acc_scr, *, n_groups: int,
+                         group_size: int):
+    del lyr_ref
+    i = pl.program_id(2)
+    ni = pl.num_programs(2)
+
+    @pl.when(i == 0)
+    def _init():
+        acc_scr[:] = jnp.zeros_like(acc_scr)
+
+    p = q4_ref[0].astype(jnp.int32)
+    lo = (jnp.bitwise_and(p, 15) ^ 8) - 8
+    hi = jnp.right_shift(p, 4)
+    bp, bo = p.shape
+
+    def expand(s):
+        return jnp.broadcast_to(s.astype(jnp.float32)[:, None, :],
+                                (n_groups, group_size, bo)).reshape(bp, bo)
+
+    w_lo = lo.astype(jnp.float32) * expand(s_lo_ref[0])
+    w_hi = hi.astype(jnp.float32) * expand(s_hi_ref[0])
+
+    x_lo = x_lo_ref[...].astype(jnp.float32)
+    x_hi = x_hi_ref[...].astype(jnp.float32)
+    acc_scr[:] += (
+        jax.lax.dot_general(x_lo, w_lo, (((1,), (0,)), ((), ())),
+                            preferred_element_type=jnp.float32)
+        + jax.lax.dot_general(x_hi, w_hi, (((1,), (0,)), ((), ())),
+                              preferred_element_type=jnp.float32))
+
+    @pl.when(i == ni - 1)
+    def _flush():
+        o_ref[...] = acc_scr[:].astype(o_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def _int4_matmul_stacked(x: jax.Array, q4s: jax.Array, s4s: jax.Array,
+                         lyr: jax.Array, interpret: bool = False) -> jax.Array:
+    """Group-16 fidelity tier, stacked: q4s [L, IN/2, OUT], s4s [L, IN/gs, OUT]."""
+    m, inn = x.shape
+    _, half, out = q4s.shape
+    gs = inn // s4s.shape[1]
+    bp, bo = _plan(half, out, gs)
+    bm = m if m <= 256 else 256
+    assert m % bm == 0, (m, bm)
+    ni = half // bp
+    n_groups = bp // gs
+
+    grid = (m // bm, out // bo, ni)
+    return pl.pallas_call(
+        functools.partial(_int4_stacked_kernel, n_groups=n_groups,
+                          group_size=gs),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=grid,
+            in_specs=[
+                pl.BlockSpec((bm, bp), lambda mi, o, i, lref: (mi, i)),
+                pl.BlockSpec((bm, bp),
+                             lambda mi, o, i, lref, _ni=ni: (mi, i + _ni)),
+                pl.BlockSpec((1, bp, bo), lambda mi, o, i, lref: (lref[0], i, o)),
+                pl.BlockSpec((1, n_groups, bo),
+                             lambda mi, o, i, lref: (lref[0], i, o)),
+                pl.BlockSpec((1, n_groups, bo),
+                             lambda mi, o, i, lref, _ni=ni: (lref[0], i + _ni, o)),
+            ],
+            out_specs=pl.BlockSpec((bm, bo), lambda mi, o, i, lref: (mi, o)),
+            scratch_shapes=[pltpu.VMEM((bm, bo), jnp.float32)],
+        ),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary")),
+        out_shape=jax.ShapeDtypeStruct((m, out), jnp.float32),
+        interpret=interpret,
+    )(jnp.asarray(lyr, jnp.int32).reshape(1), x, x, q4s, s4s, s4s)
 
 
 _W4A8 = os.environ.get("VIBEVOICE_W4A8", "0") == "1"
@@ -368,18 +685,32 @@ def set_w4a8(enabled: bool) -> None:
     _W4A8 = bool(enabled)
 
 
+def _layer_slice(qw: Dict[str, jax.Array], keys) -> Dict[str, jax.Array]:
+    """Materialize layer ``_lyr`` of a stacked quantized leaf (XLA fallback)."""
+    lyr = qw["_lyr"]
+    return {k: jax.lax.dynamic_index_in_dim(qw[k], lyr, 0, keepdims=False)
+            for k in keys}
+
+
 def int4c_matmul(x: jax.Array, qw: Dict[str, jax.Array]) -> jax.Array:
-    """x @ W for a per-column-scale int4 weight; x: [..., in]."""
+    """x @ W for a per-column-scale int4 weight; x: [..., in].
+
+    A leaf carrying "_lyr" is a layer-view of a [L, in/2, out] stack inside a
+    layer scan: the pallas path addresses layer blocks via scalar prefetch
+    (no materialized slice)."""
     *lead, inn = x.shape
     half, out = qw["q4c"].shape[-2:]
+    stacked = "_lyr" in qw and qw["q4c"].ndim == 3
 
     impl = _IMPL
     if impl == "auto":
         impl = "pallas" if jax.default_backend() == "tpu" else "xla"
-    if impl == "pallas" and (qw["q4c"].ndim != 2 or _plan_c(half, out) is None):
+    if impl == "pallas" and ((qw["q4c"].ndim != 2 and not stacked)
+                             or _plan_c(half, out) is None):
         impl = "xla"
     if impl == "xla":
-        w = dequantize_weight_int4c(qw, x.dtype)
+        qw2 = _layer_slice(qw, ("q4c", "s4c")) if stacked else qw
+        w = dequantize_weight_int4c(qw2, x.dtype)
         return jnp.dot(x, w, preferred_element_type=jnp.float32).astype(x.dtype)
 
     m = 1
@@ -395,7 +726,13 @@ def int4c_matmul(x: jax.Array, qw: Dict[str, jax.Array]) -> jax.Array:
         sx = jnp.maximum(sx / 127.0, 1e-12)
         xq = jnp.clip(jnp.round(x2.astype(jnp.float32) / sx),
                       -127, 127).astype(jnp.int8)
-        y = _int4c_w4a8_matmul_2d(xq, sx, qw["q4c"], qw["s4c"])
+        if stacked:
+            y = _int4c_w4a8_matmul_stacked(xq, sx, qw["q4c"], qw["s4c"],
+                                           qw["_lyr"])
+        else:
+            y = _int4c_w4a8_matmul_2d(xq, sx, qw["q4c"], qw["s4c"])
+    elif stacked:
+        y = _int4c_matmul_stacked(x2, qw["q4c"], qw["s4c"], qw["_lyr"])
     else:
         y = _int4c_matmul_2d(x2, qw["q4c"], qw["s4c"])
     if pad:
@@ -404,18 +741,22 @@ def int4c_matmul(x: jax.Array, qw: Dict[str, jax.Array]) -> jax.Array:
 
 
 def int4_matmul(x: jax.Array, qw: Dict[str, jax.Array]) -> jax.Array:
-    """x @ W for an int4-packed weight; x: [..., in]. Output in x.dtype."""
+    """x @ W for an int4-packed weight; x: [..., in]. Output in x.dtype.
+    Leaves carrying "_lyr" are layer-views of a stack (see int4c_matmul)."""
     *lead, inn = x.shape
     half, out = qw["q4"].shape[-2:]
     gs = inn // qw["s4"].shape[-2]
+    stacked = "_lyr" in qw and qw["q4"].ndim == 3
 
     impl = _IMPL
     if impl == "auto":
         impl = "pallas" if jax.default_backend() == "tpu" else "xla"
-    if impl == "pallas" and (qw["q4"].ndim != 2 or _plan(half, out, gs) is None):
+    if impl == "pallas" and ((qw["q4"].ndim != 2 and not stacked)
+                             or _plan(half, out, gs) is None):
         impl = "xla"
     if impl == "xla":
-        w = dequantize_weight_int4(qw, x.dtype)
+        qw2 = _layer_slice(qw, ("q4", "s4")) if stacked else qw
+        w = dequantize_weight_int4(qw2, x.dtype)
         return jnp.dot(x, w, preferred_element_type=jnp.float32).astype(x.dtype)
 
     m = 1
@@ -426,7 +767,10 @@ def int4_matmul(x: jax.Array, qw: Dict[str, jax.Array]) -> jax.Array:
     if m > 256 and m % 256 != 0:
         pad = 256 - m % 256
         x2 = jnp.pad(x2, ((0, pad), (0, 0)))
-    y = _int4_matmul_2d(x2, qw["q4"], qw["s4"])
+    if stacked:
+        y = _int4_matmul_stacked(x2, qw["q4"], qw["s4"], qw["_lyr"])
+    else:
+        y = _int4_matmul_2d(x2, qw["q4"], qw["s4"])
     if pad:
         y = y[:m]
     return y.reshape(*lead, out).astype(x.dtype)

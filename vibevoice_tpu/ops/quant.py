@@ -81,6 +81,33 @@ def qmatmul(x: jax.Array, w: Any) -> jax.Array:
     return x @ w
 
 
+def split_stacked_quant(layers: dict) -> tuple[dict, dict]:
+    """Split a layer-stacked params dict into (xs, stacked): ``xs`` leaves
+    are scanned per layer as usual; ``stacked`` holds int4-packed leaves that
+    must NOT be sliced by the scan — a pallas_call operand cannot fuse a
+    dynamic-slice, so scanning them materializes an HBM copy of every
+    quantized weight every step (profiled ~1.3 ms/step on the 1.5B int4
+    tier).  The scan body closes over ``stacked`` and indexes it inside the
+    kernel via scalar prefetch (see layer_view / ops/int4.py)."""
+    from .int4 import is_quantized_int4, is_quantized_int4c
+    xs, stacked = {}, {}
+    for k, v in layers.items():
+        if is_quantized_int4(v) or is_quantized_int4c(v):
+            stacked[k] = v
+        else:
+            xs[k] = v
+    return xs, stacked
+
+
+def layer_view(lp_xs: dict, stacked: dict, lyr) -> dict:
+    """Rebuild layer ``lyr``'s param dict inside a scan body: xs leaves come
+    pre-sliced from the scan; stacked int4 leaves are wrapped with the traced
+    layer index ("_lyr") for qmatmul to route to the stacked kernels."""
+    if not stacked:
+        return lp_xs
+    return {**lp_xs, **{k: {**v, "_lyr": lyr} for k, v in stacked.items()}}
+
+
 def dequantize_any(leaf: Any, dtype=jnp.float32) -> Any:
     """Dequantize a leaf of any tier (int8 / int4 / int4c); dense passes
     through."""
