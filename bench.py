@@ -494,6 +494,32 @@ def main():
             extras["longform_64k_error"] = repr(e)[:200]
         gc.collect()
 
+        # 64k endgame, best serving stack (int4 weights + int8 KV): at 41k
+        # live context the bf16 dual-row KV stream is ~4.7 GB/step — the
+        # dominant cost — and the weights are the rest; both halve (or
+        # better) under this stack
+        try:
+            gen15b = build_generator(cfg, ddpm_steps, quantize=True,
+                                     quantize_head=True, bits=4,
+                                     colscale=True, kv_quant=True)
+            full_quant_tiers(gen15b.params, 4, True)
+            deep_ids = make_ids(1, 40500)
+            run_config(gen15b, deep_ids, 1024, chunk, 1.3, frame_sec,
+                       stop_check_fn=stop_after_chunks(3))
+            gc.collect()
+            wb_, sb_, db_, ab_ = run_config(gen15b, deep_ids, 1024, chunk,
+                                            1.3, frame_sec)
+            extras["longform_64k_int4kv8_rtf"] = round(ab_ / wb_, 3)
+            ttfa_b = gen15b.last_metrics.get("ttfa", {}).get("total_s", 0.0)
+            ab_first = chunk * frame_sec
+            if wb_ > ttfa_b > 0 and ab_ > ab_first:
+                extras["longform_64k_int4kv8_rtf_sustained"] = round(
+                    (ab_ - ab_first) / (wb_ - ttfa_b), 3)
+            del gen15b, deep_ids
+        except Exception as e:  # noqa: BLE001
+            extras["longform_64k_int4kv8_error"] = repr(e)[:200]
+        gc.collect()
+
         # Optional int8-KV-cache rerun of the 64k tier (BENCH_KV8=1): same
         # prompt/steps, cache leaves quantized — the decode bottleneck at
         # this depth is KV HBM traffic, which the q8 kernels halve
@@ -551,6 +577,30 @@ def main():
             extras["7b_error"] = repr(e)[:200]
             gen7 = None
 
+        # 7B full-int4 (speed tier): same config-3 workload at 4-bit LM +
+        # head + tokenizer FFNs — ~3.4 GB of LM weights on the wire per step
+        # instead of ~6.8 GB
+        del gen7
+        gen7 = None
+        gc.collect()
+        try:
+            gen7q = build_generator(cfg7, ddpm_steps, quantize=True,
+                                    quantize_head=True, bits=4, colscale=True,
+                                    quantize_embed=True)
+            full_quant_tiers(gen7q.params, 4, True)
+            ids7, sp, spm, simask = voice_prompt_inputs(
+                4, 23, 256, cfg7.acoustic_tokenizer.total_stride)
+            kw7 = dict(speech_tensors=sp, speech_masks=spm,
+                       speech_input_mask=simask)
+            run_config(gen7q, ids7, bench_steps, chunk, 1.3, frame7, **kw7)
+            w7q, s7q, d7q, a7q = run_config(gen7q, ids7, bench_steps, chunk,
+                                            1.3, frame7, **kw7)
+            extras["7b_int4_4spk_rtf"] = round(a7q / w7q, 3)
+            del gen7q
+        except Exception as e:  # noqa: BLE001
+            extras["7b_int4_error"] = repr(e)[:200]
+        gc.collect()
+
         # config 5: long-form at 32k context — 30.5k-token prompt, then 1024
         # decode steps sustained through live context 30.5k -> 31.5k, with
         # the int8 KV cache (the capacity configuration: a bf16 dual-context
@@ -586,6 +636,33 @@ def main():
             del gen7k
         except Exception as e:  # noqa: BLE001
             extras["longform_32k_error"] = repr(e)[:200]
+        gc.collect()
+
+        # config 5 at the int4 speed tier: the decode step at 30.5k depth is
+        # ~80-100% of HBM speed-of-light on int8 (profiled: MLP 7.7 ms +
+        # head 3.2 ms + int8-KV attention 2.7 ms per step) — the MLP and
+        # head are weight-bandwidth-bound, so int4 halves them
+        try:
+            gen7q4 = build_generator(cfg7, ddpm_steps, quantize=True,
+                                     quantize_head=True, bits=4,
+                                     colscale=True, quantize_embed=True,
+                                     kv_quant=True)
+            full_quant_tiers(gen7q4.params, 4, True)
+            deep7 = make_ids(1, 30500)
+            run_config(gen7q4, deep7, 1024, chunk, 1.3, frame7,
+                       stop_check_fn=stop_after_chunks(3))
+            gc.collect()
+            w7q, s7q, d7q, a7q = run_config(gen7q4, deep7, 1024, chunk,
+                                            1.3, frame7)
+            extras["longform_32k_int4_rtf"] = round(a7q / w7q, 3)
+            ttfa_q = gen7q4.last_metrics.get("ttfa", {}).get("total_s", 0.0)
+            a7q_first = chunk * frame7
+            if w7q > ttfa_q > 0 and a7q > a7q_first:
+                extras["longform_32k_int4_rtf_sustained"] = round(
+                    (a7q - a7q_first) / (w7q - ttfa_q), 3)
+            del gen7q4, deep7
+        except Exception as e:  # noqa: BLE001
+            extras["longform_32k_int4_error"] = repr(e)[:200]
         gc.collect()
 
     if os.environ.get("BENCH_ENGINE", "0") == "1":

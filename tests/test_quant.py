@@ -352,6 +352,25 @@ def test_int4_stacked_kernels_match_sliced(monkeypatch):
                                    rtol=1e-5, atol=1e-5)
 
 
+def test_lm_head_rows_int4_leaf():
+    """Untied lm_head quantized at the int4 tiers: lm_head_rows gathers the
+    packed token columns and dequantizes only those (the 7B constrained-
+    decode path; regression: dict indexing crashed before int4 support)."""
+    from vibevoice_tpu.ops.int4 import (quantize_weight_int4,
+                                        quantize_weight_int4c)
+    rs = np.random.RandomState(17)
+    H, V = 256, 512
+    w = jnp.asarray(rs.randn(H, V), jnp.float32)
+    ids = np.asarray([3, 100, 511], np.int32)
+    for quant, keys in ((quantize_weight_int4c, ("q4c", "s4c")),
+                        (quantize_weight_int4, ("q4", "s4"))):
+        qw = quant(w)
+        got = qwen2.lm_head_rows({"lm_head": qw, "embed": w.T}, ids)
+        from vibevoice_tpu.ops.quant import dequantize_any
+        ref = np.asarray(dequantize_any(qw, jnp.float32))[:, ids].T
+        np.testing.assert_allclose(np.asarray(got), ref, rtol=1e-5, atol=1e-5)
+
+
 def test_int4_layer_view_routing():
     """qmatmul on a "_lyr"-wrapped stacked leaf equals qmatmul on the sliced
     leaf (XLA fallback path on CPU) — the contract the layer scans rely on."""

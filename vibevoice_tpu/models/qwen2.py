@@ -195,6 +195,17 @@ def lm_head_rows(params: dict, ids) -> jax.Array:
         w = params["lm_head"]
         if is_quantized(w):
             return (w["q"][:, ids].astype(jnp.float32) * w["s"][ids]).T
+        from ..ops.int4 import (dequantize_weight_int4,
+                                dequantize_weight_int4c, is_quantized_int4,
+                                is_quantized_int4c)
+        if is_quantized_int4c(w):
+            # int4 [H, V] packs along H; gather the handful of token COLUMNS
+            # first, dequantize only those
+            cols = {"q4c": w["q4c"][:, ids], "s4c": w["s4c"][:, ids]}
+            return dequantize_weight_int4c(cols, jnp.float32).T
+        if is_quantized_int4(w):
+            cols = {"q4": w["q4"][:, ids], "s4": w["s4"][:, ids]}
+            return dequantize_weight_int4(cols, jnp.float32).T
         return w[:, ids].T
     emb = params["embed"]
     if is_quantized(emb):

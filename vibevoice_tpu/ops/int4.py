@@ -149,18 +149,30 @@ def _int4_kernel(x_lo_ref, x_hi_ref, q4_ref, s_lo_ref, s_hi_ref, o_ref,
 def _plan(half: int, out: int, gs: int) -> Optional[Tuple[int, int]]:
     """(bp, bo) block sizes, or None when the kernel can't tile this shape.
     bp must divide the half, be a multiple of the group size, and span a
-    multiple of 8 scale rows (sublane rule)."""
+    multiple of 8 scale rows (sublane rule).  Same large-block policy as
+    _plan_c, with a VMEM budget for the in-register dequantized f32 block."""
     bp = 0
-    for cand in (512, 384, 256, 128):
+    for cand in (1024, 896, 768, 640, 512, 384, 256, 128):
         if half % cand == 0 and cand % (8 * gs) == 0:
             bp = cand
             break
     bo = 0
-    for cand in (512, 256, 128):
+    for cand in (1024, 896, 768, 640, 512, 384, 256, 128):
         if out % cand == 0:
             bo = cand
             break
-    return (bp, bo) if bp and bo else None
+    if not (bp and bo):
+        return None
+    # dequantized w_lo/w_hi are f32 in-register: budget ~512 KB packed block
+    while bp * bo > 512 * 1024 and bo > 128:
+        bo = next((c for c in (896, 768, 640, 512, 384, 256, 128)
+                   if c < bo and out % c == 0), 128)
+    while bp * bo > 512 * 1024 and bp > 128:
+        bp = next((c for c in (896, 768, 640, 512, 384, 256, 128)
+                   if c < bp and half % c == 0 and c % (8 * gs) == 0), 128)
+    if bp % (8 * gs) != 0:
+        return None
+    return (bp, bo)
 
 
 @functools.partial(jax.jit, static_argnames=("interpret",))
@@ -692,6 +704,15 @@ def _layer_slice(qw: Dict[str, jax.Array], keys) -> Dict[str, jax.Array]:
             for k in keys}
 
 
+# Row-count threshold for the pallas kernels.  At decode sizes (a few CFG
+# rows) the matmul is weight-bandwidth-bound and in-register unpack wins; at
+# prefill sizes it is MXU-compute-bound, where the kernels' two weight
+# streams double the MXU work while XLA's dequantize-then-dot runs one
+# stream at full rate (measured: int4 pallas prefill ~2x slower than int8's
+# fused path at 4k-token segments).
+_PALLAS_MAX_ROWS = 32
+
+
 def int4c_matmul(x: jax.Array, qw: Dict[str, jax.Array]) -> jax.Array:
     """x @ W for a per-column-scale int4 weight; x: [..., in].
 
@@ -702,9 +723,13 @@ def int4c_matmul(x: jax.Array, qw: Dict[str, jax.Array]) -> jax.Array:
     half, out = qw["q4c"].shape[-2:]
     stacked = "_lyr" in qw and qw["q4c"].ndim == 3
 
+    rows = 1
+    for d in lead:
+        rows *= d
     impl = _IMPL
     if impl == "auto":
-        impl = "pallas" if jax.default_backend() == "tpu" else "xla"
+        impl = ("pallas" if jax.default_backend() == "tpu"
+                and rows <= _PALLAS_MAX_ROWS else "xla")
     if impl == "pallas" and ((qw["q4c"].ndim != 2 and not stacked)
                              or _plan_c(half, out) is None):
         impl = "xla"
@@ -748,9 +773,13 @@ def int4_matmul(x: jax.Array, qw: Dict[str, jax.Array]) -> jax.Array:
     gs = inn // qw["s4"].shape[-2]
     stacked = "_lyr" in qw and qw["q4"].ndim == 3
 
+    rows = 1
+    for d in lead:
+        rows *= d
     impl = _IMPL
     if impl == "auto":
-        impl = "pallas" if jax.default_backend() == "tpu" else "xla"
+        impl = ("pallas" if jax.default_backend() == "tpu"
+                and rows <= _PALLAS_MAX_ROWS else "xla")
     if impl == "pallas" and ((qw["q4"].ndim != 2 and not stacked)
                              or _plan(half, out, gs) is None):
         impl = "xla"
