@@ -144,6 +144,18 @@ def full_quant_tiers(gen_params, bits, colscale):
         gen_params["semantic"], bits=bits, colscale=colscale, convs=True)
 
 
+def sustained_rtf(gen, wall, audio, chunk_steps, frame_s):
+    """Decode-only RTF at depth (the long-form regime is a long SESSION: the
+    one-time prefill is TTFA, not throughput).  Prefill dispatches async so
+    the stage timer no longer observes its cost — exclude it via the run's
+    TTFA: audio and wall past the first chunk."""
+    ttfa = gen.last_metrics.get("ttfa", {}).get("total_s", 0.0)
+    a_first = chunk_steps * frame_s
+    if wall > ttfa > 0 and audio > a_first:
+        return round((audio - a_first) / (wall - ttfa), 3)
+    return None
+
+
 def tree_gb(tree) -> float:
     return sum(l.size * l.dtype.itemsize for l in jax.tree.leaves(tree)
                if hasattr(l, "dtype")) / 1e9
@@ -460,6 +472,7 @@ def main():
         # synthetic prompt seeds the KV depth; decode then runs 1024 steps at
         # live context 40.5k -> 41.5k.  Warmup stops after 2 chunks so
         # persistent-cache deserialization stays outside the timed run.
+        gen15q = deep_ids = None
         try:
             gen15q = build_generator(cfg, ddpm_steps, quantize=True,
                                      quantize_head=True, bits=8)
@@ -475,29 +488,24 @@ def main():
             extras["longform_64k_ttfa_s"] = round(
                 gen15q.last_metrics.get("ttfa", {}).get("total_s", -1.0), 2)
             extras["longform_64k_rtf"] = round(al / wl, 3)
-            # sustained = decode-only RTF at depth (the config-5 regime is a
-            # long SESSION: the one-time prefill is TTFA, not throughput).
-            # Prefill is dispatched async (its cost lands inside the first
-            # chunk's wall), so exclude it via TTFA: audio and wall past the
-            # first chunk.
-            ttfa_l = gen15q.last_metrics.get("ttfa", {}).get("total_s", 0.0)
-            a_first = chunk * frame_sec
-            if wl > ttfa_l > 0 and al > a_first:
-                extras["longform_64k_rtf_sustained"] = round(
-                    (al - a_first) / (wl - ttfa_l), 3)
+            sr = sustained_rtf(gen15q, wl, al, chunk, frame_sec)
+            if sr is not None:
+                extras["longform_64k_rtf_sustained"] = sr
             extras["longform_64k_depth_end"] = 40500 + sl
             extras["longform_64k_hbm_gb"] = round(
                 tree_gb(gen15q.params)
                 + 28 * 2 * 2 * 2 * 128 * 52000 * 2 / 1e9, 2)
-            del gen15q, deep_ids
         except Exception as e:  # noqa: BLE001 - keep the JSON line flowing
             extras["longform_64k_error"] = repr(e)[:200]
-        gc.collect()
+        finally:
+            del gen15q, deep_ids
+            gc.collect()
 
         # 64k endgame, best serving stack (int4 weights + int8 KV): at 41k
         # live context the bf16 dual-row KV stream is ~4.7 GB/step — the
         # dominant cost — and the weights are the rest; both halve (or
         # better) under this stack
+        gen15b = deep_ids = None
         try:
             gen15b = build_generator(cfg, ddpm_steps, quantize=True,
                                      quantize_head=True, bits=4,
@@ -510,20 +518,20 @@ def main():
             wb_, sb_, db_, ab_ = run_config(gen15b, deep_ids, 1024, chunk,
                                             1.3, frame_sec)
             extras["longform_64k_int4kv8_rtf"] = round(ab_ / wb_, 3)
-            ttfa_b = gen15b.last_metrics.get("ttfa", {}).get("total_s", 0.0)
-            ab_first = chunk * frame_sec
-            if wb_ > ttfa_b > 0 and ab_ > ab_first:
-                extras["longform_64k_int4kv8_rtf_sustained"] = round(
-                    (ab_ - ab_first) / (wb_ - ttfa_b), 3)
-            del gen15b, deep_ids
+            sr = sustained_rtf(gen15b, wb_, ab_, chunk, frame_sec)
+            if sr is not None:
+                extras["longform_64k_int4kv8_rtf_sustained"] = sr
         except Exception as e:  # noqa: BLE001
             extras["longform_64k_int4kv8_error"] = repr(e)[:200]
-        gc.collect()
+        finally:
+            del gen15b, deep_ids
+            gc.collect()
 
         # Optional int8-KV-cache rerun of the 64k tier (BENCH_KV8=1): same
         # prompt/steps, cache leaves quantized — the decode bottleneck at
         # this depth is KV HBM traffic, which the q8 kernels halve
         if os.environ.get("BENCH_KV8", "0") == "1":
+            gen15k = deep_ids = None
             try:
                 gen15k = build_generator(cfg, ddpm_steps, quantize=True,
                                          quantize_head=True, bits=8,
@@ -535,18 +543,17 @@ def main():
                 wk, sk, dk, ak = run_config(gen15k, deep_ids, 1024, chunk,
                                             1.3, frame_sec)
                 extras["longform_64k_kv8_rtf"] = round(ak / wk, 3)
-                ttfa_k = gen15k.last_metrics.get("ttfa", {}).get("total_s", 0.0)
-                ak_first = chunk * frame_sec
-                if wk > ttfa_k > 0 and ak > ak_first:
-                    extras["longform_64k_kv8_rtf_sustained"] = round(
-                        (ak - ak_first) / (wk - ttfa_k), 3)
+                sr = sustained_rtf(gen15k, wk, ak, chunk, frame_sec)
+                if sr is not None:
+                    extras["longform_64k_kv8_rtf_sustained"] = sr
                 extras["longform_64k_kv8_hbm_gb"] = round(
                     tree_gb(gen15k.params)
                     + 28 * 2 * 2 * 2 * 128 * 52000 * 1.25 / 1e9, 2)
-                del gen15k, deep_ids
             except Exception as e:  # noqa: BLE001
                 extras["longform_64k_kv8_error"] = repr(e)[:200]
-            gc.collect()
+            finally:
+                del gen15k, deep_ids
+                gc.collect()
 
         # ---- 7B tiers (configs 3 + 5), full-int8 on ONE chip --------------
         try:
@@ -583,6 +590,7 @@ def main():
         del gen7
         gen7 = None
         gc.collect()
+        gen7q = None
         try:
             gen7q = build_generator(cfg7, ddpm_steps, quantize=True,
                                     quantize_head=True, bits=4, colscale=True,
@@ -596,10 +604,11 @@ def main():
             w7q, s7q, d7q, a7q = run_config(gen7q, ids7, bench_steps, chunk,
                                             1.3, frame7, **kw7)
             extras["7b_int4_4spk_rtf"] = round(a7q / w7q, 3)
-            del gen7q
         except Exception as e:  # noqa: BLE001
             extras["7b_int4_error"] = repr(e)[:200]
-        gc.collect()
+        finally:
+            del gen7q
+            gc.collect()
 
         # config 5: long-form at 32k context — 30.5k-token prompt, then 1024
         # decode steps sustained through live context 30.5k -> 31.5k, with
@@ -610,6 +619,7 @@ def main():
         del gen7
         gen7 = None
         gc.collect()
+        gen7k = deep7 = None
         try:
             gen7k = build_generator(cfg7, ddpm_steps, quantize=True,
                                     quantize_head=True, bits=8,
@@ -623,25 +633,24 @@ def main():
             w7l, s7l, d7l, a7l = run_config(gen7k, deep7, lf7_steps, chunk,
                                             1.3, frame7)
             extras["longform_32k_rtf"] = round(a7l / w7l, 3)
-            # async prefill: exclude it via TTFA (see the 64k tier)
-            ttfa_7 = gen7k.last_metrics.get("ttfa", {}).get("total_s", 0.0)
-            a7_first = chunk * frame7
-            if w7l > ttfa_7 > 0 and a7l > a7_first:
-                extras["longform_32k_rtf_sustained"] = round(
-                    (a7l - a7_first) / (w7l - ttfa_7), 3)
+            sr = sustained_rtf(gen7k, w7l, a7l, chunk, frame7)
+            if sr is not None:
+                extras["longform_32k_rtf_sustained"] = sr
             extras["longform_32k_depth_end"] = 30500 + s7l
             extras["longform_32k_hbm_gb"] = round(
                 tree_gb(gen7k.params)
                 + 28 * 2 * 4 * 2 * 128 * 33024 * 1.25 / 1e9, 2)
-            del gen7k
         except Exception as e:  # noqa: BLE001
             extras["longform_32k_error"] = repr(e)[:200]
-        gc.collect()
+        finally:
+            del gen7k, deep7
+            gc.collect()
 
         # config 5 at the int4 speed tier: the decode step at 30.5k depth is
         # ~80-100% of HBM speed-of-light on int8 (profiled: MLP 7.7 ms +
         # head 3.2 ms + int8-KV attention 2.7 ms per step) — the MLP and
         # head are weight-bandwidth-bound, so int4 halves them
+        gen7q4 = deep7 = None
         try:
             gen7q4 = build_generator(cfg7, ddpm_steps, quantize=True,
                                      quantize_head=True, bits=4,
@@ -655,15 +664,14 @@ def main():
             w7q, s7q, d7q, a7q = run_config(gen7q4, deep7, 1024, chunk,
                                             1.3, frame7)
             extras["longform_32k_int4_rtf"] = round(a7q / w7q, 3)
-            ttfa_q = gen7q4.last_metrics.get("ttfa", {}).get("total_s", 0.0)
-            a7q_first = chunk * frame7
-            if w7q > ttfa_q > 0 and a7q > a7q_first:
-                extras["longform_32k_int4_rtf_sustained"] = round(
-                    (a7q - a7q_first) / (w7q - ttfa_q), 3)
-            del gen7q4, deep7
+            sr = sustained_rtf(gen7q4, w7q, a7q, chunk, frame7)
+            if sr is not None:
+                extras["longform_32k_int4_rtf_sustained"] = sr
         except Exception as e:  # noqa: BLE001
             extras["longform_32k_int4_error"] = repr(e)[:200]
-        gc.collect()
+        finally:
+            del gen7q4, deep7
+            gc.collect()
 
     if os.environ.get("BENCH_ENGINE", "0") == "1":
         # extended engine stress (opt-in): many staggered requests at real

@@ -11,8 +11,9 @@ import bench  # noqa: E402  (repo-root bench.py)
 
 
 def main():
-    tier = sys.argv[1] if len(sys.argv) > 1 else "int4"
-    steps = int(sys.argv[2]) if len(sys.argv) > 2 else 192
+    args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    tier = args[0] if args else "int4"
+    steps = int(args[1]) if len(args) > 1 else 192
     from vibevoice_tpu.config import VibeVoiceConfig
 
     cfg = VibeVoiceConfig.named("1.5b")

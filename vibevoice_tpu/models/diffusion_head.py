@@ -19,7 +19,7 @@ import jax.numpy as jnp
 
 from ..config import DiffusionHeadConfig
 from ..ops.norms import rms_norm
-from ..ops.quant import qmatmul
+from ..ops.quant import layer_view, qmatmul, split_stacked_quant
 
 
 def init_params(rng: jax.Array, cfg: DiffusionHeadConfig, dtype=jnp.bfloat16) -> dict:
@@ -76,7 +76,6 @@ def precompute_modulations(params: dict, cfg: DiffusionHeadConfig,
     cp = condition @ params["cond_proj"]                               # [N, H]
     sc = jax.nn.silu(cp[None, :, :] + t_emb[:, None, :])               # [S, N, H]
 
-    from ..ops.quant import layer_view, split_stacked_quant
     ada = params["layers"]["ada"]
     ada_xs, ada_stacked = split_stacked_quant({"ada": ada})
     n_l = (next(iter(ada.values())) if isinstance(ada, dict) else ada).shape[0]
@@ -102,7 +101,6 @@ def apply_with_mods(params: dict, cfg: DiffusionHeadConfig, noisy: jax.Array,
     x = noisy.astype(dtype) @ params["noisy_proj"]
     lw = params["layers"]
     ffn = {"norm": lw["norm"], "wg": lw["wg"], "wu": lw["wu"], "wd": lw["wd"]}
-    from ..ops.quant import layer_view, split_stacked_quant
     ffn_xs, ffn_stacked = split_stacked_quant(ffn)
     n_l = layer_mods.shape[0]
 
@@ -131,7 +129,6 @@ def apply(params: dict, cfg: DiffusionHeadConfig, noisy: jax.Array,
     t_emb = timestep_embedding(timesteps, cfg.freq_embed_size).astype(dtype)
     t_emb = jax.nn.silu(t_emb @ params["t_mlp1"]) @ params["t_mlp2"]
     c = condition @ params["cond_proj"] + t_emb
-    from ..ops.quant import layer_view, split_stacked_quant
     l_xs, l_stacked = split_stacked_quant(params["layers"])
     n_l = l_xs["norm"].shape[0]
 

@@ -27,7 +27,8 @@ import jax.numpy as jnp
 from ..config import Qwen2DecoderConfig
 from ..ops.attention import attend
 from ..ops.norms import rms_norm
-from ..ops.quant import is_quantized, qmatmul
+from ..ops.quant import (dequantize_any, is_quantized, layer_view,
+                         qmatmul, split_stacked_quant)
 from ..ops.rope import apply_rope, rope_cos_sin
 
 
@@ -195,17 +196,11 @@ def lm_head_rows(params: dict, ids) -> jax.Array:
         w = params["lm_head"]
         if is_quantized(w):
             return (w["q"][:, ids].astype(jnp.float32) * w["s"][ids]).T
-        from ..ops.int4 import (dequantize_weight_int4,
-                                dequantize_weight_int4c, is_quantized_int4,
-                                is_quantized_int4c)
-        if is_quantized_int4c(w):
-            # int4 [H, V] packs along H; gather the handful of token COLUMNS
-            # first, dequantize only those
-            cols = {"q4c": w["q4c"][:, ids], "s4c": w["s4c"][:, ids]}
-            return dequantize_weight_int4c(cols, jnp.float32).T
-        if is_quantized_int4(w):
-            cols = {"q4": w["q4"][:, ids], "s4": w["s4"][:, ids]}
-            return dequantize_weight_int4(cols, jnp.float32).T
+        if isinstance(w, dict):
+            # int4/int4c leaf: [H, V] packs along H — gather the handful of
+            # token COLUMNS first, dequantize only those
+            cols = {k: v[:, ids] for k, v in w.items()}
+            return dequantize_any(cols, jnp.float32).T
         return w[:, ids].T
     emb = params["embed"]
     if is_quantized(emb):
@@ -218,10 +213,10 @@ def lm_head_weight(params: dict) -> jax.Array:
     """[H, V] projection; tied models reuse the embedding."""
     if "lm_head" in params:
         w = params["lm_head"]
-        if is_quantized(w):
-            from ..ops.quant import dequantize_weight
-            return dequantize_weight(w, params["embed"].dtype
-                                     if not is_quantized(params["embed"]) else jnp.bfloat16)
+        if isinstance(w, dict):
+            dtype = (params["embed"].dtype
+                     if not is_quantized(params["embed"]) else jnp.bfloat16)
+            return dequantize_any(w, dtype)
         return w
     return params["embed"].T
 
@@ -307,7 +302,6 @@ def forward(params: dict, cfg: Qwen2DecoderConfig, x: jax.Array,
     dh = cfg.resolved_head_dim
     cos, sin = rope_cos_sin(positions, dh, cfg.rope_theta)
 
-    from ..ops.quant import layer_view, split_stacked_quant
     xs_layers, stacked = split_stacked_quant(params["layers"])
 
     if cache is None:
@@ -403,7 +397,6 @@ def prefill_chunked(params: dict, cfg: Qwen2DecoderConfig, embeds: jax.Array,
     kv_start = (t - jnp.sum(valid_mask, axis=-1)).astype(jnp.int32)
 
     n_layers = cfg.num_hidden_layers
-    from ..ops.quant import layer_view, split_stacked_quant
     xs_layers, stacked = split_stacked_quant(params["layers"])
 
     def run_segment(i, carry):
@@ -479,7 +472,6 @@ def prefill_suffix(params: dict, cfg: Qwen2DecoderConfig, embeds: jax.Array,
     cos, sin = rope_cos_sin(positions, dh, cfg.rope_theta)
     q_off = jnp.int32(block_off)
 
-    from ..ops.quant import layer_view, split_stacked_quant
     xs_layers, stacked = split_stacked_quant(params["layers"])
 
     def body(carry, layer_in):
