@@ -2,6 +2,7 @@
 decode, print RTF + per-step ms.  Usage:
   python experiments/tier_probe.py int8|int4|int4g|bf16 [steps]
 """
+import os
 import sys
 import time
 
@@ -62,7 +63,7 @@ def main():
         from vibevoice_tpu.utils.profile_report import profile_callable
         rep = profile_callable(
             lambda: bench.run_config(gen, ids, steps, 64, 1.3, frame_sec),
-            top=40)
+            top=int(os.environ.get("PROBE_TOP", "40")))
         print(rep["table"])
 
 

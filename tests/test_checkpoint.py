@@ -83,20 +83,25 @@ def test_quantized_checkpoint_roundtrip(tmp_path):
     from vibevoice_tpu.processor.text_tokenizer import ByteFallbackTokenizer
 
     cfg = dataclasses.replace(VibeVoiceConfig.named("tiny"), dtype="float32")
-    params = dict(vibevoice.init_params(jax.random.PRNGKey(1), cfg, jnp.float32))
-    params["lm"] = quantize_lm_params(params["lm"])
-    ckpt.save_checkpoint(str(tmp_path / "q"), params, cfg)
-    restored, cfg2 = ckpt.load_checkpoint(str(tmp_path / "q"))
-    np.testing.assert_array_equal(np.asarray(restored["lm"]["layers"]["wq"]["q"]),
-                                  np.asarray(params["lm"]["layers"]["wq"]["q"]))
-
+    base = dict(vibevoice.init_params(jax.random.PRNGKey(1), cfg, jnp.float32))
     tk = ByteFallbackTokenizer()
     ids = np.random.RandomState(0).randint(20, 200, (1, 12))
     ids[:, -1] = tk.speech_start_id
     kw = dict(cfg_scale=1.3, max_new_tokens=4, chunk_steps=2,
               max_length_times=1000.0, seed=1)
-    o1 = VibeVoiceGenerator(params, cfg, tk, ddpm_inference_steps=2,
-                            lm_dtype=jnp.float32).generate(ids, **kw)
-    o2 = VibeVoiceGenerator(restored, cfg2, tk, ddpm_inference_steps=2,
-                            lm_dtype=jnp.float32).generate(ids, **kw)
-    np.testing.assert_array_equal(o1.sequences, o2.sequences)
+    for bits, colscale, tag, leafkey in ((8, False, "q8", "q"),
+                                         (4, True, "q4", "q4c")):
+        params = dict(base)
+        params["lm"] = quantize_lm_params(base["lm"], bits=bits,
+                                          colscale=colscale)
+        ckpt.save_checkpoint(str(tmp_path / tag), params, cfg)
+        restored, cfg2 = ckpt.load_checkpoint(str(tmp_path / tag))
+        np.testing.assert_array_equal(
+            np.asarray(restored["lm"]["layers"]["wq"][leafkey]),
+            np.asarray(params["lm"]["layers"]["wq"][leafkey]))
+
+        o1 = VibeVoiceGenerator(params, cfg, tk, ddpm_inference_steps=2,
+                                lm_dtype=jnp.float32).generate(ids, **kw)
+        o2 = VibeVoiceGenerator(restored, cfg2, tk, ddpm_inference_steps=2,
+                                lm_dtype=jnp.float32).generate(ids, **kw)
+        np.testing.assert_array_equal(o1.sequences, o2.sequences)

@@ -160,3 +160,29 @@ def test_train_then_generate_learns_tone():
     assert sim_oracle > 0.65, sim_oracle
     n = min(len(audio), len(oracle))
     assert np.corrcoef(audio[:n], oracle[:n])[0, 1] > 0.3
+
+    # --- quantized serving tiers preserve the LEARNED audio ----------------
+    # (the random-weight error bounds in test_quant.py cannot say this: here
+    # the weights carry actual structure and the whole constrained-decode ->
+    # diffusion -> vocode chain must still land in the trained tone family)
+    from vibevoice_tpu.ops.quant import (quantize_diffusion_head_params,
+                                         quantize_lm_params)
+    for bits, colscale, tag in ((8, False, "int8"), (4, True, "int4c")):
+        qp = dict(fp)
+        qp["lm"] = quantize_lm_params(fp["lm"], bits=bits, colscale=colscale)
+        qp["diffusion_head"] = quantize_diffusion_head_params(
+            fp["diffusion_head"], bits=bits, colscale=colscale)
+        genq = VibeVoiceGenerator(qp, CFG, tk, ddpm_inference_steps=8,
+                                  lm_dtype=jnp.float32)
+        outq = genq.generate(prompt, cfg_scale=1.0,
+                             max_new_tokens=N_FRAMES + 4, chunk_steps=4,
+                             max_length_times=1000.0, refresh_negative=False,
+                             seed=11)
+        toks_q = np.asarray(outq.sequences[0])
+        assert (toks_q == tk.speech_diffusion_id).sum() >= N_FRAMES // 2, \
+            (tag, toks_q)
+        audio_q = outq.speech_outputs[0]
+        assert audio_q is not None, tag
+        sim_q = _spec_cos(audio_q, oracle)
+        assert sim_q > _spec_cos(audio_q, control) + 0.1, (tag, sim_q)
+        assert sim_q > 0.6, (tag, sim_q)

@@ -433,7 +433,7 @@ def create_demo_interface(demo: VibeVoiceDemo):
     def status_text() -> str:
         import jax
         cur = demo.manager.current
-        loaded = (f"{cur.name}" + (" (int8)" if cur.quantized else "")
+        loaded = (f"{cur.name}" + (f" ({cur.quantized})" if cur.quantized else "")
                   if cur else "none (load on demand)")
         return (f"**Model:** {loaded} · **Device:** {jax.devices()[0].platform} "
                 f"× {len(jax.devices())} · "
@@ -600,7 +600,11 @@ def build_argparser() -> argparse.ArgumentParser:
     p.add_argument("--host", default="127.0.0.1")
     p.add_argument("--share", action="store_true")
     p.add_argument("--lod", action="store_true", help="load model on demand")
-    p.add_argument("--quantize", action="store_true", help="int8 weight-only LM")
+    p.add_argument("--quantize", nargs="?", const="int8", default="",
+                   choices=["int8", "int4", "int4g"],
+                   help="weight-only LM tier: bare flag or 'int8' (quality "
+                        "default), 'int4' (per-column speed tier), 'int4g' "
+                        "(group-16 fidelity)")
     p.add_argument("--inference-steps", type=int, default=10)
     p.add_argument("--debug", action="store_true")
     # Script-AI CLI overrides (precedence: defaults < .env < env < CLI;

@@ -99,8 +99,11 @@ def build_argparser() -> argparse.ArgumentParser:
     p.add_argument("--chunk_steps", type=int, default=32)
     p.add_argument("--top_k", type=int, default=0)
     p.add_argument("--negative_prompt", type=str, default="")
-    p.add_argument("--quantize", action="store_true",
-                   help="int8 weight-only LM (fits 7B on one chip)")
+    p.add_argument("--quantize", nargs="?", const="int8", default="",
+                   choices=["int8", "int4", "int4g"],
+                   help="weight-only LM tier (fits 7B on one chip): bare "
+                        "flag or 'int8' (quality default), 'int4' "
+                        "(per-column speed tier), 'int4g' (group-16)")
     p.add_argument("--tp", type=int, default=0,
                    help="tensor-parallel size (>0 builds a ('dp','tp') mesh "
                         "over all visible devices; the TP serving path)")
@@ -131,8 +134,11 @@ def main(argv=None):
 
     if args.quantize:
         from ..ops.quant import quantize_lm_params
+        bits = 8 if args.quantize == "int8" else 4
+        colscale = args.quantize == "int4"
         params = dict(params)
-        params["lm"] = quantize_lm_params(params["lm"])
+        params["lm"] = quantize_lm_params(params["lm"], bits=bits,
+                                          colscale=colscale)
 
     mesh = None
     if args.tp or args.dp:

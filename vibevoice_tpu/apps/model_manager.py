@@ -32,13 +32,28 @@ MODEL_REGISTRY: Dict[str, dict] = {
 }
 
 
+QUANT_TIERS = ("", "int8", "int4", "int4g")
+
+
+def _norm_tier(quantize) -> str:
+    """bool/str -> tier name ('' = dense).  True keeps its historical int8
+    meaning; 'int4' is the per-column speed tier, 'int4g' group-16 fidelity."""
+    if quantize is True:
+        return "int8"
+    if not quantize:
+        return ""
+    tier = str(quantize)
+    assert tier in QUANT_TIERS[1:], f"unknown quantize tier: {tier}"
+    return tier
+
+
 @dataclass
 class LoadedModel:
     name: str
     cfg: VibeVoiceConfig
     generator: VibeVoiceGenerator
     processor: VibeVoiceProcessor
-    quantized: bool = False
+    quantized: str = ""                  # "", "int8", "int4", "int4g"
     loaded_at: float = field(default_factory=time.time)
 
 
@@ -101,11 +116,11 @@ class ModelManager:
                      f"{type(e).__name__}: {str(e)[:120]}")
             return None
 
-    def load(self, name: str, quantize: Optional[bool] = None) -> LoadedModel:
+    def load(self, name: str, quantize=None) -> LoadedModel:
         if self.current is not None and self.current.name == name:
             return self.current
         self.unload()
-        quantize = self.quantize if quantize is None else quantize
+        tier = _norm_tier(self.quantize if quantize is None else quantize)
 
         entry = MODEL_REGISTRY.get(name, {})
         # fallback chain (reference main.py:274-541): local cache for each
@@ -132,16 +147,22 @@ class ModelManager:
             processor = VibeVoiceProcessor()
             self.log(f"⚠️  No checkpoint found for {name}; using random weights")
 
-        if quantize:
+        if tier:
+            # the reference's 4-bit NF4 loading analogue (main.py:301-416):
+            # int8 = quality default; int4 (per-column) = the speed tier;
+            # int4g = group-16 fidelity at the same width
             from ..ops.quant import quantize_lm_params
+            bits = 8 if tier == "int8" else 4
+            colscale = tier == "int4"
             params = dict(params)
-            params["lm"] = quantize_lm_params(params["lm"])
+            params["lm"] = quantize_lm_params(params["lm"], bits=bits,
+                                              colscale=colscale)
 
         gen = VibeVoiceGenerator(params, cfg, processor.tokenizer,
                                  ddpm_inference_steps=self.ddpm_steps,
                                  mesh=self.mesh)
         self.current = LoadedModel(name=name, cfg=cfg, generator=gen,
-                                   processor=processor, quantized=quantize)
+                                   processor=processor, quantized=tier)
         return self.current
 
     def ensure_loaded(self, name: str) -> LoadedModel:

@@ -536,7 +536,11 @@ def build_argparser():
                    help="bind address (non-loopback exposes the API — "
                         "put a real gateway in front first)")
     p.add_argument("--port", type=int, default=8200)
-    p.add_argument("--quantize", action="store_true", help="int8 weight-only LM")
+    p.add_argument("--quantize", nargs="?", const="int8", default="",
+                   choices=["int8", "int4", "int4g"],
+                   help="weight-only LM tier: bare flag or 'int8' (quality "
+                        "default), 'int4' (per-column speed tier), 'int4g' "
+                        "(group-16 fidelity)")
     p.add_argument("--max_batch", type=int, default=4,
                    help="max requests coalesced into one device batch")
     p.add_argument("--batch_window", type=float, default=0.05,
