@@ -69,3 +69,37 @@ def main():
 
 if __name__ == "__main__":
     main()
+
+
+def engine_probe(tier="int4", slots=4, chunk_steps=16):
+    """Aggregate RTF through the continuous-batching engine at a quant tier."""
+    from vibevoice_tpu.config import VibeVoiceConfig
+    from vibevoice_tpu.generation.engine import ContinuousEngine
+
+    cfg = VibeVoiceConfig.named("1.5b")
+    kw = dict(quantize=True, quantize_head=True,
+              bits=4 if tier.startswith("int4") else 8,
+              colscale=tier == "int4")
+    gen = bench.build_generator(cfg, 5, **kw)
+    bench.full_quant_tiers(gen.params, kw["bits"], kw["colscale"])
+    ids = bench.make_ids(1, 64)
+
+    eng = ContinuousEngine(gen, slots=slots, cache_len=1024,
+                           chunk_steps=chunk_steps, cfg_scale=1.3)
+    eng.submit({"input_ids": ids[:1]}, max_new_tokens=8,
+               max_length_times=1000.0, seed=0)
+    eng.drain()
+    n_req = 2 * slots
+    reqs, t0 = [], time.perf_counter()
+    for i in range(n_req):
+        reqs.append(eng.submit({"input_ids": ids[:1]}, max_new_tokens=64,
+                               max_length_times=1000.0, seed=i))
+        if i % 2 == 1:
+            eng.step_chunk()
+    eng.drain()
+    wall = time.perf_counter() - t0
+    audio = sum(0.0 if r.audio is None else len(r.audio) / 24000.0
+                for r in reqs)
+    assert all(r.error is None for r in reqs)
+    print(f"engine tier={tier} slots={slots} chunk={chunk_steps} "
+          f"aggregate_rtf={audio / wall:.2f}")

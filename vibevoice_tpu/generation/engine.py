@@ -122,6 +122,8 @@ class ContinuousEngine:
         self.global_step = 0
         self.chunks_run = 0
         self._stop = False
+        self._inflight = None             # (StepOutput futures, slot->req)
+        self._aborted: set = set()        # slots force-finished by disconnect
 
         frame = generator.frame_samples
         self.frame_samples = frame
@@ -321,21 +323,36 @@ class ContinuousEngine:
         self.log(f"⚙️ joined slot {slot} at step {self.global_step} "
                  f"(budget {req.budget})")
 
-    def _retire(self, slot: int):
-        req = self.slot_req[slot]
-        self.slot_req[slot] = None
-        self.state = self._park(self.state, jnp.int32(slot))
-        if req is not None:
-            req.reach_max = bool(np.asarray(self.state.reach_max)[slot])
-            if req.streamer is not None:
-                req.streamer.end([0])
-            req.done.set()
-            self.log(f"🏁 slot {slot} retired after "
-                     f"{len(req.tokens)} tokens")
+    def _retire(self, slot: int, req, reach_max: bool):
+        if self.slot_req[slot] is req:
+            self.slot_req[slot] = None
+            self.state = self._park(self.state, jnp.int32(slot))
+        req.reach_max = reach_max
+        if req.streamer is not None:
+            req.streamer.end([0])
+        req.done.set()
+        self.log(f"🏁 slot {slot} retired after "
+                 f"{len(req.tokens)} tokens")
 
     def step_chunk(self) -> bool:
-        """Join pending requests, run ONE chunk, route outputs.
-        Returns True if any slot was active (device work was done)."""
+        """Join pending requests, dispatch ONE chunk, and route the PREVIOUS
+        in-flight chunk's outputs.
+
+        The pipeline keeps one chunk in flight: chunk k+1 is dispatched
+        (async — JAX returns futures) BEFORE chunk k's outputs are pulled to
+        the host, so host routing, streamer pushes, and splice dispatches
+        overlap device compute (the solo generate loop's double-buffering,
+        c91852f, applied to the engine; over the tunneled chip each chunk
+        otherwise pays ~2-4 round trips of device idle).  Consequences:
+        * outputs are routed by the slot->request SNAPSHOT taken at dispatch
+          (a slot retired then re-joined between dispatch and consume must
+          not leak the old request's rows into the new one);
+        * a slot that finishes in chunk k keeps running as eos no-ops
+          through the already-dispatched chunk k+1 (harmless: finished rows
+          produce no audio) and frees for joins at the next call;
+        * ``global_step`` counts DISPATCHED steps, so join budgets stay
+          absolute step counts in the state the splice lands in.
+        Returns True if device work was dispatched or outputs consumed."""
         with self.lock:
             for slot in range(self.slots):
                 if self.slot_req[slot] is None and self.pending:
@@ -349,36 +366,51 @@ class ContinuousEngine:
                         req.done.set()
 
         active_slots = [i for i, r in enumerate(self.slot_req) if r is not None]
-        if not active_slots:
-            return False
 
         # consumer-side stream ends (disconnects) abort their slot only
         abort = np.zeros((self.slots,), bool)
         for i in active_slots:
             st = self.slot_req[i].streamer
             if st is not None and getattr(st, "finished_flags", None):
-                if st.finished_flags[0]:
+                if st.finished_flags[0] and i not in self._aborted:
                     abort[i] = True
+                    self._aborted.add(i)
         if abort.any():
             self.state = self._abort(self.state, jnp.asarray(abort))
 
-        run_chunk = self._run_chunk_fn()
-        self.state, out = run_chunk(self.gen.params, self.state,
-                                    jnp.float32(self.cfg_scale))
-        from .generate import _start_host_copies
-        _start_host_copies(out)  # overlap the four leaf fetches (tunnel RTT)
+        newly = None
+        if active_slots:
+            run_chunk = self._run_chunk_fn()
+            self.state, out = run_chunk(self.gen.params, self.state,
+                                        jnp.float32(self.cfg_scale))
+            from .generate import _start_host_copies
+            _start_host_copies(out)   # overlap the four leaf fetches
+            self.global_step += self.chunk_steps
+            newly = (out, {i: self.slot_req[i] for i in active_slots})
+
+        prev, self._inflight = self._inflight, newly
+        if prev is not None:
+            self._consume(prev)
+        return prev is not None or newly is not None
+
+    def _consume(self, inflight) -> None:
+        """Route one dispatched chunk's outputs (blocks until the device
+        finishes it; the next chunk is already in flight)."""
+        out, snapshot = inflight
         K, B = self.chunk_steps, self.slots
         toks = np.asarray(out.tokens).reshape(K, B)
         audio = np.asarray(out.audio).astype(np.float32).reshape(
             K, B, self.frame_samples)
         diff = np.asarray(out.diffused).reshape(K, B)
         fin = np.asarray(out.finished).reshape(K, B)
-        self.global_step += K
         self.chunks_run += 1
 
-        for i in active_slots:
-            req = self.slot_req[i]
+        eos = getattr(self.gen.tokenizer, "eos_id", None)
+        for i, req in snapshot.items():
+            if req.done.is_set():
+                continue              # retired from an earlier chunk
             ended = False
+            end_tok = None
             for si in range(K):
                 if not ended:
                     req.tokens.append(int(toks[si, i]))
@@ -388,13 +420,19 @@ class ContinuousEngine:
                             req.streamer.put(audio[si:si + 1, i], [0])
                     if fin[si, i]:
                         ended = True
+                        end_tok = int(toks[si, i])
             if ended:
-                self._retire(i)
-        return True
+                # budget-finish = ended on a non-eos token (aborted slots
+                # were force-finished by the disconnect, not the budget)
+                reach_max = (i not in self._aborted and eos is not None
+                             and end_tok != eos)
+                self._aborted.discard(i)
+                self._retire(i, req, reach_max)
 
     def drain(self):
-        """Run until every pending + active request is finished (tests/CLI)."""
-        while self.pending or self.active():
+        """Run until every pending + active request is finished and the last
+        in-flight chunk is consumed (tests/CLI)."""
+        while self.pending or self.active() or self._inflight is not None:
             self.step_chunk()
 
     def run_forever(self):
@@ -402,11 +440,12 @@ class ContinuousEngine:
         variable otherwise.  Call stop() to exit."""
         while not self._stop:
             did = False
-            if self.pending or self.active():
+            if self.pending or self.active() or self._inflight is not None:
                 did = self.step_chunk()
             if not did and not self.pending:
                 with self.work:
-                    if not self.pending and not self.active() and not self._stop:
+                    if (not self.pending and not self.active()
+                            and self._inflight is None and not self._stop):
                         self.work.wait(timeout=0.2)
 
     def stop(self):
