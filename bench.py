@@ -290,11 +290,12 @@ def main():
         # full-int8 and full-int4 serving tiers (LM + diffusion head +
         # tokenizer FFNs + strided resampling convs) — measured as the speed
         # headroom of the bandwidth-bound step.  int4 runs the Pallas
-        # dequant-matmul kernel (ops/int4.py) at the reference NF4's width;
-        # it is the FOOTPRINT tier (int8 is faster — the nibble unpack adds
-        # ~4 VPU ops/weight).
+        # stacked-weight dequant kernels (ops/int4.py) at the reference
+        # NF4's width and is the SPEED tier (one-native-op unpack + layer
+        # index via scalar prefetch); int8 is the quality default.
         for tier_bits, tier_col, key in ((8, False, "int8_rtf"),
                                          (4, True, "int4_rtf")):
+            gen_q = None
             try:
                 gen_q = build_generator(cfg, ddpm_steps, quantize=True,
                                         quantize_head=True, bits=tier_bits,
@@ -304,10 +305,35 @@ def main():
                 wq_, _, _, aq_ = run_config(gen_q, ids, bench_steps, chunk,
                                             1.3, frame_sec)
                 extras[key] = round(aq_ / wq_, 3)
-                del gen_q
+
+                if tier_bits == 4:
+                    # throughput headline: the pipelined engine over the
+                    # int4 stack — 8 slots, 16 staggered requests
+                    from vibevoice_tpu.generation.engine import ContinuousEngine
+                    eng4 = ContinuousEngine(gen_q, slots=8, cache_len=1024,
+                                            chunk_steps=16, cfg_scale=1.3)
+                    eng4.submit({"input_ids": ids[:1]}, max_new_tokens=8,
+                                max_length_times=1000.0, seed=0)
+                    eng4.drain()                      # compile outside timing
+                    r4, t4 = [], time.perf_counter()
+                    for i in range(16):
+                        r4.append(eng4.submit(
+                            {"input_ids": ids[:1]}, max_new_tokens=64,
+                            max_length_times=1000.0, seed=i))
+                        if i % 2 == 1:
+                            eng4.step_chunk()
+                    eng4.drain()
+                    a4 = sum(0.0 if r.audio is None else
+                             len(r.audio) / 24000.0 for r in r4)
+                    assert all(r.error is None for r in r4)
+                    extras["engine_int4_8slot_rtf"] = round(
+                        a4 / (time.perf_counter() - t4), 3)
+                    del eng4, r4
             except Exception as e:  # noqa: BLE001 — keep the line flowing
                 extras[key + "_error"] = repr(e)[:200]
-            gc.collect()
+            finally:
+                del gen_q
+                gc.collect()
     if with_extras:
       # umbrella try: a failure in any of config2/streaming/engine must not
       # erase the primary numbers or skip the JSON print (the heavy tiers
