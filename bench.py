@@ -175,6 +175,15 @@ def run_config(gen, ids, steps, chunk, cfg_scale, frame_sec, streamer=None,
     return wall, int(out.sequences.shape[1]), diffused, diffused * frame_sec
 
 
+def median_run(gen, ids, steps, chunk, cfg_scale, frame_sec, n=3, **kw):
+    """Median-of-n run_config (by wall time).  Single-shot heavy tiers are
+    vulnerable to one transient tunnel stall misreporting the tier 2-3x low
+    (observed once on the 7B tier); the device work per extra run is ~3 s."""
+    runs = sorted(run_config(gen, ids, steps, chunk, cfg_scale, frame_sec,
+                             **kw) for _ in range(n))
+    return runs[n // 2]
+
+
 def stop_after_chunks(n):
     """stop_check_fn that lets ~n chunks run — warms prefill + chunk programs
     (persistent-cache deserialization) at full shape without a full-length run."""
@@ -302,7 +311,7 @@ def main():
                                         colscale=tier_col)
                 full_quant_tiers(gen_q.params, tier_bits, tier_col)
                 run_config(gen_q, ids, bench_steps, chunk, 1.3, frame_sec)  # compile
-                wq_, _, _, aq_ = run_config(gen_q, ids, bench_steps, chunk,
+                wq_, _, _, aq_ = median_run(gen_q, ids, bench_steps, chunk,
                                             1.3, frame_sec)
                 extras[key] = round(aq_ / wq_, 3)
 
@@ -602,7 +611,7 @@ def main():
             t_70 = time.perf_counter()
             run_config(gen7, ids7, 1, 1, 1.3, frame7, **kw7)
             extras["7b_ttfa_s"] = round(time.perf_counter() - t_70, 3)
-            w7, s7, d7, a7 = run_config(gen7, ids7, bench_steps, chunk, 1.3,
+            w7, s7, d7, a7 = median_run(gen7, ids7, bench_steps, chunk, 1.3,
                                         frame7, **kw7)
             extras["7b_int8_4spk_rtf"] = round(a7 / w7, 3)
 
@@ -627,7 +636,7 @@ def main():
             kw7 = dict(speech_tensors=sp, speech_masks=spm,
                        speech_input_mask=simask)
             run_config(gen7q, ids7, bench_steps, chunk, 1.3, frame7, **kw7)
-            w7q, s7q, d7q, a7q = run_config(gen7q, ids7, bench_steps, chunk,
+            w7q, s7q, d7q, a7q = median_run(gen7q, ids7, bench_steps, chunk,
                                             1.3, frame7, **kw7)
             extras["7b_int4_4spk_rtf"] = round(a7q / w7q, 3)
         except Exception as e:  # noqa: BLE001
