@@ -179,8 +179,10 @@ def median_run(gen, ids, steps, chunk, cfg_scale, frame_sec, n=3, **kw):
     """Median-of-n run_config (by wall time).  Single-shot heavy tiers are
     vulnerable to one transient tunnel stall misreporting the tier 2-3x low
     (observed once on the 7B tier); the device work per extra run is ~3 s."""
-    runs = sorted(run_config(gen, ids, steps, chunk, cfg_scale, frame_sec,
-                             **kw) for _ in range(n))
+    assert n % 2 == 1, "median_run needs odd n"
+    runs = sorted((run_config(gen, ids, steps, chunk, cfg_scale, frame_sec,
+                              **kw) for _ in range(n)),
+                  key=lambda r: r[0])
     return runs[n // 2]
 
 
