@@ -121,6 +121,10 @@ def _import_block(sd: _SD, pre: str, dtype) -> dict:
     g = lambda n, req=True: sd.get(f"{pre}.{n}", req)
     gamma = g("gamma", req=False)
     ffn_gamma = g("ffn_gamma", req=False)
+    # Block1D's FFN carries biases when conv_bias=true (tokenizer.py:651-655);
+    # optional here so bias-free checkpoints import too.
+    ffn_b1 = g("ffn.linear1.bias", req=False)
+    ffn_b2 = g("ffn.linear2.bias", req=False)
     return {
         "norm": jnp.asarray(g("norm.weight"), dtype),
         "mix": {"w": jnp.asarray(_conv(g("mixer.conv.conv.conv.weight")), dtype),
@@ -128,7 +132,9 @@ def _import_block(sd: _SD, pre: str, dtype) -> dict:
         "gamma": None if gamma is None else jnp.asarray(gamma, dtype),
         "ffn_norm": jnp.asarray(g("ffn_norm.weight"), dtype),
         "ffn_w1": jnp.asarray(_lin(g("ffn.linear1.weight")), dtype),
+        "ffn_b1": None if ffn_b1 is None else jnp.asarray(ffn_b1, dtype),
         "ffn_w2": jnp.asarray(_lin(g("ffn.linear2.weight")), dtype),
+        "ffn_b2": None if ffn_b2 is None else jnp.asarray(ffn_b2, dtype),
         "ffn_gamma": None if ffn_gamma is None else jnp.asarray(ffn_gamma, dtype),
     }
 
@@ -294,7 +300,11 @@ def export_state_dict(params: dict, cfg: VibeVoiceConfig,
             out[f"{name}.gamma"] = f32(bp["gamma"])
         out[f"{name}.ffn_norm.weight"] = f32(bp["ffn_norm"])
         out[f"{name}.ffn.linear1.weight"] = f32(bp["ffn_w1"]).T
+        if bp.get("ffn_b1") is not None:
+            out[f"{name}.ffn.linear1.bias"] = f32(bp["ffn_b1"])
         out[f"{name}.ffn.linear2.weight"] = f32(bp["ffn_w2"]).T
+        if bp.get("ffn_b2") is not None:
+            out[f"{name}.ffn.linear2.bias"] = f32(bp["ffn_b2"])
         if bp["ffn_gamma"] is not None:
             out[f"{name}.ffn_gamma"] = f32(bp["ffn_gamma"])
 

@@ -71,9 +71,14 @@ def _block_init(rng, dim, cfg: TokCfg, dtype=jnp.float32):
         "gamma": jnp.full((dim,), cfg.layer_scale_init_value, dtype)
                  if cfg.layer_scale_init_value > 0 else None,
         "ffn_norm": jnp.ones((dim,), dtype) if cfg.layernorm_elementwise_affine else None,
-        # FFN linears have no bias (reference FFN bias=False default, tokenizer.py:651-655)
+        # Block1D forwards bias=conv_bias into its FFN (tokenizer.py:651-655 via
+        # the layer_type partial at :746-756), so with conv_bias=true (both real
+        # configs) the FFN linears DO carry biases; zero-init per _init_weights
+        # (tokenizer.py:1069-1072).
         "ffn_w1": (jax.random.normal(k2, (dim, ffn_dim), jnp.float32) * std).astype(dtype),
+        "ffn_b1": jnp.zeros((ffn_dim,), dtype) if cfg.conv_bias else None,
         "ffn_w2": (jax.random.normal(k3, (ffn_dim, dim), jnp.float32) * std).astype(dtype),
+        "ffn_b2": jnp.zeros((dim,), dtype) if cfg.conv_bias else None,
         "ffn_gamma": jnp.full((dim,), cfg.layer_scale_init_value, dtype)
                      if cfg.layer_scale_init_value > 0 else None,
     }
@@ -206,8 +211,12 @@ def _block(x, bp, cfg: TokCfg, state):
 
     resid = x
     y = rms_norm(x, bp["ffn_norm"], cfg.layernorm_eps)
-    y = qmatmul(jax.nn.gelu(qmatmul(y, bp["ffn_w1"]), approximate=False),
-                bp["ffn_w2"])
+    h = qmatmul(y, bp["ffn_w1"])
+    if bp.get("ffn_b1") is not None:
+        h = h + bp["ffn_b1"]
+    y = qmatmul(jax.nn.gelu(h, approximate=False), bp["ffn_w2"])
+    if bp.get("ffn_b2") is not None:
+        y = y + bp["ffn_b2"]
     if bp["ffn_gamma"] is not None:
         y = y * bp["ffn_gamma"]
     return resid + y, new_state
