@@ -126,6 +126,45 @@ def install_diffusers_shim() -> None:
     sys.modules["diffusers.schedulers.scheduling_utils"] = sched_utils_mod
 
 
+def _patch_transformers_compat():
+    """The reference targets transformers 4.51; this env ships 4.57, which
+    dropped the trailing ``device`` parameter of
+    ``GenerationMixin._prepare_cache_for_generation``
+    (reference modeling_vibevoice_inference.py:303 passes it positionally).
+    Wrap the method to tolerate the legacy extra argument — no behavior
+    change on either version."""
+    import inspect
+
+    from transformers.generation.utils import GenerationMixin
+
+    orig = GenerationMixin._prepare_cache_for_generation
+    if "device" in inspect.signature(orig).parameters:
+        return
+
+    @functools.wraps(orig)
+    def patched(self, generation_config, model_kwargs, generation_mode,
+                batch_size, max_cache_length, device=None):
+        return orig(self, generation_config, model_kwargs, generation_mode,
+                    batch_size, max_cache_length)
+
+    GenerationMixin._prepare_cache_for_generation = patched
+
+    # 4.57 restructured DynamicCache from parallel key_cache/value_cache
+    # lists to a `layers` list; the reference's per-sample cache surgery
+    # (modeling_vibevoice_inference.py:546-563, 588-622) indexes the old
+    # attributes.  Expose them as views of the live layer tensors (the
+    # surgery mutates slices in place, so views suffice).
+    from transformers.cache_utils import DynamicCache
+
+    if not hasattr(DynamicCache, "key_cache"):
+        # pre-update layers have keys=None in 4.57; 4.51 exposed an empty
+        # list until the first update — preserve that
+        DynamicCache.key_cache = property(
+            lambda self: [l.keys for l in self.layers if l.keys is not None])
+        DynamicCache.value_cache = property(
+            lambda self: [l.values for l in self.layers if l.values is not None])
+
+
 _ns = None
 
 
@@ -135,6 +174,7 @@ def load_reference():
     if _ns is not None:
         return _ns
     install_diffusers_shim()
+    _patch_transformers_compat()
     if REFERENCE_ROOT not in sys.path:
         sys.path.insert(0, REFERENCE_ROOT)
     import vibevoice.modular.configuration_vibevoice as configuration

@@ -436,3 +436,231 @@ def test_add_noise_get_velocity_parity(ref):
                                rtol=RTOL, atol=ATOL)
     np.testing.assert_allclose(np.asarray(mine_v), ref_v.numpy(),
                                rtol=RTOL, atol=ATOL)
+
+
+
+# ---------------------------------------------------------------------------
+# Composite training forward (modeling_vibevoice.py:332-477)
+# ---------------------------------------------------------------------------
+
+def _hf_qwen2_config(dec):
+    from transformers import Qwen2Config
+
+    return Qwen2Config(
+        vocab_size=dec.vocab_size, hidden_size=dec.hidden_size,
+        intermediate_size=dec.intermediate_size,
+        num_hidden_layers=dec.num_hidden_layers,
+        num_attention_heads=dec.num_attention_heads,
+        num_key_value_heads=dec.num_key_value_heads,
+        max_position_embeddings=dec.max_position_embeddings,
+        rms_norm_eps=dec.rms_norm_eps, rope_theta=dec.rope_theta,
+        tie_word_embeddings=dec.tie_word_embeddings,
+        hidden_act=dec.hidden_act, use_cache=False,
+        attn_implementation="eager")
+
+
+@pytest.fixture(scope="module")
+def cfg_det(cfg):
+    """Tiny config with fix_std=0: the σ-VAE 'gaussian' sample degenerates to
+    the mean on both stacks, making the composite forward deterministic."""
+    import dataclasses
+
+    return dataclasses.replace(
+        cfg, acoustic_tokenizer=dataclasses.replace(cfg.acoustic_tokenizer,
+                                                    fix_std=0.0))
+
+
+@pytest.fixture(scope="module")
+def ref_composite(ref, cfg_det, state_dict):
+    import torch
+
+    if ref.modeling is None:
+        pytest.skip(f"composite import failed: {ref.modeling_error}")
+    h = cfg_det.diffusion_head
+    vcfg = ref.configuration.VibeVoiceConfig(
+        acoustic_tokenizer_config=_ref_acoustic_config(
+            ref, cfg_det.acoustic_tokenizer),
+        semantic_tokenizer_config=_ref_semantic_config(
+            ref, cfg_det.semantic_tokenizer),
+        decoder_config=_hf_qwen2_config(cfg_det.decoder),
+        diffusion_head_config=ref.configuration.VibeVoiceDiffusionHeadConfig(
+            hidden_size=h.hidden_size, head_layers=h.head_layers,
+            head_ffn_ratio=h.head_ffn_ratio, rms_norm_eps=h.rms_norm_eps,
+            latent_size=h.latent_size, prediction_type=h.prediction_type,
+            ddpm_num_steps=h.ddpm_num_steps,
+            ddpm_beta_schedule=h.ddpm_beta_schedule,
+            ddpm_batch_mul=h.ddpm_batch_mul),
+    )
+    model = ref.modeling.VibeVoiceForConditionalGeneration(vcfg)
+    sd = {k: torch.from_numpy(np.ascontiguousarray(v))
+          for k, v in state_dict.items()}
+    missing, unexpected = model.load_state_dict(sd, strict=False)
+    assert not unexpected, f"export produced extra tensors: {unexpected}"
+    assert not missing, f"reference composite misses tensors: {missing}"
+    model.eval()
+
+    # The reference's forward_speech_features has dead glue from the
+    # out-of-repo nnscaler trainer: `encode(...)[0][0]` subscripts a plain
+    # dataclass (modeling_vibevoice.py:289-291 vs tokenizer.py:954) and
+    # raises TypeError as written.  Wrap encode so the subscripts land on the
+    # distribution object; every numeric op stays the reference's own code.
+    tokenizer = model.model.acoustic_tokenizer
+    orig_encode = tokenizer.encode
+    tokenizer.encode = lambda x, **kw: ((orig_encode(x, **kw),),)
+    return model
+
+
+def _composite_inputs(cfg, seed=11, loss_rows=None):
+    """Shared fixture data for composite-forward parity.
+
+    Returns dict with dense (mine) and reference tensors; `loss_rows` selects
+    the speeches_loss_input per-sample flags (None -> all frames diffuse)."""
+    rng = np.random.default_rng(seed)
+    dec = cfg.decoder
+    B, T, F = 2, 24, 4
+    stride = cfg.acoustic_tokenizer.total_stride
+    mul = 2
+
+    input_ids = rng.integers(0, dec.vocab_size, (B, T), dtype=np.int64)
+    speech = rng.normal(0, 0.3, (B, F * stride)).astype(np.float32)
+    speech_masks = np.ones((B, F), bool)
+    sem_lat = rng.normal(0, 0.5, (B, F, cfg.semantic_vae_dim)).astype(np.float32)
+
+    acoustic_input_mask = np.zeros((B, T), bool)
+    acoustic_input_mask[0, 3:3 + F] = True
+    acoustic_input_mask[1, 6:6 + F] = True
+
+    if loss_rows is None:
+        loss_frames = speech_masks
+        acoustic_loss_mask = acoustic_input_mask
+    else:
+        loss_frames = speech_masks & np.asarray(loss_rows, bool)[:, None]
+        acoustic_loss_mask = acoustic_input_mask.copy()
+        for b in range(B):
+            if not loss_rows[b]:
+                acoustic_loss_mask[b] = False
+
+    n_dense = B * T * mul
+    lat_size = cfg.diffusion_head.latent_size
+    noise_dense = rng.normal(0, 1, (n_dense, lat_size)).astype(np.float32)
+    t_dense = rng.integers(0, cfg.diffusion_head.ddpm_num_steps, n_dense,
+                           dtype=np.int64)
+    mask_rep = np.repeat(acoustic_loss_mask.reshape(-1), mul)
+    return dict(B=B, T=T, F=F, mul=mul, input_ids=input_ids, speech=speech,
+                speech_masks=speech_masks, sem_lat=sem_lat,
+                acoustic_input_mask=acoustic_input_mask,
+                acoustic_loss_mask=acoustic_loss_mask,
+                noise_dense=noise_dense, t_dense=t_dense,
+                ref_noise=noise_dense[mask_rep], ref_t=t_dense[mask_rep],
+                loss_rows=loss_rows)
+
+
+def _run_ref_composite(ref_composite, d, monkeypatch, with_semantic):
+    import torch
+
+    injected_noise = torch.from_numpy(d["ref_noise"])
+    injected_t = torch.from_numpy(d["ref_t"])
+    real_randn = torch.randn
+
+    def fake_randn(*shape, **kw):
+        if len(shape) == 1 and isinstance(shape[0], (tuple, list, torch.Size)):
+            shape = tuple(shape[0])
+        if tuple(shape) == tuple(injected_noise.shape):
+            return injected_noise.clone()
+        # σ-VAE per-batch std draw — multiplied by fix_std=0, value irrelevant
+        return torch.zeros(shape, **{k: v for k, v in kw.items()
+                                     if k in ("dtype", "device")})
+
+    def fake_multinomial(weights, n, replacement=False, **kw):
+        assert n == injected_t.shape[0]
+        return injected_t.clone()
+
+    monkeypatch.setattr(torch, "randn", fake_randn)
+    monkeypatch.setattr(torch, "multinomial", fake_multinomial)
+    try:
+        with torch.no_grad():
+            out = ref_composite(
+                input_ids=torch.from_numpy(d["input_ids"]),
+                attention_mask=torch.ones(d["B"], d["T"], dtype=torch.long),
+                speech_tensors=torch.from_numpy(d["speech"]),
+                speech_masks=torch.from_numpy(d["speech_masks"]),
+                speech_semantic_tensors=torch.from_numpy(d["sem_lat"]),
+                acoustic_input_mask=torch.from_numpy(d["acoustic_input_mask"]),
+                acoustic_loss_mask=torch.from_numpy(d["acoustic_loss_mask"]),
+                speeches_loss_input=None if d["loss_rows"] is None
+                else torch.from_numpy(np.asarray(d["loss_rows"], bool)),
+                ddpm_batch_mul=d["mul"])
+    finally:
+        monkeypatch.setattr(torch, "randn", real_randn)
+    return out
+
+
+def _run_mine_composite(params, cfg, d, with_semantic):
+    return vibevoice.training_forward(
+        params, cfg, jax.random.PRNGKey(0),
+        jnp.asarray(d["input_ids"]), jnp.ones((d["B"], d["T"]), jnp.int32),
+        jnp.asarray(d["speech"]), jnp.asarray(d["speech_masks"]),
+        jnp.asarray(d["acoustic_input_mask"]),
+        jnp.asarray(d["acoustic_loss_mask"]),
+        speech_semantic_tensors=jnp.asarray(d["sem_lat"])
+        if with_semantic else None,
+        ddpm_batch_mul=d["mul"],
+        speeches_loss_input=None if d["loss_rows"] is None
+        else jnp.asarray(np.asarray(d["loss_rows"], bool)),
+        diffusion_timesteps=jnp.asarray(d["t_dense"]),
+        diffusion_noise=jnp.asarray(d["noise_dense"]))
+
+
+def test_composite_training_forward_parity(ref_composite, params, cfg_det,
+                                           monkeypatch):
+    """All-frames-diffuse path (speeches_loss_input=None).  NOTE the reference
+    computes-but-ignores semantic features on this path
+    (modeling_vibevoice.py:360 vs :377-383), so mine runs without them."""
+    d = _composite_inputs(cfg_det, seed=11, loss_rows=None)
+    ref_out = _run_ref_composite(ref_composite, d, monkeypatch,
+                                 with_semantic=False)
+    mine = _run_mine_composite(params, cfg_det, d, with_semantic=False)
+
+    np.testing.assert_allclose(np.asarray(mine["logits"]),
+                               ref_out.logits.numpy(), rtol=5e-4, atol=5e-5)
+    np.testing.assert_allclose(float(mine["diffusion_loss"]),
+                               float(ref_out.diffusion_loss), rtol=5e-4)
+
+
+def test_composite_training_forward_parity_loss_subset(ref_composite, params,
+                                                       cfg_det, monkeypatch):
+    """speeches_loss_input branch: only sample 0's frames diffuse; semantic
+    features ARE spliced on this branch (modeling_vibevoice.py:369-373)."""
+    d = _composite_inputs(cfg_det, seed=12, loss_rows=[True, False])
+    ref_out = _run_ref_composite(ref_composite, d, monkeypatch,
+                                 with_semantic=True)
+    mine = _run_mine_composite(params, cfg_det, d, with_semantic=True)
+
+    np.testing.assert_allclose(np.asarray(mine["logits"]),
+                               ref_out.logits.numpy(), rtol=5e-4, atol=5e-5)
+    np.testing.assert_allclose(float(mine["diffusion_loss"]),
+                               float(ref_out.diffusion_loss), rtol=5e-4)
+
+
+def test_calibration_parity(ref_composite, params, cfg_det, monkeypatch):
+    """First-batch scaling/bias calibration: the reference computes
+    1/std and -mean over masked latents in-forward when the buffers are NaN
+    (modeling_vibevoice.py:307-323); calibrate_scaling must agree."""
+    import torch
+
+    d = _composite_inputs(cfg_det, seed=13, loss_rows=None)
+    ref_composite.model.speech_scaling_factor.fill_(float("nan"))
+    ref_composite.model.speech_bias_factor.fill_(float("nan"))
+    try:
+        _run_ref_composite(ref_composite, d, monkeypatch, with_semantic=False)
+        ref_scale = float(ref_composite.model.speech_scaling_factor)
+        ref_bias = float(ref_composite.model.speech_bias_factor)
+    finally:
+        ref_composite.model.speech_scaling_factor.fill_(1.3)
+        ref_composite.model.speech_bias_factor.fill_(-0.05)
+
+    lat, _ = tok.encode(params["acoustic"]["encoder"], cfg_det.acoustic_tokenizer,
+                        jnp.asarray(d["speech"])[..., None])
+    scale, bias = vibevoice.calibrate_scaling(lat, jnp.asarray(d["speech_masks"]))
+    np.testing.assert_allclose(float(scale), ref_scale, rtol=1e-4)
+    np.testing.assert_allclose(float(bias), ref_bias, rtol=1e-4)

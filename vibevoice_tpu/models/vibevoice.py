@@ -75,7 +75,10 @@ def training_forward(params: dict, cfg: VibeVoiceConfig, rng: jax.Array,
                      acoustic_input_mask: Optional[jax.Array],
                      acoustic_loss_mask: Optional[jax.Array],
                      speech_semantic_tensors: Optional[jax.Array] = None,
-                     ddpm_batch_mul: int = 1) -> dict:
+                     ddpm_batch_mul: int = 1,
+                     speeches_loss_input: Optional[jax.Array] = None,
+                     diffusion_timesteps: Optional[jax.Array] = None,
+                     diffusion_noise: Optional[jax.Array] = None) -> dict:
     """Training forward: returns dict(logits, diffusion_loss).
 
     Contract of VibeVoiceForConditionalGeneration.forward
@@ -143,6 +146,13 @@ def training_forward(params: dict, cfg: VibeVoiceConfig, rng: jax.Array,
         loss_mask = acoustic_loss_mask.reshape(-1)                   # [B*T]
         # latents aligned to token positions, same compaction as above
         flat_lat = speech_features.reshape(-1, speech_features.shape[-1])
+        if speeches_loss_input is not None:
+            # only flagged samples' frames get diffusion loss; every valid
+            # frame is still spliced into the stream
+            # (modeling_vibevoice.py:361-377: speeches_loss_input & speech_masks)
+            loss_frames = (speeches_loss_input[:, None].astype(bool)
+                           & speech_masks.astype(bool)).reshape(-1)
+            order = jnp.argsort(~loss_frames, stable=True)
         lat_compact = flat_lat[order]
         lat_at_tok = lat_compact[jnp.clip(jnp.cumsum(loss_mask) - 1, 0,
                                           lat_compact.shape[0] - 1)]
@@ -156,8 +166,15 @@ def training_forward(params: dict, cfg: VibeVoiceConfig, rng: jax.Array,
         abar = jnp.asarray(make_alphas_cumprod(
             cfg.diffusion_head.ddpm_beta_schedule, cfg.diffusion_head.ddpm_num_steps),
             jnp.float32)
-        timesteps = jax.random.randint(rng_t, (n,), 0, cfg.diffusion_head.ddpm_num_steps)
-        noise = jax.random.normal(rng_noise, lat_rep.shape, jnp.float32)
+        # injection hooks (dense [B*T*mul] layout) let parity tests feed both
+        # stacks identical randomness; production callers leave them None
+        if diffusion_timesteps is None:
+            diffusion_timesteps = jax.random.randint(
+                rng_t, (n,), 0, cfg.diffusion_head.ddpm_num_steps)
+        if diffusion_noise is None:
+            diffusion_noise = jax.random.normal(rng_noise, lat_rep.shape, jnp.float32)
+        timesteps = diffusion_timesteps
+        noise = diffusion_noise
         noisy = add_noise(abar, lat_rep, noise, timesteps)
         pred = diffusion_head.apply(params["diffusion_head"], cfg.diffusion_head,
                                     noisy.astype(cond.dtype),
@@ -189,7 +206,9 @@ def calibrate_scaling(latents: jax.Array, masks: jax.Array,
     m = masks[..., None].astype(jnp.float32)
     cnt = jnp.maximum(jnp.sum(m) * latents.shape[-1], 1.0)
     mean = jnp.sum(latents * m) / cnt
-    var = jnp.sum(jnp.square(latents - mean) * m) / cnt
+    # torch.Tensor.std() applies Bessel's correction (unbiased, n-1); the
+    # reference's scaling factor bakes that into the checkpoint contract
+    var = jnp.sum(jnp.square(latents - mean) * m) / jnp.maximum(cnt - 1.0, 1.0)
     scaling = 1.0 / jnp.sqrt(var)
     bias = -mean
     if axis_name is not None:
