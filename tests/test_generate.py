@@ -277,3 +277,25 @@ def test_assemble_state_leaves_own_distinct_buffers(model):
     ptrs = [l.unsafe_buffer_pointer() for l in jax.tree.leaves(state)
             if hasattr(l, "unsafe_buffer_pointer")]
     assert len(ptrs) == len(set(ptrs)), "aliased GenState leaf buffers"
+
+
+def test_streamer_bounds_chunk_cadence(model):
+    """With a live audio streamer the adaptive chunk growth is bounded by
+    ``max_gap_s`` (VERDICT r2 item 4): a tiny bound pins every chunk at the
+    base ``chunk_steps``; an explicit ``max_gap_s=None`` (or no streamer)
+    lets steady-state chunks grow to ``chunk_steps_max``."""
+    from vibevoice_tpu.streamer import AudioStreamer
+
+    ids = _prompt(1, 12)
+    kw = dict(cfg_scale=1.3, max_new_tokens=24, chunk_steps=2,
+              chunk_steps_max=16, max_length_times=1000.0, seed=0)
+
+    streamer = AudioStreamer(batch_size=1)
+    model.generate(ids, audio_streamer=streamer, max_gap_s=1e-9, **kw)
+    assert set(model.last_chunk_sizes) == {2}, model.last_chunk_sizes
+
+    model.generate(ids, max_gap_s=None, **kw)
+    sizes = model.last_chunk_sizes
+    assert sizes[:2] == [2, 2], sizes
+    if len(sizes) > 2:          # (all rows may finish inside the warmup)
+        assert max(sizes) == 16, sizes

@@ -271,3 +271,72 @@ def test_quantized_sharded_generation():
     assert wq["q"].sharding.spec[-1] == "tp"
     out2 = gen2.generate(ids, **kw)
     np.testing.assert_array_equal(out1.sequences, out2.sequences)
+
+
+def test_int4_sharded_matmul_kernel_matches_dequant():
+    """int4_matmul_sharded keeps the Pallas quant kernel under a mesh
+    (VERDICT r2 item 2): column-parallel weight, per-shard kernel (interpret
+    mode on the CPU mesh), output matches the dequantized matmul to bf16-dot
+    tolerance.  Covers the plain and layer-stacked (_lyr) leaf forms."""
+    from vibevoice_tpu.ops import int4
+
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.normal(0, 1.0, (8, 512)).astype(np.float32))
+    mesh = make_mesh(8, tp=2)
+
+    w = jnp.asarray(rng.normal(0, 0.05, (512, 256)).astype(np.float32))
+    qw = int4.quantize_weight_int4c(w)
+    y_ref = x @ int4.dequantize_weight_int4c(qw, jnp.float32)
+    y = int4.int4_matmul_sharded(x, qw, mesh, batch_on_dp=True)
+    np.testing.assert_allclose(np.asarray(y), np.asarray(y_ref),
+                               rtol=2e-2, atol=2e-2)
+
+    # stacked leaf addressed by scalar prefetch, layer 1 of 3
+    ws = jnp.asarray(rng.normal(0, 0.05, (3, 512, 256)).astype(np.float32))
+    qs = int4.quantize_weight_int4c(ws)
+    leaf = {"q4c": qs["q4c"], "s4c": qs["s4c"], "_lyr": jnp.int32(1)}
+    y_ref = x @ int4.dequantize_weight_int4c(
+        {"q4c": qs["q4c"][1], "s4c": qs["s4c"][1]}, jnp.float32)
+    y = int4.int4_matmul_sharded(x, leaf, mesh, batch_on_dp=True)
+    np.testing.assert_allclose(np.asarray(y), np.asarray(y_ref),
+                               rtol=2e-2, atol=2e-2)
+
+
+def test_int4_sharded_generation_matches_single():
+    """int4c LM + TP mesh: quantized leaves land column-parallel (the layout
+    the per-shard Pallas matmul requires), meshed generation is token-exact
+    vs single-device, and the meshed generator does NOT degrade the
+    process-wide int4 dispatch (per-generator impl, not set_impl global)."""
+    from vibevoice_tpu.generation.generate import VibeVoiceGenerator
+    from vibevoice_tpu.ops import int4
+    from vibevoice_tpu.ops.quant import quantize_lm_params
+    from vibevoice_tpu.processor.text_tokenizer import ByteFallbackTokenizer
+
+    tk = ByteFallbackTokenizer()
+    params = vibevoice.init_params(jax.random.PRNGKey(11), CFG, jnp.float32)
+    params = dict(params)
+    params["lm"] = quantize_lm_params(params["lm"], bits=4, colscale=True)
+    assert any("q4c" in leaf for leaf in params["lm"]["layers"].values()
+               if isinstance(leaf, dict)), "tiny LM should quantize to int4c"
+    rs = np.random.RandomState(5)
+    ids = rs.randint(20, 200, (2, 20))
+    ids[:, -1] = tk.speech_start_id
+    kw = dict(cfg_scale=1.3, max_new_tokens=6, chunk_steps=3,
+              max_length_times=1000.0, seed=2)
+
+    out1 = VibeVoiceGenerator(params, CFG, tk, ddpm_inference_steps=3,
+                              lm_dtype=jnp.float32).generate(ids, **kw)
+    mesh = make_mesh(8, tp=2)
+    gen2 = VibeVoiceGenerator(params, CFG, tk, ddpm_inference_steps=3,
+                              lm_dtype=jnp.float32, mesh=mesh)
+    wq = gen2.params["lm"]["layers"]["wq"]
+    assert wq["q4c"].sharding.spec[-1] == "tp", wq["q4c"].sharding
+    # constructing the meshed generator must not pin the process default
+    assert int4.current_impl() == "auto"
+    out2 = gen2.generate(ids, **kw)
+    np.testing.assert_array_equal(out1.sequences, out2.sequences)
+    for a, bw in zip(out1.speech_outputs, out2.speech_outputs):
+        if a is None:
+            assert bw is None
+        else:
+            np.testing.assert_allclose(a, bw, atol=2e-4)

@@ -31,6 +31,7 @@ from __future__ import annotations
 
 import time
 from dataclasses import dataclass
+import functools
 from functools import partial
 from typing import Any, Callable, Dict, List, Optional
 
@@ -166,14 +167,18 @@ class VibeVoiceGenerator:
                         else embed.dtype)
         self.mesh = mesh
         self.kv_tp = False
+        # trace-time int4 dispatch, scoped to THIS generator's jit traces
+        # (ops/int4.py impl_scope): meshed GSPMD programs trace under 'xla'
+        # because GSPMD cannot auto-partition a pallas_call — but the decode
+        # step's quantized LM matmuls route through the per-shard Pallas
+        # wrapper (int4_matmul_sharded), so the quant speed tier survives
+        # sharded serving; other generators in the process are unaffected.
+        self._int4_impl = "xla" if mesh is not None else "auto"
         if mesh is not None:
-            from ..ops import int4
             from ..parallel.sharding import infer_kv_tp, shard_params
             self.kv_tp = infer_kv_tp(cfg.decoder, mesh)
-            params = shard_params(params, mesh, kv_tp=self.kv_tp)
-            # GSPMD cannot auto-partition a pallas_call: int4 matmuls lower
-            # through the XLA dequant path when serving sharded
-            int4.set_impl("xla")
+            params = shard_params(params, mesh, kv_tp=self.kv_tp,
+                                  int4_colwise=True)
         self.params = params
         self.cfg = cfg
         self.tokenizer = tokenizer
@@ -251,6 +256,21 @@ class VibeVoiceGenerator:
         self.solver_cfg = dc.replace(self.solver_cfg, **overrides)
         self.sched = make_schedule(self.solver_cfg, self.ddpm_steps)
         self._chunk_jit.clear()
+
+    def _scoped(self, fn):
+        """Run ``fn`` (a jitted callable) under this generator's int4 impl
+        scope — dispatch inside ops/int4.py happens at TRACE time, so the
+        scope only matters on a call that triggers compilation; steady-state
+        calls hit the jit cache through a ~100 ns contextvar set/reset."""
+        from ..ops import int4
+        impl = self._int4_impl
+
+        @functools.wraps(fn)
+        def wrapped(*a, **k):
+            with int4.impl_scope(impl):
+                return fn(*a, **k)
+
+        return wrapped
 
     # ------------------------------------------------------------------
     # sharding helpers
@@ -465,7 +485,7 @@ class VibeVoiceGenerator:
             smask_p[0, pb - p_len:] = smask[0, start:prefix_end]
             pj_key = (pb, speech_tensors.shape)
             if pj_key not in self._prefix_jit:
-                self._prefix_jit[pj_key] = self._build_prefix_prefill(pb)
+                self._prefix_jit[pj_key] = self._scoped(self._build_prefix_prefill(pb))
             # latent rng from the prefix content, NOT the request seed: the
             # stored K/V must be request-independent
             k_lat = jnp.asarray(pc.latent_rng_key(key), jnp.uint32)
@@ -515,8 +535,8 @@ class VibeVoiceGenerator:
 
         sj_key = (s_bucket, cache_len)
         if sj_key not in self._suffix_jit:
-            self._suffix_jit[sj_key] = self._build_suffix_prefill(
-                s_bucket, cache_len)
+            self._suffix_jit[sj_key] = self._scoped(self._build_suffix_prefill(
+                s_bucket, cache_len))
         with timer.stage("prefill"):
             cache = qwen2.init_kv_cache(cfg.decoder, 2 * b, cache_len,
                                         self.lm_dtype, quant=self.kv_quant)
@@ -579,6 +599,10 @@ class VibeVoiceGenerator:
             neg_h = state.last_hidden[b:]
 
             # ---- constrained token sampling --------------------------------
+            # stage_* named scopes land in XLA op metadata so a profiled run
+            # can attribute device time per stage (bench step_frac_* keys,
+            # utils/profile_report.aggregate_stages)
+            scope = jax.named_scope
             logits = pos_h.astype(jnp.float32) @ w_valid           # [B, n_valid]
             if do_sample:
                 logits = logits / max(temperature, 1e-5)
@@ -631,49 +655,53 @@ class VibeVoiceGenerator:
 
             # ---- per-token diffusion with CFG (inference:695-708) -----------
             cond2 = jnp.concatenate([pos_h, neg_h], axis=0)        # [2B, H]
-            # AdaLN modulations depend only on (condition, t): compute them
-            # once for all solver timesteps so the scan re-reads only the
-            # x-dependent FFN weights (~half the head bytes per iteration)
-            layer_mods, final_mods = diffusion_head.precompute_modulations(
-                params["diffusion_head"], cfg.diffusion_head,
-                jnp.asarray(sched.timesteps), cond2)
+            with scope("stage_diffusion"):
+                # AdaLN modulations depend only on (condition, t): compute them
+                # once for all solver timesteps so the scan re-reads only the
+                # x-dependent FFN weights (~half the head bytes per iteration)
+                layer_mods, final_mods = diffusion_head.precompute_modulations(
+                    params["diffusion_head"], cfg.diffusion_head,
+                    jnp.asarray(sched.timesteps), cond2)
 
-            def denoise(x, t, i):
-                xx = jnp.concatenate([x, x], axis=0).astype(pos_h.dtype)
-                out = diffusion_head.apply_with_mods(
-                    params["diffusion_head"], cfg.diffusion_head, xx,
-                    layer_mods[i], final_mods[i])
-                c, u = out[:b].astype(jnp.float32), out[b:].astype(jnp.float32)
-                return u + cfg_scale * (c - u)
+                def denoise(x, t, i):
+                    xx = jnp.concatenate([x, x], axis=0).astype(pos_h.dtype)
+                    out = diffusion_head.apply_with_mods(
+                        params["diffusion_head"], cfg.diffusion_head, xx,
+                        layer_mods[i], final_mods[i])
+                    c, u = out[:b].astype(jnp.float32), out[b:].astype(jnp.float32)
+                    return u + cfg_scale * (c - u)
 
-            x_t = jax.vmap(lambda k: jax.random.normal(
-                k, (cfg.acoustic_vae_dim,), jnp.float32))(k_lat_rows)
-            # per-row SDE noise keys: stream 3 of the row-position fold (the
-            # SDE solver variants are row-deterministic too — a row's audio
-            # never depends on when it joined a batch or who its mates are)
-            k_sde_rows = jax.vmap(jax.random.fold_in)(
-                step_keys, jnp.full((b,), 3, jnp.uint32))
-            latent = sample_with_solver(sched, denoise, x_t, rng=k_sde_rows,
-                                        with_index=True)  # [B, D]
+                x_t = jax.vmap(lambda k: jax.random.normal(
+                    k, (cfg.acoustic_vae_dim,), jnp.float32))(k_lat_rows)
+                # per-row SDE noise keys: stream 3 of the row-position fold (the
+                # SDE solver variants are row-deterministic too — a row's audio
+                # never depends on when it joined a batch or who its mates are)
+                k_sde_rows = jax.vmap(jax.random.fold_in)(
+                    step_keys, jnp.full((b,), 3, jnp.uint32))
+                latent = sample_with_solver(sched, denoise, x_t, rng=k_sde_rows,
+                                            with_index=True)  # [B, D]
 
             # ---- streaming vocode (inference:633-641) -----------------------
             # conv compute follows the tokenizer PARAM dtype (bf16 at serving,
             # like the reference's torch_dtype=bf16 modules; norms still do
             # fp32 internals) — fp32 here would double the per-step conv tail
-            s, bia = self._scale_bias(params)
-            scaled = (latent / s - bia).astype(self.tok_dtype)
-            audio, ac_new = tok.decode(params["acoustic"]["decoder"],
-                                       cfg.acoustic_tokenizer,
-                                       scaled[:, None, :], ac_state)
-            keep = diffuse[:, None, None]
-            ac_state = jax.tree.map(lambda n, o: jnp.where(keep, n, o),
-                                    ac_new, ac_state)
+            with scope("stage_vocode"):
+                s, bia = self._scale_bias(params)
+                scaled = (latent / s - bia).astype(self.tok_dtype)
+                audio, ac_new = tok.decode(params["acoustic"]["decoder"],
+                                           cfg.acoustic_tokenizer,
+                                           scaled[:, None, :], ac_state)
+                keep = diffuse[:, None, None]
+                ac_state = jax.tree.map(lambda n, o: jnp.where(keep, n, o),
+                                        ac_new, ac_state)
 
             # ---- semantic re-encode (inference:655-662) ---------------------
-            sem, sem_new = tok.encode(params["semantic"], cfg.semantic_tokenizer,
-                                      audio, sem_state)
-            sem_state = jax.tree.map(lambda n, o: jnp.where(keep, n, o),
-                                     sem_new, sem_state)
+            with scope("stage_semantic"):
+                sem, sem_new = tok.encode(params["semantic"],
+                                          cfg.semantic_tokenizer,
+                                          audio, sem_state)
+                sem_state = jax.tree.map(lambda n, o: jnp.where(keep, n, o),
+                                         sem_new, sem_state)
 
             # ---- next input embedding (inference:565-673) -------------------
             tok_embed = qwen2.embed_tokens(params["lm"], token).astype(self.lm_dtype)
@@ -692,10 +720,12 @@ class VibeVoiceGenerator:
             if self.decode_impl == "pallas_shmap" and self.mesh is not None:
                 shard_ctx = (self.mesh, self.kv_tp,
                              b2 % self.mesh.shape.get("dp", 1) == 0)
-            hidden, cache = qwen2.decode_step(
-                params["lm"], cfg.decoder, embeds2b, positions=positions,
-                write_idx=w_idx, kv_start=state.kv_start, kv_len=w_idx + 1,
-                cache=state.cache, impl=self.decode_impl, shard_ctx=shard_ctx)
+            with scope("stage_lm"):
+                hidden, cache = qwen2.decode_step(
+                    params["lm"], cfg.decoder, embeds2b, positions=positions,
+                    write_idx=w_idx, kv_start=state.kv_start, kv_len=w_idx + 1,
+                    cache=state.cache, impl=self.decode_impl,
+                    shard_ctx=shard_ctx)
 
             new_state = GenState(
                 cache=cache, kv_start=state.kv_start, pos_len=state.pos_len + 1,
@@ -814,7 +844,7 @@ class VibeVoiceGenerator:
         pf_key = (t_bucket, cache_len, has_speech,
                   None if not has_speech else np.asarray(speech_tensors).shape)
         if pf_key not in self._prefill_jit:
-            self._prefill_jit[pf_key] = self._build_prefill(t_bucket, cache_len, has_speech)
+            self._prefill_jit[pf_key] = self._scoped(self._build_prefill(t_bucket, cache_len, has_speech))
         prefill_fn = self._prefill_jit[pf_key]
         with timer.stage("prefill"):
             pf_in = self._put_batched((
@@ -945,6 +975,7 @@ class VibeVoiceGenerator:
                  stop_check_fn: Optional[Callable[[], bool]] = None,
                  chunk_steps: int = 8,
                  chunk_steps_max: Optional[int] = None,
+                 max_gap_s: Optional[float] = None,
                  return_speech: bool = True,
                  show_progress_bar: bool = False,
                  verbose: bool = False,
@@ -1003,9 +1034,9 @@ class VibeVoiceGenerator:
             key = (k_steps, do_sample, temperature, top_p, top_k,
                    refresh_negative, b, cur_cache_len)
             if key not in self._chunk_jit:
-                self._chunk_jit[key] = self._build_chunk(
+                self._chunk_jit[key] = self._scoped(self._build_chunk(
                     key, k_steps, do_sample, temperature, top_p,
-                    refresh_negative, top_k=top_k)
+                    refresh_negative, top_k=top_k))
             return self._chunk_jit[key]
 
         all_tokens: List[np.ndarray] = []
@@ -1045,16 +1076,55 @@ class VibeVoiceGenerator:
             return state
 
         # adaptive chunking: the first two chunks use the small `chunk_steps`
-        # (fast first audio), then switch to `chunk_steps_max` for steady-state
-        # throughput (fewer host syncs) — both programs cache independently
+        # (fast first audio), then grow toward `chunk_steps_max` for
+        # steady-state throughput (fewer host syncs).  With a live consumer
+        # the big chunk emits audio in ~0.5 s bursts, so when an
+        # audio_streamer is attached the growth is BOUNDED: chunk sizes come
+        # from a power-of-2 ladder (each size compiles once) and the pick is
+        # the largest whose estimated wall time stays under ``max_gap_s``
+        # (default 0.25 s with a streamer; None = unbounded).  Matches the
+        # reference's live-playback chunk buffering intent (main.py:913-999).
         big_chunk = max(chunk_steps_max or chunk_steps, chunk_steps)
+        if max_gap_s is None and audio_streamer is not None:
+            max_gap_s = 0.25
+        ladder = [chunk_steps]
+        while ladder[-1] * 2 < big_chunk:
+            ladder.append(ladder[-1] * 2)
+        if big_chunk > ladder[-1]:
+            ladder.append(big_chunk)
+        step_time_ema: Optional[float] = None
+        self.last_chunk_sizes: List[int] = []
         n_dispatched = 0
+
+        def note_chunk_period(dt: float, k: int) -> None:
+            """EMA of per-step wall time from observed chunk periods (in
+            steady state the double-buffered fetch period == chunk device
+            time).  Compile stalls inflate one sample; clamp their weight."""
+            nonlocal step_time_ema
+            est = dt / max(k, 1)
+            if step_time_ema is None:
+                step_time_ema = est
+            else:
+                step_time_ema = 0.5 * step_time_ema + 0.5 * min(
+                    est, 4.0 * step_time_ema)
+
+        def pick_k() -> int:
+            if n_dispatched < 2:
+                return chunk_steps
+            if max_gap_s is None or step_time_ema is None:
+                return big_chunk
+            best = chunk_steps
+            for k in ladder:
+                if k * step_time_ema <= max_gap_s:
+                    best = max(best, k)
+            return best
 
         def dispatch(state, dispatched):
             """Enqueue one chunk (async — JAX dispatch returns futures).
             Returns (state, out_future, chunk_len)."""
             nonlocal cache_len, n_dispatched
-            k_steps = chunk_steps if n_dispatched < 2 else big_chunk
+            k_steps = pick_k()
+            self.last_chunk_sizes.append(k_steps)
             n_dispatched += 1
             need = t_bucket + dispatched + k_steps + 2
             if need > cache_len and cache_len < cache_len_final:
@@ -1074,6 +1144,7 @@ class VibeVoiceGenerator:
         # discarded (its steps are all-eos no-ops past `finished`).
         steps_done = 0
         out = None
+        t_prev_fetch = time.perf_counter()
         if max_steps > 0 and not should_stop():
             state, out, out_k = dispatch(state, 0)
             steps_done = out_k
@@ -1092,6 +1163,9 @@ class VibeVoiceGenerator:
                     out_k, b, self.frame_samples)
                 diff = np.asarray(out.diffused).reshape(out_k, b)
                 fin = np.asarray(out.finished).reshape(out_k, b)
+            now = time.perf_counter()
+            note_chunk_period(now - t_prev_fetch, out_k)
+            t_prev_fetch = now
             all_tokens.append(toks)
 
             for si in range(toks.shape[0]):

@@ -235,11 +235,18 @@ def _layer(x, lp, lyr, cfg: Qwen2DecoderConfig, cos, sin, cache_k, cache_v,
     dh = cfg.resolved_head_dim
     hq, hkv = cfg.num_attention_heads, cfg.num_key_value_heads
 
+    # meshed decode: int4-family matmuls go through the per-shard Pallas
+    # wrapper (weights column-parallel, see parallel/sharding.py
+    # _colwise_spec4); dense/int8 dots stay GSPMD-partitioned
+    qctx = None
+    if decode and decode_impl == "pallas_shmap" and shard_ctx is not None:
+        qctx = (shard_ctx[0], shard_ctx[2])           # (mesh, batch_on_dp)
+
     resid = x
     y = rms_norm(x, lp["ln1"], cfg.rms_norm_eps)
-    q = (qmatmul(y, lp["wq"]) + lp["bq"]).reshape(b, t, hq, dh)
-    k = (qmatmul(y, lp["wk"]) + lp["bk"]).reshape(b, t, hkv, dh)
-    v = (qmatmul(y, lp["wv"]) + lp["bv"]).reshape(b, t, hkv, dh)
+    q = (qmatmul(y, lp["wq"], qctx) + lp["bq"]).reshape(b, t, hq, dh)
+    k = (qmatmul(y, lp["wk"], qctx) + lp["bk"]).reshape(b, t, hkv, dh)
+    v = (qmatmul(y, lp["wv"], qctx) + lp["bv"]).reshape(b, t, hkv, dh)
     q = apply_rope(q, cos, sin)
     k = apply_rope(k, cos, sin)
 
@@ -273,11 +280,12 @@ def _layer(x, lp, lyr, cfg: Qwen2DecoderConfig, cos, sin, cache_k, cache_v,
         else:
             attn = attend(q, k, v, mask=attn_mask)
 
-    x = resid + qmatmul(attn.reshape(b, t, hq * dh), lp["wo"])
+    x = resid + qmatmul(attn.reshape(b, t, hq * dh), lp["wo"], qctx)
     resid = x
     y = rms_norm(x, lp["ln2"], cfg.rms_norm_eps)
-    x = resid + qmatmul(jax.nn.silu(qmatmul(y, lp["wg"])) * qmatmul(y, lp["wu"]),
-                        lp["wd"])
+    x = resid + qmatmul(jax.nn.silu(qmatmul(y, lp["wg"], qctx))
+                        * qmatmul(y, lp["wu"], qctx),
+                        lp["wd"], qctx)
     return x, cache_k, cache_v
 
 

@@ -35,6 +35,8 @@ accumulation order.
 
 from __future__ import annotations
 
+import contextlib
+import contextvars
 import functools
 import os
 from typing import Any, Dict, Optional, Tuple
@@ -46,17 +48,42 @@ from jax.experimental.pallas import tpu as pltpu
 
 GROUP = 16
 
-# 'auto' = Pallas on TPU, XLA elsewhere. Meshed serving sets 'xla' (GSPMD
-# cannot partition a pallas_call; the dequant+dot lowers fine sharded).
-_IMPL = os.environ.get("VIBEVOICE_INT4_IMPL", "auto")
+# 'auto' = Pallas on TPU, XLA elsewhere.  Dispatch happens at TRACE time, so
+# scoping works per-jit-build: a meshed generator traces its GSPMD programs
+# under impl_scope('xla') (GSPMD cannot partition a pallas_call) WITHOUT
+# degrading other generators in the process — its decode step instead routes
+# quantized LM matmuls through the shard_map wrapper below, which keeps the
+# Pallas kernel per shard.
+_IMPL_DEFAULT = os.environ.get("VIBEVOICE_INT4_IMPL", "auto")
+_IMPL_VAR: contextvars.ContextVar = contextvars.ContextVar(
+    "vibevoice_int4_impl", default=None)
 
 
 def set_impl(impl: str) -> None:
-    """'auto' | 'pallas' | 'xla' — trace-time dispatch for int4 matmuls.
-    Process-global: creating a meshed generator pins 'xla'."""
-    global _IMPL
+    """Set the process-default dispatch ('auto' | 'pallas' | 'xla').  Prefer
+    the scoped form (`impl_scope`) — this remains for tests/tools that really
+    mean the whole process."""
+    global _IMPL_DEFAULT
     assert impl in ("auto", "pallas", "xla"), impl
-    _IMPL = impl
+    _IMPL_DEFAULT = impl
+
+
+def current_impl() -> str:
+    return _IMPL_VAR.get() or _IMPL_DEFAULT
+
+
+@contextlib.contextmanager
+def impl_scope(impl: str):
+    """Scope the trace-time int4 dispatch to a with-block (thread-local).
+    Wrap jit *construction/tracing* sites; compiled executables are
+    unaffected.  'interpret' = the Pallas kernels in interpret mode (CPU
+    tests exercising the exact kernel math off-TPU)."""
+    assert impl in ("auto", "pallas", "xla", "interpret"), impl
+    tok = _IMPL_VAR.set(impl)
+    try:
+        yield
+    finally:
+        _IMPL_VAR.reset(tok)
 
 
 def is_quantized_int4(leaf: Any) -> bool:
@@ -713,12 +740,16 @@ def _layer_slice(qw: Dict[str, jax.Array], keys) -> Dict[str, jax.Array]:
 _PALLAS_MAX_ROWS = 32
 
 
-def int4c_matmul(x: jax.Array, qw: Dict[str, jax.Array]) -> jax.Array:
+def int4c_matmul(x: jax.Array, qw: Dict[str, jax.Array],
+                 impl: Optional[str] = None,
+                 interpret: bool = False) -> jax.Array:
     """x @ W for a per-column-scale int4 weight; x: [..., in].
 
     A leaf carrying "_lyr" is a layer-view of a [L, in/2, out] stack inside a
     layer scan: the pallas path addresses layer blocks via scalar prefetch
-    (no materialized slice)."""
+    (no materialized slice).  ``impl`` overrides the scoped dispatch
+    (int4_matmul_sharded passes 'pallas' per shard); ``interpret`` runs the
+    kernel in Pallas interpret mode (CPU-mesh tests)."""
     *lead, inn = x.shape
     half, out = qw["q4c"].shape[-2:]
     stacked = "_lyr" in qw and qw["q4c"].ndim == 3
@@ -726,7 +757,9 @@ def int4c_matmul(x: jax.Array, qw: Dict[str, jax.Array]) -> jax.Array:
     rows = 1
     for d in lead:
         rows *= d
-    impl = _IMPL
+    impl = impl or current_impl()
+    if impl == "interpret":
+        impl, interpret = "pallas", True
     if impl == "auto":
         impl = ("pallas" if jax.default_backend() == "tpu"
                 and rows <= _PALLAS_MAX_ROWS else "xla")
@@ -753,19 +786,23 @@ def int4c_matmul(x: jax.Array, qw: Dict[str, jax.Array]) -> jax.Array:
                       -127, 127).astype(jnp.int8)
         if stacked:
             y = _int4c_w4a8_matmul_stacked(xq, sx, qw["q4c"], qw["s4c"],
-                                           qw["_lyr"])
+                                           qw["_lyr"], interpret=interpret)
         else:
-            y = _int4c_w4a8_matmul_2d(xq, sx, qw["q4c"], qw["s4c"])
+            y = _int4c_w4a8_matmul_2d(xq, sx, qw["q4c"], qw["s4c"],
+                                      interpret=interpret)
     elif stacked:
-        y = _int4c_matmul_stacked(x2, qw["q4c"], qw["s4c"], qw["_lyr"])
+        y = _int4c_matmul_stacked(x2, qw["q4c"], qw["s4c"], qw["_lyr"],
+                                  interpret=interpret)
     else:
-        y = _int4c_matmul_2d(x2, qw["q4c"], qw["s4c"])
+        y = _int4c_matmul_2d(x2, qw["q4c"], qw["s4c"], interpret=interpret)
     if pad:
         y = y[:m]
     return y.reshape(*lead, out).astype(x.dtype)
 
 
-def int4_matmul(x: jax.Array, qw: Dict[str, jax.Array]) -> jax.Array:
+def int4_matmul(x: jax.Array, qw: Dict[str, jax.Array],
+                impl: Optional[str] = None,
+                interpret: bool = False) -> jax.Array:
     """x @ W for an int4-packed weight; x: [..., in]. Output in x.dtype.
     Leaves carrying "_lyr" are layer-views of a stack (see int4c_matmul)."""
     *lead, inn = x.shape
@@ -776,7 +813,9 @@ def int4_matmul(x: jax.Array, qw: Dict[str, jax.Array]) -> jax.Array:
     rows = 1
     for d in lead:
         rows *= d
-    impl = _IMPL
+    impl = impl or current_impl()
+    if impl == "interpret":
+        impl, interpret = "pallas", True
     if impl == "auto":
         impl = ("pallas" if jax.default_backend() == "tpu"
                 and rows <= _PALLAS_MAX_ROWS else "xla")
@@ -797,9 +836,63 @@ def int4_matmul(x: jax.Array, qw: Dict[str, jax.Array]) -> jax.Array:
         pad = 256 - m % 256
         x2 = jnp.pad(x2, ((0, pad), (0, 0)))
     if stacked:
-        y = _int4_matmul_stacked(x2, qw["q4"], qw["s4"], qw["_lyr"])
+        y = _int4_matmul_stacked(x2, qw["q4"], qw["s4"], qw["_lyr"],
+                                 interpret=interpret)
     else:
-        y = _int4_matmul_2d(x2, qw["q4"], qw["s4"])
+        y = _int4_matmul_2d(x2, qw["q4"], qw["s4"], interpret=interpret)
     if pad:
         y = y[:m]
     return y.reshape(*lead, out).astype(x.dtype)
+
+
+# ---------------------------------------------------------------------------
+# Sharded serving: per-shard Pallas matmul under shard_map
+# ---------------------------------------------------------------------------
+
+def int4_matmul_sharded(x: jax.Array, qw: Dict[str, jax.Array], mesh,
+                        batch_on_dp: bool = False,
+                        interpret: Optional[bool] = None) -> jax.Array:
+    """x @ W for an int4/int4c leaf with the weight's OUT axis sharded on
+    mesh axis 'tp' (column-parallel; the serving layout in
+    parallel/sharding.py when the Pallas decode path is active).
+
+    A pallas_call is opaque to GSPMD, so the kernel is mapped per shard with
+    shard_map: each tp shard runs the standard kernel on its complete
+    [in(/2), out/tp] weight block against the replicated activation — the
+    split-half nibble packing stays shard-local, no repacking, no collectives
+    inside the matmul.  The output comes back sharded on its last axis (and
+    on dp over rows when ``batch_on_dp``); surrounding GSPMD code
+    re-shards as needed.  Matches reference capability: quantized serving on
+    the multi-device layouts of main.py:349-397 +
+    configuration_vibevoice.py:175-183.
+    """
+    from jax.sharding import PartitionSpec as P
+    try:
+        from jax import shard_map
+    except ImportError:  # older jax
+        from jax.experimental.shard_map import shard_map
+
+    is_c = "q4c" in qw
+    wkeys = ("q4c", "s4c") if is_c else ("q4", "s4")
+    wspec = {k: P(*([None] * (qw[k].ndim - 1)), "tp") for k in wkeys}
+    if "_lyr" in qw:
+        wspec["_lyr"] = P()
+    dp = "dp" if batch_on_dp else None
+    xspec = P(dp, *([None] * (x.ndim - 1)))
+    ospec = P(dp, *([None] * (x.ndim - 2)), "tp")
+
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    # per-shard dispatch: force the kernel (that's the point), interpret off
+    # TPU so CPU-mesh tests execute the same kernel code numerically
+    fn = int4c_matmul if is_c else int4_matmul
+
+    def inner(x_, qw_):
+        return fn(x_, qw_, impl="pallas", interpret=interpret)
+
+    kwargs = dict(mesh=mesh, in_specs=(xspec, wspec), out_specs=ospec)
+    try:
+        mapped = shard_map(inner, check_vma=False, **kwargs)
+    except TypeError:  # older jax spells it check_rep
+        mapped = shard_map(inner, check_rep=False, **kwargs)
+    return mapped(x, qw)

@@ -58,8 +58,13 @@ def is_quantized(leaf: Any) -> bool:
     return isinstance(leaf, dict) and set(leaf.keys()) == {"q", "s"}
 
 
-def qmatmul(x: jax.Array, w: Any) -> jax.Array:
-    """x @ w where w is dense, int8 {q, s}, or int4 {q4, s4}."""
+def qmatmul(x: jax.Array, w: Any, shard_ctx=None) -> jax.Array:
+    """x @ w where w is dense, int8 {q, s}, or int4 {q4, s4}/{q4c, s4c}.
+
+    ``shard_ctx=(mesh, batch_on_dp)`` routes int4-family weights through the
+    per-shard Pallas matmul (ops/int4.py int4_matmul_sharded) — the meshed
+    serving path; dense/int8 weights ignore it (GSPMD partitions their dots
+    natively)."""
     if is_quantized(w):
         if _W8A8:
             sx = jnp.max(jnp.abs(x.astype(jnp.float32)), axis=-1, keepdims=True)
@@ -72,12 +77,13 @@ def qmatmul(x: jax.Array, w: Any) -> jax.Array:
             return (y.astype(jnp.float32) * sx * w["s"]).astype(x.dtype)
         y = jnp.dot(x, w["q"].astype(x.dtype), preferred_element_type=jnp.float32)
         return (y * w["s"]).astype(x.dtype)
-    from .int4 import (int4_matmul, int4c_matmul, is_quantized_int4,
-                       is_quantized_int4c)
-    if is_quantized_int4(w):
-        return int4_matmul(x, w)
-    if is_quantized_int4c(w):
-        return int4c_matmul(x, w)
+    from .int4 import (int4_matmul, int4_matmul_sharded, int4c_matmul,
+                       is_quantized_int4, is_quantized_int4c)
+    if is_quantized_int4(w) or is_quantized_int4c(w):
+        if shard_ctx is not None:
+            mesh, batch_on_dp = shard_ctx
+            return int4_matmul_sharded(x, w, mesh, batch_on_dp=batch_on_dp)
+        return int4_matmul(x, w) if is_quantized_int4(w) else int4c_matmul(x, w)
     return x @ w
 
 

@@ -57,22 +57,43 @@ def _is_quantized4(leaf) -> bool:
     return isinstance(leaf, dict) and set(leaf.keys()) == {"q4", "s4"}
 
 
+def _is_quantized4c(leaf) -> bool:
+    return isinstance(leaf, dict) and set(leaf.keys()) == {"q4c", "s4c"}
+
+
 def _quantize_spec(spec: P) -> dict:
     """Spec for an int8 {q, s} leaf: q inherits the weight spec; the
     per-output-channel scale [..., out] keeps the leading and output axes."""
     return {"q": spec, "s": P(*([*spec][:-2] + [spec[-1]]))}
 
 
-def _quantize_spec4(spec: P) -> dict:
-    """Spec for an int4 {q4, s4} leaf: both keep the weight's [..., in, out]
-    rank (q4's in-axis is nibble-halved, s4's is group-divided; _fit_spec
-    drops any axis whose shard count no longer divides)."""
-    return {"q4": spec, "s4": spec}
+def _quantize_spec4(spec: P, leaf: dict) -> dict:
+    """Spec for an int4 {q4, s4} / int4c {q4c, s4c} leaf: every member keeps
+    the weight's [..., in, out] rank (q4's in-axis is nibble-halved, s4's is
+    group-divided, s4c's is 1; _fit_spec drops any axis whose shard count no
+    longer divides)."""
+    return {k: spec for k in leaf}
 
 
-def param_pspecs(params: dict, kv_tp: bool = False, fsdp: bool = False) -> dict:
+def _colwise_spec4(leaf: dict) -> dict:
+    """Column-parallel spec for an int4/int4c leaf: OUT (last) axis on tp,
+    everything else replicated.  This is the serving layout when the Pallas
+    sharded matmul is active (ops/int4.py int4_matmul_sharded): each tp shard
+    holds a complete [in/2, out/tp] packed block, so the split-half nibble
+    packing never crosses a shard boundary.  (The Megatron rowwise layout
+    would shard the PACKED in-axis, whose rows interleave original rows j and
+    j+in/2 — the per-shard kernel would need repacked bytes; column-parallel
+    trades that for a small activation all-gather per rowwise-position
+    matmul, negligible at decode batch sizes.)"""
+    return {k: P(*([None] * (v.ndim - 1)), "tp") for k, v in leaf.items()}
+
+
+def param_pspecs(params: dict, kv_tp: bool = False, fsdp: bool = False,
+                 int4_colwise: bool = False) -> dict:
     """PartitionSpec pytree matching `vibevoice.init_params` structure
-    (including int8-quantized {q, s} leaves from ops/quant.py)."""
+    (including int8 {q, s} and int4/int4c quantized leaves from ops/quant.py
+    and ops/int4.py).  ``int4_colwise`` switches int4-family leaves to the
+    column-parallel layout required by the sharded Pallas matmul."""
     dp = "dp" if fsdp else None
     specs: dict = jax.tree.map(lambda _: P(), params)
     lm = {"embed": P(dp, None), "norm": P(),
@@ -82,12 +103,17 @@ def param_pspecs(params: dict, kv_tp: bool = False, fsdp: bool = False) -> dict:
     for k, leaf in params["lm"]["layers"].items():
         if _is_quantized(leaf):
             lm["layers"][k] = _quantize_spec(lm["layers"][k])
-        elif _is_quantized4(leaf):
-            lm["layers"][k] = _quantize_spec4(lm["layers"][k])
-    if _is_quantized(params["lm"].get("lm_head")):
+        elif _is_quantized4(leaf) or _is_quantized4c(leaf):
+            lm["layers"][k] = (_colwise_spec4(leaf) if int4_colwise
+                               else _quantize_spec4(lm["layers"][k], leaf))
+    head_leaf = params["lm"].get("lm_head")
+    if _is_quantized(head_leaf):
         lm["lm_head"] = _quantize_spec(lm["lm_head"])
-    elif _is_quantized4(params["lm"].get("lm_head")):
-        lm["lm_head"] = _quantize_spec4(lm["lm_head"])
+    elif _is_quantized4(head_leaf) or _is_quantized4c(head_leaf):
+        # lm_head is consumed via column gathers (constrained decode), not
+        # the sharded kernel — keep it replicated under int4_colwise
+        lm["lm_head"] = (_quantize_spec4(P(), head_leaf) if int4_colwise
+                         else _quantize_spec4(lm["lm_head"], head_leaf))
     specs = dict(specs)
     specs["lm"] = lm
     return specs
@@ -109,17 +135,19 @@ def _fit_spec(x, spec: P, mesh: Mesh) -> P:
 
 
 def param_shardings(params: dict, mesh: Mesh, kv_tp: bool = False,
-                    fsdp: bool = False) -> Any:
-    specs = param_pspecs(params, kv_tp=kv_tp, fsdp=fsdp)
+                    fsdp: bool = False, int4_colwise: bool = False) -> Any:
+    specs = param_pspecs(params, kv_tp=kv_tp, fsdp=fsdp,
+                         int4_colwise=int4_colwise)
     return jax.tree.map(
         lambda x, s: NamedSharding(mesh, _fit_spec(x, s, mesh)),
         params, specs)
 
 
 def shard_params(params: dict, mesh: Mesh, kv_tp: bool = False,
-                 fsdp: bool = False) -> dict:
+                 fsdp: bool = False, int4_colwise: bool = False) -> dict:
     """device_put the parameter tree with the TP(/FSDP) shardings."""
-    sh = param_shardings(params, mesh, kv_tp=kv_tp, fsdp=fsdp)
+    sh = param_shardings(params, mesh, kv_tp=kv_tp, fsdp=fsdp,
+                         int4_colwise=int4_colwise)
     return jax.tree.map(jax.device_put, params, sh)
 
 
