@@ -284,6 +284,34 @@ def main():
 
     extras = {}
 
+    def stage_breakdown(g, prefix, step_ms):
+        """Per-stage attribution of the fused step (profiled short run,
+        bucketed by the stage_* named scopes — generate.py _make_step).
+        step_ms_X = measured ms/step split by each stage's share of the
+        staged device time; step_frac_other covers prefill + sampling glue."""
+        try:
+            import tempfile
+            from vibevoice_tpu.utils.profile_report import aggregate_stages
+            tdir = tempfile.mkdtemp(prefix="vvstages_")
+            with jax.profiler.trace(tdir):
+                run_config(g, ids, min(bench_steps, 48), chunk, 1.3, frame_sec)
+            st = aggregate_stages(tdir)
+            staged = sum(v for k_, v in st.items()
+                         if k_ not in ("total", "other"))
+            if st.get("total", 0) > 0 and staged > 0:
+                for k_, v in st.items():
+                    if k_ == "total":
+                        continue
+                    nm = k_.replace("stage_", "")
+                    extras[f"{prefix}step_frac_{nm}"] = round(v / st["total"], 3)
+                    if k_ != "other":
+                        extras[f"{prefix}step_ms_{nm}"] = round(
+                            step_ms * v / staged, 3)
+        except Exception as e:  # noqa: BLE001 — failure-isolated tier
+            extras[f"{prefix}step_frac_error"] = repr(e)[:120]
+
+    stage_breakdown(gen, "", 1000 * wall / max(steps, 1))
+
     # restart cost: a FRESH generator (new jit objects) on the same weights —
     # recompilation path with persistent-cache hits, i.e. what a server
     # restart pays.  Done on the already-resident params so no alloc churn.
@@ -313,10 +341,15 @@ def main():
                                         colscale=tier_col)
                 full_quant_tiers(gen_q.params, tier_bits, tier_col)
                 run_config(gen_q, ids, bench_steps, chunk, 1.3, frame_sec)  # compile
-                wq_, _, _, aq_ = median_run(gen_q, ids, bench_steps, chunk,
-                                            1.3, frame_sec)
+                wq_, sq_, _, aq_ = median_run(gen_q, ids, bench_steps, chunk,
+                                              1.3, frame_sec)
                 extras[key] = round(aq_ / wq_, 3)
 
+                if tier_bits == 4:
+                    # post-int4 bottleneck attribution (VERDICT r3 item 3):
+                    # at ~4 ms/step the conv vocode+semantic tail's share
+                    # decides whether a quantized streaming-conv kernel pays
+                    stage_breakdown(gen_q, "int4_", 1000 * wq_ / max(sq_, 1))
                 if tier_bits == 4:
                     # throughput headline: the pipelined engine over the
                     # int4 stack — 8 slots, 16 staggered requests
@@ -488,10 +521,74 @@ def main():
             # alias spellings (p50/p99 submit->first-audio into a live batch)
             extras["engine_p50_join_s"] = extras["engine_join_p50_s"]
             extras["engine_p99_join_s"] = extras["engine_join_p99_s"]
+
+        # repeat-voice serving: a production TTS deployment reuses a handful
+        # of voices across many requests, so the prefix cache is benched
+        # where it earns its keep — join latency INTO a live batch when the
+        # request carries multi-second voice prompts.  4 speakers x 60
+        # frames (~8 s of voice each, ~250 voice-section tokens): a hit
+        # skips the acoustic encode + voice-section prefill entirely.
+        gen.prefix_cache = PrefixCache(4)
+        idsv2, spv2, spmv2, simv2 = voice_prompt_inputs(
+            4, 60, 288, cfg.acoustic_tokenizer.total_stride)
+        vreq = dict(input_ids=idsv2, speech_tensors=spv2, speech_masks=spmv2,
+                    speech_input_mask=simv2)
+        # compile both paths + populate the store, outside timing
+        eng.submit(vreq, max_new_tokens=2, max_length_times=1000.0, seed=0)
+        eng.drain()
+        gen.prefix_cache.clear()
+        eng.submit(vreq, max_new_tokens=2, max_length_times=1000.0, seed=0)
+        eng.drain()
+
+        bg2_streams = [AudioStreamer(batch_size=1) for _ in range(slots - 1)]
+        bg2 = [eng.submit({"input_ids": ids[:1]}, max_new_tokens=100000,
+                          max_length_times=1000.0, seed=300 + i, streamer=s_)
+               for i, s_ in enumerate(bg2_streams)]
+        eng.step_chunk()                          # batch is live
+
+        def voice_joins(n, warm):
+            lats = []
+            for j in range(n):
+                if not warm:
+                    gen.prefix_cache.clear()
+                stj = AudioStreamer(batch_size=1)
+                got = []
+                t_v0 = time.perf_counter()
+                jr2 = eng.submit(vreq, max_new_tokens=16,
+                                 max_length_times=1000.0, seed=400 + j,
+                                 streamer=stj)
+
+                def consume_v(stj=stj, got=got, t_v0=t_v0):
+                    for _ in stj.get_stream(0):
+                        if not got:
+                            got.append(time.perf_counter() - t_v0)
+
+                thv = threading.Thread(target=consume_v)
+                thv.start()
+                while not jr2.done.is_set():
+                    eng.step_chunk()
+                thv.join(timeout=30)
+                assert jr2.error is None, jr2.error
+                if got:
+                    lats.append(got[0])
+            return lats
+
+        lat_hit = voice_joins(5, warm=True)
+        lat_miss = voice_joins(5, warm=False)
+        for s_ in bg2_streams:            # consumer-side abort of the rest
+            s_.end([0])
+        eng.drain()
+        assert all(r.error is None for r in bg2)
+        if lat_hit and lat_miss:
+            extras["prefix_engine_hit_join_s"] = round(
+                float(np.median(lat_hit)), 3)
+            extras["prefix_engine_miss_join_s"] = round(
+                float(np.median(lat_miss)), 3)
+        gen.prefix_cache = None
         # the engine holds the bf16 generator (and so its params): drop BOTH
         # here or the later `del gen` frees nothing and the 7B build OOMs a
         # 16 GB chip under the leftover ~6 GB
-        del eng, reqs, bg, jr
+        del eng, reqs, bg, bg2, jr
       except Exception as e:  # noqa: BLE001
         extras["extras_error"] = repr(e)[:200]
         try:

@@ -71,6 +71,55 @@ def aggregate_trace(trace_dir: str, device_only: bool = True) -> List[dict]:
     return rows
 
 
+STEP_STAGES = ("stage_lm", "stage_diffusion", "stage_vocode", "stage_semantic")
+
+
+def aggregate_stages(trace_dir: str,
+                     stages: tuple = STEP_STAGES) -> Dict[str, float]:
+    """Bucket device time by the generate-step named scopes
+    (generation/generate.py `stage_*` jax.named_scope wrappers, which XLA
+    carries into each op's metadata).  Returns {stage: total_ms} plus
+    "other" (device time outside any stage scope — prefill, sampling,
+    bookkeeping) and "total".  Fusions that merge ops across a scope
+    boundary are attributed to whichever scope their metadata kept, so the
+    split is an attribution, not an exact wall partition."""
+    path = _find_trace_json(trace_dir)
+    with gzip.open(path, "rt") as f:
+        data = json.load(f)
+    events = data.get("traceEvents", [])
+    pids: Dict[int, str] = {}
+    for e in events:
+        if e.get("ph") == "M" and e.get("name") == "process_name":
+            pids[e["pid"]] = e["args"].get("name", "")
+
+    out = {s: 0.0 for s in stages}
+    out["other"] = 0.0
+    total = 0.0
+    for e in events:
+        if e.get("ph") != "X" or "dur" not in e:
+            continue
+        proc = pids.get(e["pid"], "")
+        if "TPU" not in proc and "device" not in proc.lower():
+            continue
+        name = e["name"]
+        if name.startswith(("jit_", "while")):
+            continue
+        args = e.get("args") or {}
+        # the scope path lands in the op's `tf_op` metadata on real-TPU
+        # traces ("jit_run_chunk/stage_lm/..."); long_name / the event name
+        # carry it on other backends
+        meta = " ".join((name, args.get("long_name", ""),
+                         args.get("tf_op", "")))
+        total += e["dur"]
+        for s in stages:
+            if s in meta:
+                out[s] += e["dur"]
+                break
+        else:
+            out["other"] += e["dur"]
+    return {k: v / 1e3 for k, v in {**out, "total": total}.items()}
+
+
 def format_report(rows: List[dict], top: int = 25) -> str:
     lines = [f"{'total_ms':>10}  {'count':>8}  {'mean_us':>9}  op"]
     for r in rows[:top]:
