@@ -664,3 +664,59 @@ def test_w8a8_outlier_activation_degrades_documented():
     e_good, e_bad = err(x_good), err(x_bad)
     assert e_good < 0.02, e_good             # well-behaved bound
     assert e_bad > 3 * e_good, (e_good, e_bad)   # outlier damage is real
+
+
+# ---------------------------------------------------------------------------
+# NF4-grid comparison (VERDICT r2 missing #3 / next #7): the reference's
+# 4-bit tier is bitsandbytes NF4 (main.py:349-354 — quantile grid, blocksize
+# 64).  The fidelity tier here is a LINEAR grid at group 16: finer scale
+# granularity at the same 0.625 B/param budget.  This test pins the claim
+# that justified the design on heavy-tailed (student-t) and outlier-channel
+# weight fixtures, not just gaussians.
+# ---------------------------------------------------------------------------
+
+_NF4_LEVELS = np.array([
+    -1.0, -0.6961928009986877, -0.5250730514526367, -0.39491748809814453,
+    -0.28444138169288635, -0.18477343022823334, -0.09105003625154495, 0.0,
+    0.07958029955625534, 0.16093020141124725, 0.24611230194568634,
+    0.33791524171829224, 0.44070982933044434, 0.5626170039176941,
+    0.7229568362236023, 1.0], np.float32)   # QLoRA appendix E / bitsandbytes
+
+
+def _nf4_roundtrip(w: np.ndarray, block: int = 64) -> np.ndarray:
+    """Reference-faithful NF4 quantize->dequantize: per-block absmax
+    normalization, nearest quantile level (bitsandbytes default block 64)."""
+    flat = w.reshape(-1)
+    assert flat.size % block == 0
+    blocks = flat.reshape(-1, block)
+    absmax = np.maximum(np.abs(blocks).max(axis=1, keepdims=True), 1e-12)
+    idx = np.abs((blocks / absmax)[..., None] - _NF4_LEVELS).argmin(-1)
+    return (_NF4_LEVELS[idx] * absmax).reshape(w.shape).astype(np.float32)
+
+
+def test_int4_linear_grid_vs_nf4_on_heavy_tails():
+    from vibevoice_tpu.ops.int4 import (dequantize_weight_int4,
+                                        quantize_weight_int4)
+
+    rng = np.random.default_rng(0)
+    rows, cols = 512, 256
+    fixtures = {
+        "gauss": rng.normal(0, 0.02, (rows, cols)),
+        "t5": rng.standard_t(5, (rows, cols)) * 0.02,
+        "t3": rng.standard_t(3, (rows, cols)) * 0.02,
+        "t2.5": rng.standard_t(2.5, (rows, cols)) * 0.02,
+        "t2": rng.standard_t(2, (rows, cols)) * 0.02,
+    }
+    out = rng.standard_t(3, (rows, cols)) * 0.02
+    out[rows // 3, :] *= 20.0               # hot input channel on heavy tails
+    fixtures["t3+outlier"] = out
+
+    for name, w in fixtures.items():
+        w = np.asarray(w, np.float32)
+        lin = np.asarray(dequantize_weight_int4(
+            quantize_weight_int4(jnp.asarray(w)), jnp.float32))
+        e_lin = np.linalg.norm(lin - w) / np.linalg.norm(w)
+        e_nf4 = np.linalg.norm(_nf4_roundtrip(w) - w) / np.linalg.norm(w)
+        # measured (see commit): lin16 beats nf4-64 outright on every
+        # distribution; keep 5% slack against rng drift
+        assert e_lin <= e_nf4 * 1.05, (name, e_lin, e_nf4)
