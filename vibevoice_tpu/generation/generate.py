@@ -234,9 +234,19 @@ class VibeVoiceGenerator:
         self._assemble_jit: Dict[int, Callable] = {}
         self.last_metrics: Dict[str, dict] = {}
         # voice-prompt prefix cache (opt-in): repeat voices skip the acoustic
-        # encode + prefix LM forward (generation/prefix_cache.py).  Single
-        # device, b=1 requests (the engine/serving shape) — batched b>1 rows
-        # fall through to the full prefill.
+        # encode + prefix LM forward (generation/prefix_cache.py).  Scope is
+        # deliberate, not incidental:
+        #   * b=1 only — the serving shape: the engine prefills every request
+        #     at b=1 before splicing it into the live batch, so engine
+        #     traffic always qualifies; batched b>1 generate() is the offline
+        #     path where the encode amortizes over the batch anyway.
+        #   * single device — the stored K/V block is a host-shaped array;
+        #     transplanting into a TP-sharded cache would need per-shard
+        #     entries.  Meshed generators silently take the full prefill
+        #     (identical output, tested in test_feature_matrix.py).
+        #   * voice section <= prefill_chunk (4096 tokens ≈ 9 min of voice
+        #     audio at 7.5 tok/s) — far beyond any realistic voice prompt;
+        #     longer sections take the chunked full prefill.
         pc_n = int(prefix_cache or _os.environ.get("VIBEVOICE_PREFIX_CACHE", "0"))
         self.prefix_cache = None
         if pc_n > 0:
