@@ -307,6 +307,12 @@ def main():
                     if k_ != "other":
                         extras[f"{prefix}step_ms_{nm}"] = round(
                             step_ms * v / staged, 3)
+            else:
+                # never vanish silently (r3: real-TPU traces carried the
+                # scope path differently and this branch hid it)
+                extras[f"{prefix}step_frac_error"] = (
+                    f"no staged device time (total={st.get('total', 0):.1f}"
+                    f" ms, staged=0)")
         except Exception as e:  # noqa: BLE001 — failure-isolated tier
             extras[f"{prefix}step_frac_error"] = repr(e)[:120]
 

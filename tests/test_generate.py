@@ -299,3 +299,27 @@ def test_streamer_bounds_chunk_cadence(model):
     assert sizes[:2] == [2, 2], sizes
     if len(sizes) > 2:          # (all rows may finish inside the warmup)
         assert max(sizes) == 16, sizes
+
+
+def test_streamer_growth_never_compiles_midstream(model):
+    """With a streamer attached, chunk growth only ever steps onto sizes
+    whose program is ALREADY compiled: bigger ladder sizes are AOT-compiled
+    in a background thread (generate.py start_aot) and adopted once ready,
+    so a consumer never sees a compile-length gap (VERDICT r2 item 4 — the
+    r2 ladder introduced exactly that stall)."""
+    from vibevoice_tpu.streamer import AudioStreamer
+
+    ids = _prompt(1, 12)
+    streamer = AudioStreamer(batch_size=1)
+    pre_ready = {k[0] for k in model._chunk_ready}   # earlier tests' programs
+    model.generate(ids, audio_streamer=streamer, cfg_scale=1.3,
+                   max_new_tokens=64, chunk_steps=2, chunk_steps_max=16,
+                   max_gap_s=10.0, max_length_times=1000.0, seed=0)
+    sizes = model.last_chunk_sizes
+    ladder = {2, 4, 8, 16}
+    assert set(sizes) <= ladder, sizes
+    # every NEW size above the base must have gone through the AOT path —
+    # the only way a fresh program can appear under a live streamer
+    aot_sizes = {k[0] for k in model._chunk_aot}
+    for s in set(sizes) - {2} - pre_ready:
+        assert s in aot_sizes, (sizes, aot_sizes, pre_ready)

@@ -29,6 +29,7 @@ the reference contract.
 
 from __future__ import annotations
 
+import threading
 import time
 from dataclasses import dataclass
 import functools
@@ -231,6 +232,13 @@ class VibeVoiceGenerator:
             "VIBEVOICE_PREFILL_CHUNK", "4096"))
         self._prefill_jit: Dict[Any, Callable] = {}
         self._chunk_jit: Dict[Any, Callable] = {}
+        # streaming-cadence support (bounded max_gap_s mode): chunk programs
+        # known-compiled, AOT executables built off-thread, and the in-flight
+        # background compile set.  See generate()'s ladder policy.
+        self._chunk_ready: set = set()
+        self._chunk_raw: Dict[Any, Callable] = {}
+        self._chunk_aot: Dict[Any, Callable] = {}
+        self._chunk_compiling: set = set()
         self._assemble_jit: Dict[int, Callable] = {}
         self.last_metrics: Dict[str, dict] = {}
         # voice-prompt prefix cache (opt-in): repeat voices skip the acoustic
@@ -259,13 +267,19 @@ class VibeVoiceGenerator:
         """Reference API parity (inference:146-147). Rebuilds the schedule."""
         self.ddpm_steps = num_steps or self.cfg.diffusion_head.ddpm_num_inference_steps
         self.sched = make_schedule(self.solver_cfg, self.ddpm_steps)
-        self._chunk_jit.clear()
+        self._clear_chunk_programs()
 
     def set_solver(self, **overrides) -> None:
         import dataclasses as dc
         self.solver_cfg = dc.replace(self.solver_cfg, **overrides)
         self.sched = make_schedule(self.solver_cfg, self.ddpm_steps)
+        self._clear_chunk_programs()
+
+    def _clear_chunk_programs(self) -> None:
         self._chunk_jit.clear()
+        self._chunk_raw.clear()
+        self._chunk_aot.clear()
+        self._chunk_ready.clear()
 
     def _scoped(self, fn):
         """Run ``fn`` (a jitted callable) under this generator's int4 impl
@@ -1040,14 +1054,52 @@ class VibeVoiceGenerator:
             negative_prompt_ids, negative_prompt_attention_mask, rng,
             t_bucket, cache_len, max_steps_per_sample, timer)
 
+        def chunk_key(k_steps: int, cur_cache_len: int):
+            return (k_steps, do_sample, temperature, top_p, top_k,
+                    refresh_negative, b, cur_cache_len)
+
         def get_run_chunk(k_steps: int, cur_cache_len: int):
-            key = (k_steps, do_sample, temperature, top_p, top_k,
-                   refresh_negative, b, cur_cache_len)
+            key = chunk_key(k_steps, cur_cache_len)
             if key not in self._chunk_jit:
-                self._chunk_jit[key] = self._scoped(self._build_chunk(
-                    key, k_steps, do_sample, temperature, top_p,
-                    refresh_negative, top_k=top_k))
-            return self._chunk_jit[key]
+                raw = self._build_chunk(key, k_steps, do_sample, temperature,
+                                        top_p, refresh_negative, top_k=top_k)
+                self._chunk_raw[key] = raw
+                self._chunk_jit[key] = self._scoped(raw)
+            return key, (self._chunk_aot.get(key) or self._chunk_jit[key])
+
+        def start_aot(k_steps: int, cur_cache_len: int, state) -> None:
+            """AOT-compile a bigger chunk program OFF-THREAD (XLA compilation
+            releases the GIL) so the bounded-cadence policy can grow chunk
+            size without ever paying a compile stall mid-stream.  The
+            resulting executable is used directly (the jit wrapper's own
+            cache can't be pre-populated from outside)."""
+            key = chunk_key(k_steps, cur_cache_len)
+            if key in self._chunk_ready or key in self._chunk_compiling:
+                return
+            get_run_chunk(k_steps, cur_cache_len)       # build the raw jit
+            raw = self._chunk_raw[key]
+            avals = jax.tree_util.tree_map(
+                lambda x: jax.ShapeDtypeStruct(
+                    jnp.shape(x), jnp.result_type(x),
+                    sharding=getattr(x, "sharding", None)),
+                (self.params, state, cfg_scale_arr))
+            self._chunk_compiling.add(key)
+            impl = self._int4_impl
+
+            def work():
+                try:
+                    from ..ops import int4
+                    with int4.impl_scope(impl):
+                        compiled = raw.lower(*avals).compile()
+                    self._chunk_aot[key] = compiled
+                    self._chunk_ready.add(key)
+                except Exception:    # pragma: no cover — falls back to the
+                    pass             # sync-compile path on first use
+                finally:
+                    self._chunk_compiling.discard(key)
+
+            threading.Thread(target=work, daemon=True,
+                             name=f"vv-aot-chunk-{k_steps}").start()
 
         all_tokens: List[np.ndarray] = []
         audio_chunks: List[List[np.ndarray]] = [[] for _ in range(b)]
@@ -1118,22 +1170,33 @@ class VibeVoiceGenerator:
                 step_time_ema = 0.5 * step_time_ema + 0.5 * min(
                     est, 4.0 * step_time_ema)
 
-        def pick_k() -> int:
+        def pick_k(state) -> int:
             if n_dispatched < 2:
                 return chunk_steps
             if max_gap_s is None or step_time_ema is None:
                 return big_chunk
-            best = chunk_steps
+            want = chunk_steps
             for k in ladder:
                 if k * step_time_ema <= max_gap_s:
+                    want = max(want, k)
+            # bounded-cadence mode NEVER compiles synchronously mid-stream:
+            # use the largest already-compiled size; if the gap budget allows
+            # a bigger one, compile it in the background and switch once
+            # ready (a few chunks later).  Small chunks only cost extra host
+            # syncs — the gap bound itself is never at risk.
+            best = chunk_steps
+            for k in ladder:
+                if k <= want and chunk_key(k, cache_len) in self._chunk_ready:
                     best = max(best, k)
+            if want > best:
+                start_aot(want, cache_len, state)
             return best
 
         def dispatch(state, dispatched):
             """Enqueue one chunk (async — JAX dispatch returns futures).
             Returns (state, out_future, chunk_len)."""
             nonlocal cache_len, n_dispatched
-            k_steps = pick_k()
+            k_steps = pick_k(state)
             self.last_chunk_sizes.append(k_steps)
             n_dispatched += 1
             need = t_bucket + dispatched + k_steps + 2
@@ -1142,8 +1205,9 @@ class VibeVoiceGenerator:
                 with timer.stage("cache_grow"):
                     state = _grow_cache(state, new_len)
                 cache_len = new_len
-            run_chunk = get_run_chunk(k_steps, cache_len)
+            key, run_chunk = get_run_chunk(k_steps, cache_len)
             state, out = run_chunk(self.params, state, cfg_scale_arr)
+            self._chunk_ready.add(key)
             _start_host_copies(out)
             return state, out, k_steps
 
