@@ -36,8 +36,20 @@ def _find_trace_json(trace_dir: str) -> str:
 def aggregate_trace(trace_dir: str, device_only: bool = True) -> List[dict]:
     """Parse the newest trace session in ``trace_dir`` into per-op rows:
     [{"name", "total_ms", "count", "mean_us", "example"}], sorted by
-    total device time descending.  Module- and scan-wrapper events ("while",
-    "jit_*") are excluded so leaf ops don't get double counted."""
+    total device time descending.
+
+    Prefers the ``*.xplane.pb`` sidecar (decoded by utils/xplane.py) — the
+    trace-viewer JSON is truncated on real-TPU captures (hundreds of device
+    events kept out of hundreds of thousands), so the JSON path is only a
+    fallback for captures that lack the xplane file.  Module- and
+    scan-wrapper events are excluded either way so leaf ops don't get
+    double counted."""
+    from . import xplane
+    xp = xplane.find_xplane(trace_dir)
+    if xp is not None and device_only:
+        rows = xplane.op_rows(xp)
+        if rows:
+            return rows
     path = _find_trace_json(trace_dir)
     with gzip.open(path, "rt") as f:
         data = json.load(f)
@@ -82,7 +94,18 @@ def aggregate_stages(trace_dir: str,
     "other" (device time outside any stage scope — prefill, sampling,
     bookkeeping) and "total".  Fusions that merge ops across a scope
     boundary are attributed to whichever scope their metadata kept, so the
-    split is an attribution, not an exact wall partition."""
+    split is an attribution, not an exact wall partition.
+
+    Prefers the ``*.xplane.pb`` sidecar: real-TPU trace-viewer JSON carries
+    neither the full device event stream nor ``tf_op`` metadata (r3 finding
+    — the JSON path collapsed every stage to "other" on the driver chip), so
+    the JSON path below only serves captures without an xplane file."""
+    from . import xplane as _xp
+    xp = _xp.find_xplane(trace_dir)
+    if xp is not None:
+        st = _xp.stage_totals(xp, stages)
+        if st.get("total", 0) > 0:
+            return st
     path = _find_trace_json(trace_dir)
     with gzip.open(path, "rt") as f:
         data = json.load(f)
