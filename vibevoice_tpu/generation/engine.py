@@ -249,9 +249,16 @@ class ContinuousEngine:
         key = (self.chunk_steps, self.do_sample, self.temperature, self.top_p,
                self.top_k, self.refresh_negative, self.slots, self.cache_len)
         if key not in self.gen._chunk_jit:
-            self.gen._chunk_jit[key] = self.gen._build_chunk(
+            # _scoped is REQUIRED here, not just consistency with
+            # generate.py:1063-1067: dispatch inside ops/int4.py happens at
+            # TRACE time, so an engine whose chunk key wasn't pre-compiled by
+            # generate() would otherwise trace a meshed GSPMD program under
+            # 'auto' → Pallas inside GSPMD → unpartitionable kernel on TPU.
+            raw = self.gen._build_chunk(
                 key, self.chunk_steps, self.do_sample, self.temperature,
                 self.top_p, self.refresh_negative, top_k=self.top_k)
+            self.gen._chunk_raw[key] = raw
+            self.gen._chunk_jit[key] = self.gen._scoped(raw)
         return self.gen._chunk_jit[key]
 
     # ------------------------------------------------------------------
