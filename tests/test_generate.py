@@ -323,3 +323,38 @@ def test_streamer_growth_never_compiles_midstream(model):
     aot_sizes = {k[0] for k in model._chunk_aot}
     for s in set(sizes) - {2} - pre_ready:
         assert s in aot_sizes, (sizes, aot_sizes, pre_ready)
+
+
+@pytest.mark.parametrize("bits", [None, 8, 4])
+def test_fused_projections_match_unfused(bits):
+    """fuse_lm_projections (serving transform) must not change a single
+    token or audio sample: splitting the fused qkv / gate|up output equals
+    the separate matmuls because all quant tiers scale per output column."""
+    import os
+    from vibevoice_tpu.ops.quant import quantize_lm_params
+
+    params = vibevoice.init_params(jax.random.PRNGKey(3), CFG, jnp.float32)
+    if bits is not None:
+        params["lm"] = quantize_lm_params(params["lm"], bits=bits,
+                                          colscale=(bits == 4))
+    ids = _prompt(t=16)
+    outs = []
+    for fuse in ("0", "1"):
+        os.environ["VIBEVOICE_FUSE_PROJ"] = fuse
+        try:
+            gen = VibeVoiceGenerator(params, CFG, TinyTokenizer(),
+                                     ddpm_inference_steps=3,
+                                     lm_dtype=jnp.float32)
+            if fuse == "1":
+                assert "wqkv" in gen.params["lm"]["layers"]
+                assert "wgu" in gen.params["lm"]["layers"]
+            outs.append(gen.generate(ids, cfg_scale=1.3, max_new_tokens=10,
+                                     chunk_steps=5, seed=7,
+                                     max_length_times=1000.0))
+        finally:
+            del os.environ["VIBEVOICE_FUSE_PROJ"]
+    a, b_ = outs
+    np.testing.assert_array_equal(a.sequences, b_.sequences)
+    if a.speech_outputs[0] is not None:
+        np.testing.assert_allclose(a.speech_outputs[0], b_.speech_outputs[0],
+                                   rtol=1e-6, atol=1e-7)

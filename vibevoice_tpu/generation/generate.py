@@ -29,6 +29,7 @@ the reference contract.
 
 from __future__ import annotations
 
+import os
 import threading
 import time
 from dataclasses import dataclass
@@ -180,6 +181,15 @@ class VibeVoiceGenerator:
             self.kv_tp = infer_kv_tp(cfg.decoder, mesh)
             params = shard_params(params, mesh, kv_tp=self.kv_tp,
                                   int4_colwise=True)
+        elif os.environ.get("VIBEVOICE_FUSE_PROJ", "1") == "1":
+            # single-device serving: fuse qkv and gate|up into single
+            # stacked matmuls (ops/quant.fuse_lm_projections) — identical
+            # outputs, 3 fewer per-layer dispatches in the decode step.
+            # Meshed serving keeps the unfused layout (the TP plan shards q
+            # and kv head groups separately).
+            from ..ops.quant import fuse_lm_projections
+            params = dict(params)
+            params["lm"] = fuse_lm_projections(params["lm"])
         self.params = params
         self.cfg = cfg
         self.tokenizer = tokenizer
@@ -1173,11 +1183,20 @@ class VibeVoiceGenerator:
         def pick_k(state) -> int:
             if n_dispatched < 2:
                 return chunk_steps
-            if max_gap_s is None or step_time_ema is None:
+            if max_gap_s is None:
                 return big_chunk
+            if step_time_ema is None:
+                # bounded mode but nothing fetched yet (the pipelined loop
+                # dispatches ahead of the first fetch): stay at the base size
+                return chunk_steps
+            # 0.8 safety margin: the consumer-visible gap is chunk device
+            # time PLUS host decode/put overhead and EMA estimation error —
+            # r3 measured 333 ms against a 250 ms bound when 32*ema landed at
+            # 246 ms (the bound must absorb the slack, not ride its edge)
+            budget = 0.8 * max_gap_s
             want = chunk_steps
             for k in ladder:
-                if k * step_time_ema <= max_gap_s:
+                if k * step_time_ema <= budget:
                     want = max(want, k)
             # bounded-cadence mode NEVER compiles synchronously mid-stream:
             # use the largest already-compiled size; if the gap budget allows
@@ -1211,25 +1230,39 @@ class VibeVoiceGenerator:
             _start_host_copies(out)
             return state, out, k_steps
 
-        # double-buffered loop: chunk k+1 is dispatched BEFORE chunk k's
-        # results are pulled to the host, so host-side numpy conversion and
-        # streamer pushes overlap with device compute of the next chunk.  If
-        # termination is discovered in chunk k, the in-flight chunk k+1 is
-        # discarded (its steps are all-eos no-ops past `finished`).
+        # pipelined loop: up to ``depth`` chunks are dispatched BEFORE chunk
+        # k's results are pulled to the host, so host-side numpy conversion,
+        # streamer pushes AND the dispatch round-trip itself (real wall time
+        # on a tunneled chip) overlap with device compute.  Non-streaming
+        # keeps the classic depth-1 double buffer — its chunks are big, so
+        # an extra speculative chunk is pure waste at termination; with a
+        # live consumer the bounded-cadence chunks are small and depth 2
+        # keeps the device busy across the host's put/fetch work, making
+        # the consumer-visible gap track chunk DEVICE time.  If termination
+        # is discovered in chunk k, the in-flight chunks are discarded
+        # (their steps are all-eos no-ops past `finished`).
+        from collections import deque
+        depth = 2 if audio_streamer is not None else 1
         steps_done = 0
-        out = None
+        inflight: deque = deque()
         t_prev_fetch = time.perf_counter()
-        if max_steps > 0 and not should_stop():
-            state, out, out_k = dispatch(state, 0)
-            steps_done = out_k
-        while out is not None:
-            pending = pending_k = None
-            if steps_done < max_steps and not should_stop():
-                state = apply_external_ends(state)
-                state, pending, pending_k = dispatch(state, steps_done)
-                steps_done += pending_k
 
-            # blocks until the device finishes this chunk (the next one is
+        def top_up():
+            nonlocal state, steps_done
+            while (len(inflight) < depth and steps_done < max_steps
+                   and not should_stop()):
+                if inflight:
+                    state = apply_external_ends(state)
+                state, o, k = dispatch(state, steps_done)
+                inflight.append((o, k))
+                steps_done += k
+
+        top_up()
+        while inflight:
+            out, out_k = inflight.popleft()
+            top_up()
+
+            # blocks until the device finishes this chunk (the next ones are
             # already in flight)
             with timer.stage("decode_chunk"):
                 toks = np.asarray(out.tokens).reshape(out_k, b)
@@ -1260,7 +1293,6 @@ class VibeVoiceGenerator:
 
             if bool(prev_fin.all()):
                 break
-            out, out_k = pending, pending_k
 
         if audio_streamer is not None:
             audio_streamer.end()

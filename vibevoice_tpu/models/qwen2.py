@@ -221,6 +221,35 @@ def lm_head_weight(params: dict) -> jax.Array:
     return params["embed"].T
 
 
+def _proj_qkv(y, lp, b, t, cfg: Qwen2DecoderConfig, qctx=None):
+    """q/k/v projections -> ([B,T,Hq,Dh], [B,T,Hkv,Dh], [B,T,Hkv,Dh]).
+    Dispatches on the fused ``wqkv`` leaf when present (serving transform
+    ops/quant.fuse_lm_projections — one stacked matmul instead of three);
+    splitting the fused output equals the separate matmuls exactly because
+    every quant tier's scales are per output column."""
+    dh = cfg.resolved_head_dim
+    hq, hkv = cfg.num_attention_heads, cfg.num_key_value_heads
+    if "wqkv" in lp:
+        qkv = qmatmul(y, lp["wqkv"], qctx) + lp["bqkv"]
+        q, k, v = jnp.split(qkv, [hq * dh, (hq + hkv) * dh], axis=-1)
+    else:
+        q = qmatmul(y, lp["wq"], qctx) + lp["bq"]
+        k = qmatmul(y, lp["wk"], qctx) + lp["bk"]
+        v = qmatmul(y, lp["wv"], qctx) + lp["bv"]
+    return (q.reshape(b, t, hq, dh), k.reshape(b, t, hkv, dh),
+            v.reshape(b, t, hkv, dh))
+
+
+def _mlp(y, lp, qctx=None):
+    """SwiGLU MLP output; fused gate|up leaf (``wgu``) when present."""
+    if "wgu" in lp:
+        g, u = jnp.split(qmatmul(y, lp["wgu"], qctx), 2, axis=-1)
+    else:
+        g = qmatmul(y, lp["wg"], qctx)
+        u = qmatmul(y, lp["wu"], qctx)
+    return qmatmul(jax.nn.silu(g) * u, lp["wd"], qctx)
+
+
 def _layer(x, lp, lyr, cfg: Qwen2DecoderConfig, cos, sin, cache_k, cache_v,
            write_idx, attn_mask, decode: bool, flash_kv_start=None,
            kv_start=None, kv_len=None, decode_impl: str = "xla",
@@ -244,9 +273,7 @@ def _layer(x, lp, lyr, cfg: Qwen2DecoderConfig, cos, sin, cache_k, cache_v,
 
     resid = x
     y = rms_norm(x, lp["ln1"], cfg.rms_norm_eps)
-    q = (qmatmul(y, lp["wq"], qctx) + lp["bq"]).reshape(b, t, hq, dh)
-    k = (qmatmul(y, lp["wk"], qctx) + lp["bk"]).reshape(b, t, hkv, dh)
-    v = (qmatmul(y, lp["wv"], qctx) + lp["bv"]).reshape(b, t, hkv, dh)
+    q, k, v = _proj_qkv(y, lp, b, t, cfg, qctx)
     q = apply_rope(q, cos, sin)
     k = apply_rope(k, cos, sin)
 
@@ -283,9 +310,7 @@ def _layer(x, lp, lyr, cfg: Qwen2DecoderConfig, cos, sin, cache_k, cache_v,
     x = resid + qmatmul(attn.reshape(b, t, hq * dh), lp["wo"], qctx)
     resid = x
     y = rms_norm(x, lp["ln2"], cfg.rms_norm_eps)
-    x = resid + qmatmul(jax.nn.silu(qmatmul(y, lp["wg"], qctx))
-                        * qmatmul(y, lp["wu"], qctx),
-                        lp["wd"], qctx)
+    x = resid + _mlp(y, lp, qctx)
     return x, cache_k, cache_v
 
 
@@ -320,17 +345,14 @@ def forward(params: dict, cfg: Qwen2DecoderConfig, x: jax.Array,
             b, t, _ = xc.shape
             resid = xc
             y = rms_norm(xc, lp["ln1"], cfg.rms_norm_eps)
-            q = (qmatmul(y, lp["wq"]) + lp["bq"]).reshape(b, t, cfg.num_attention_heads, dh)
-            k = (qmatmul(y, lp["wk"]) + lp["bk"]).reshape(b, t, cfg.num_key_value_heads, dh)
-            v = (qmatmul(y, lp["wv"]) + lp["bv"]).reshape(b, t, cfg.num_key_value_heads, dh)
+            q, k, v = _proj_qkv(y, lp, b, t, cfg)
             q = apply_rope(q, cos, sin)
             k = apply_rope(k, cos, sin)
             attn = attend(q, k, v, mask=attn_mask)
             xc = resid + qmatmul(attn.reshape(b, t, -1), lp["wo"])
             resid = xc
             y = rms_norm(xc, lp["ln2"], cfg.rms_norm_eps)
-            xc = resid + qmatmul(jax.nn.silu(qmatmul(y, lp["wg"])) * qmatmul(y, lp["wu"]),
-                                 lp["wd"])
+            xc = resid + _mlp(y, lp)
             return xc, None
 
         x, _ = jax.lax.scan(
@@ -420,9 +442,7 @@ def prefill_chunked(params: dict, cfg: Qwen2DecoderConfig, embeds: jax.Array,
             lp = layer_view(lp_xs, stacked, lyr)
             resid = xc
             y = rms_norm(xc, lp["ln1"], cfg.rms_norm_eps)
-            q = (qmatmul(y, lp["wq"]) + lp["bq"]).reshape(b, chunk, hq, dh)
-            k = (qmatmul(y, lp["wk"]) + lp["bk"]).reshape(b, chunk, hkv, dh)
-            v = (qmatmul(y, lp["wv"]) + lp["bv"]).reshape(b, chunk, hkv, dh)
+            q, k, v = _proj_qkv(y, lp, b, chunk, cfg)
             q = apply_rope(q, cos, sin)
             k = apply_rope(k, cos, sin)
             ck = _cache_write_block(ck, k.transpose(0, 2, 1, 3), off, lyr)
@@ -432,9 +452,7 @@ def prefill_chunked(params: dict, cfg: Qwen2DecoderConfig, embeds: jax.Array,
             xc = resid + qmatmul(attn.reshape(b, chunk, hq * dh), lp["wo"])
             resid = xc
             y = rms_norm(xc, lp["ln2"], cfg.rms_norm_eps)
-            xc = resid + qmatmul(
-                jax.nn.silu(qmatmul(y, lp["wg"])) * qmatmul(y, lp["wu"]),
-                lp["wd"])
+            xc = resid + _mlp(y, lp)
             return (xc, ck, cv), None
 
         (x, nk, nv), _ = jax.lax.scan(
@@ -488,9 +506,7 @@ def prefill_suffix(params: dict, cfg: Qwen2DecoderConfig, embeds: jax.Array,
         lp = layer_view(lp_xs, stacked, lyr)
         resid = xc
         y = rms_norm(xc, lp["ln1"], cfg.rms_norm_eps)
-        q = (qmatmul(y, lp["wq"]) + lp["bq"]).reshape(b, s, hq, dh)
-        k = (qmatmul(y, lp["wk"]) + lp["bk"]).reshape(b, s, hkv, dh)
-        v = (qmatmul(y, lp["wv"]) + lp["bv"]).reshape(b, s, hkv, dh)
+        q, k, v = _proj_qkv(y, lp, b, s, cfg)
         q = apply_rope(q, cos, sin)
         k = apply_rope(k, cos, sin)
         ck = _cache_write_block_masked(ck, k.transpose(0, 2, 1, 3),
@@ -502,9 +518,7 @@ def prefill_suffix(params: dict, cfg: Qwen2DecoderConfig, embeds: jax.Array,
         xc = resid + qmatmul(attn.reshape(b, s, hq * dh), lp["wo"])
         resid = xc
         y = rms_norm(xc, lp["ln2"], cfg.rms_norm_eps)
-        xc = resid + qmatmul(
-            jax.nn.silu(qmatmul(y, lp["wg"])) * qmatmul(y, lp["wu"]),
-            lp["wd"])
+        xc = resid + _mlp(y, lp)
         return (xc, ck, cv), None
 
     (x, nk, nv), _ = jax.lax.scan(

@@ -233,6 +233,57 @@ def quantize_lm_params(lm_params: dict, bits: int = 8,
     return out
 
 
+def _concat_leaves(leaves, axis=-1):
+    """Concatenate quantized-or-dense stacked leaves along the OUT axis.
+    Valid because every tier's scales are per-output-column (int8 {q,s},
+    int4 group {q4,s4}, int4 colscale {q4c,s4c}): quantize-then-concat ==
+    concat-then-quantize.  Returns None when tiers differ between leaves
+    (the per-layer accuracy ladder can demote one projection but not its
+    siblings) — the caller keeps them unfused."""
+    if all(isinstance(l, dict) for l in leaves):
+        keys = set(leaves[0].keys())
+        if any(set(l.keys()) != keys for l in leaves):
+            return None
+        return {k: jnp.concatenate([l[k] for l in leaves], axis=axis)
+                for k in keys}
+    if any(isinstance(l, dict) for l in leaves):
+        return None
+    return jnp.concatenate(leaves, axis=axis)
+
+
+def fuse_lm_projections(lm_params: dict) -> dict:
+    """Serving-time projection fusion: wq|wk|wv -> wqkv and wg|wu -> wgu
+    (concat on the output axis), after any quantization.
+
+    Why: at decode the stacked-weight Pallas matmuls pay a fixed per-call
+    prologue; r4 profiling measured wk/wv at ~5x their HBM floor.  One call
+    for qkv and one for gate|up removes 3 of the 7 projection dispatches
+    per layer (~0.2 ms/step on the 1.5B int4 tier).  Single-device only —
+    the TP plan shards q and kv head groups separately, so meshed serving
+    keeps the unfused layout (generate.py skips fusion when mesh is set).
+
+    Mixed-tier layers (the accuracy ladder demoted one sibling) are left
+    unfused; the model body dispatches on leaf presence either way.
+    """
+    layers = dict(lm_params["layers"])
+    if "wq" in layers:                        # idempotent: skip when fused
+        qkv = _concat_leaves([layers["wq"], layers["wk"], layers["wv"]])
+        if qkv is not None:
+            layers["wqkv"] = qkv
+            layers["bqkv"] = jnp.concatenate(
+                [layers["bq"], layers["bk"], layers["bv"]], axis=-1)
+            for k in ("wq", "wk", "wv", "bq", "bk", "bv"):
+                del layers[k]
+    if "wg" in layers:
+        gu = _concat_leaves([layers["wg"], layers["wu"]])
+        if gu is not None:
+            layers["wgu"] = gu
+            del layers["wg"], layers["wu"]
+    out = dict(lm_params)
+    out["layers"] = layers
+    return out
+
+
 _HEAD_QUANT_KEYS = ("wg", "wu", "wd", "ada")
 
 
@@ -255,6 +306,11 @@ def quantize_diffusion_head_params(head_params: dict, bits: int = 8,
 
 
 _TOKENIZER_FFN_KEYS = ("ffn_w1", "ffn_w2")
+
+# int4 pays off only past this weight size: the Pallas call's fixed prologue
+# (~10-15 us measured on v5e) must be smaller than the int8->int4 bandwidth
+# saved (size/2 bytes at ~819 GB/s -> ~8 M params breakeven).
+_INT4_MIN_PARAMS = 8_000_000
 
 
 def quantize_conv_weight(w: jax.Array, out_axis: int) -> Dict[str, jax.Array]:
@@ -286,7 +342,16 @@ def quantize_tokenizer_params(tok_params: dict, bits: int = 8,
     ``convs=True`` additionally quantizes the strided resampling kernels
     (stem/head/down/up) to int8 — the decoder's first upsample and the
     semantic encoder's last downsample are ~67 MB bf16 EACH, read every
-    frame.  Depthwise mixers and sub-128-channel kernels stay dense."""
+    frame.  Depthwise mixers and sub-128-channel kernels stay dense.
+
+    int4 is applied ONLY to FFN weights large enough to be bandwidth-bound
+    (>= ``_INT4_MIN_PARAMS``, i.e. the 2048-channel stage on the real
+    configs — 89% of the FFN mass).  Small-stage FFNs take int8 even at
+    bits=4: a Pallas int4 call costs ~10-15 us of fixed prologue per
+    execution (profiled r4) while the bandwidth it saves on a <4 M-param
+    weight is <2 us; XLA's int8 dot fuses with the surrounding
+    norm/gelu/residual ops and has no such floor.  Net: the r3 int4 tier
+    spent ~0.45 ms/step of pure kernel-launch overhead in the conv tail."""
     def q_conv(p: dict, transpose: bool) -> dict:
         w = p.get("w")
         if (not isinstance(p, dict) or w is None or getattr(w, "ndim", 0) != 3
@@ -299,7 +364,9 @@ def quantize_tokenizer_params(tok_params: dict, bits: int = 8,
             out = {}
             for k, v in node.items():
                 if k in _TOKENIZER_FFN_KEYS and getattr(v, "ndim", 0) >= 2:
-                    out[k] = quantize_any(v, bits, colscale=colscale,
+                    eff_bits = 4 if (bits == 4 and
+                                     v.size >= _INT4_MIN_PARAMS) else 8
+                    out[k] = quantize_any(v, eff_bits, colscale=colscale,
                                           max_rel_err=max_rel_err)
                 elif convs and k in ("stem", "head") and isinstance(v, dict):
                     out[k] = q_conv(v, transpose=False)
