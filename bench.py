@@ -316,7 +316,47 @@ def main():
         except Exception as e:  # noqa: BLE001 — failure-isolated tier
             extras[f"{prefix}step_frac_error"] = repr(e)[:120]
 
+    def roofline_keys(g, step_ms, prefix, live_ctx):
+        """Bandwidth-roofline keys (VERDICT r3 next #6): the decode step is
+        HBM-bound, so its floor is bytes-streamed / bandwidth.  Bytes model:
+        every LM layer weight once, the diffusion head's x-dependent FFN
+        stack once per solver iteration (AdaLN mods are precomputed once),
+        the conv tokenizer stacks once, and the live KV range for both CFG
+        rows.  roofline_frac = floor_time / measured — a falling fraction
+        flags efficiency regressions that RTF alone can hide behind model
+        or schedule changes."""
+        try:
+            def nbytes(tree):
+                return sum(l.size * l.dtype.itemsize
+                           for l in jax.tree.leaves(tree)
+                           if hasattr(l, "dtype"))
+
+            p = g.params
+            hl = p["diffusion_head"]["layers"]
+            ffn = sum(nbytes(hl[k]) for k in ("wg", "wu", "wgu", "wd")
+                      if k in hl)
+            dcfg = g.cfg.decoder
+            kv_item = 1 if g.kv_quant else jnp.dtype(g.lm_dtype).itemsize
+            kv = (dcfg.num_hidden_layers * 2 * 2 * dcfg.num_key_value_heads
+                  * dcfg.resolved_head_dim * kv_item * live_ctx)
+            total = (nbytes(p["lm"]["layers"])
+                     + nbytes(p["diffusion_head"])
+                     + (g.ddpm_steps - 1) * ffn
+                     + nbytes(p["acoustic"]["decoder"])
+                     + nbytes(p["semantic"]) + kv)
+            kind = jax.devices()[0].device_kind.lower()
+            bw = next((v for k_, v in (("v5 lite", 8.19e11),
+                                       ("v5e", 8.19e11), ("v5p", 2.765e12),
+                                       ("v4", 1.2e12), ("v6", 1.64e12))
+                       if k_ in kind), 8.19e11)
+            extras[f"{prefix}hbm_bytes_per_step"] = int(total)
+            extras[f"{prefix}roofline_frac"] = round(
+                (total / bw) / (step_ms / 1e3), 3)
+        except Exception as e:  # noqa: BLE001 — failure-isolated tier
+            extras[f"{prefix}roofline_error"] = repr(e)[:120]
+
     stage_breakdown(gen, "", 1000 * wall / max(steps, 1))
+    roofline_keys(gen, 1000 * wall / max(steps, 1), "", t0_len + bench_steps)
 
     # restart cost: a FRESH generator (new jit objects) on the same weights —
     # recompilation path with persistent-cache hits, i.e. what a server
@@ -350,6 +390,8 @@ def main():
                 wq_, sq_, _, aq_ = median_run(gen_q, ids, bench_steps, chunk,
                                               1.3, frame_sec)
                 extras[key] = round(aq_ / wq_, 3)
+                roofline_keys(gen_q, 1000 * wq_ / max(sq_, 1),
+                              key.replace("rtf", ""), t0_len + bench_steps)
 
                 if tier_bits == 4:
                     # post-int4 bottleneck attribution (VERDICT r3 item 3):

@@ -97,6 +97,28 @@ class ModelManager:
                 return c
         return None
 
+    def _quant_store_path(self, name: str, tier: str) -> Optional[str]:
+        """Directory of the pre-quantized store for (model, tier) under
+        VIBEVOICE_QUANT_STORE (or <checkpoints_dir>/quant when unset '1'
+        is given); None disables the store entirely."""
+        if not tier:
+            return None
+        root = os.environ.get("VIBEVOICE_QUANT_STORE", "")
+        if not root:
+            return None
+        if root == "1":
+            root = os.path.join(self.checkpoints_dir, "quant")
+        return os.path.join(root, f"{name.replace('/', '--')}-{tier}")
+
+    def _processor_for(self, name: str) -> VibeVoiceProcessor:
+        path = self._resolve_path(name)
+        if path is not None:
+            try:
+                return VibeVoiceProcessor.from_pretrained(path)
+            except Exception:  # noqa: BLE001 — default processor fallback
+                pass
+        return VibeVoiceProcessor()
+
     def available_models(self):
         return list(MODEL_REGISTRY.keys())
 
@@ -123,6 +145,23 @@ class ModelManager:
         tier = _norm_tier(self.quantize if quantize is None else quantize)
 
         entry = MODEL_REGISTRY.get(name, {})
+        # pre-quantized store (reference: the pre-quantized 4-bit repo is
+        # tried FIRST, main.py:349-367): restore quantized leaves directly,
+        # skipping both the dense load and the quantize pass
+        qstore = self._quant_store_path(name, tier)
+        if qstore is not None:
+            from ..checkpoint import checkpoint_meta, load_checkpoint
+            if checkpoint_meta(qstore).get("quant_tier") == tier:
+                params, cfg = load_checkpoint(qstore)
+                processor = self._processor_for(name)
+                self.log(f"✅ Loaded pre-quantized {tier} store {qstore}")
+                gen = VibeVoiceGenerator(params, cfg, processor.tokenizer,
+                                         ddpm_inference_steps=self.ddpm_steps,
+                                         mesh=self.mesh)
+                self.current = LoadedModel(name=name, cfg=cfg, generator=gen,
+                                           processor=processor, quantized=tier)
+                return self.current
+
         # fallback chain (reference main.py:274-541): local cache for each
         # registered repo (legacy first, then current) -> hub download unless
         # offline -> random weights with a loud warning
@@ -148,15 +187,20 @@ class ModelManager:
             self.log(f"⚠️  No checkpoint found for {name}; using random weights")
 
         if tier:
-            # the reference's 4-bit NF4 loading analogue (main.py:301-416):
-            # int8 = quality default; int4 (per-column) = the speed tier;
-            # int4g = group-16 fidelity at the same width
-            from ..ops.quant import quantize_lm_params
-            bits = 8 if tier == "int8" else 4
-            colscale = tier == "int4"
-            params = dict(params)
-            params["lm"] = quantize_lm_params(params["lm"], bits=bits,
-                                              colscale=colscale)
+            # on-the-fly fallback (reference main.py:369-416): quantize the
+            # full serving stack, then write through to the pre-quantized
+            # store (when configured) so the NEXT load/LOD switch skips
+            # this pass
+            from ..ops.quant import quantize_serving_stack
+            params = quantize_serving_stack(params, tier)
+            if qstore is not None:
+                try:
+                    from ..checkpoint import save_quantized_checkpoint
+                    save_quantized_checkpoint(qstore, params, cfg, tier,
+                                              already_quantized=True)
+                    self.log(f"💾 Cached pre-quantized {tier} store {qstore}")
+                except Exception as e:  # noqa: BLE001 — cache is optional
+                    self.log(f"⚠️  Could not write quant store: {e}")
 
         gen = VibeVoiceGenerator(params, cfg, processor.tokenizer,
                                  ddpm_inference_steps=self.ddpm_steps,

@@ -32,6 +32,48 @@ def save_checkpoint(path: str, params: dict, cfg: VibeVoiceConfig,
         json.dump(meta, f)
 
 
+QUANT_TIERS = ("int8", "int4", "int4g")
+
+
+def checkpoint_meta(path: str) -> dict:
+    """The store's meta.json ({} when absent): ``quant_tier`` marks a
+    pre-quantized store."""
+    try:
+        with open(os.path.join(os.path.abspath(path), "meta.json")) as f:
+            return json.load(f)
+    except (OSError, ValueError):
+        return {}
+
+
+def save_quantized_checkpoint(path: str, params: dict, cfg: VibeVoiceConfig,
+                              tier: str = "int4",
+                              step: Optional[int] = None,
+                              already_quantized: bool = False) -> None:
+    """Quantize the full serving stack (LM + diffusion head + tokenizer
+    FFNs/convs) at ``tier`` and save the quantized leaves directly — the
+    reference's pre-quantized 4-bit repo analogue (main.py:349-367): a
+    serving process restores {"q4c","s4c"} leaves as-is instead of paying
+    the quantize pass on every load/LOD switch (~10 s on the 1.5B tree).
+    Orbax stores the leaf dicts natively; ``meta.json`` carries the tier so
+    loaders know not to re-quantize.  ``already_quantized``: ``params``
+    went through quantize_serving_stack(tier) already (the write-through
+    cache path) — save as-is."""
+    from .ops.quant import quantize_serving_stack
+
+    assert tier in QUANT_TIERS, tier
+    q = params if already_quantized else quantize_serving_stack(params, tier)
+    import orbax.checkpoint as ocp
+
+    path = os.path.abspath(path)
+    os.makedirs(path, exist_ok=True)
+    with ocp.StandardCheckpointer() as ckptr:
+        ckptr.save(os.path.join(path, "params"), q, force=True)
+    cfg.save_json(os.path.join(path, "config.json"))
+    with open(os.path.join(path, "meta.json"), "w") as f:
+        json.dump({"framework": "vibevoice_tpu", "step": step,
+                   "quant_tier": tier}, f)
+
+
 def load_checkpoint(path: str, shardings=None) -> Tuple[dict, VibeVoiceConfig]:
     """Restore params (+config).
 
@@ -45,6 +87,14 @@ def load_checkpoint(path: str, shardings=None) -> Tuple[dict, VibeVoiceConfig]:
 
     path = os.path.abspath(path)
     cfg = VibeVoiceConfig.from_json(os.path.join(path, "config.json"))
+    if shardings is not None and checkpoint_meta(path).get("quant_tier"):
+        # the abstract target below is derived from the DENSE init shapes;
+        # a pre-quantized store is a single-device serving artifact — meshed
+        # serving re-quantizes from the dense store (shard_params handles
+        # quantized leaves AFTER restore, not during)
+        raise ValueError(
+            "pre-quantized store cannot be restored with shardings; load "
+            "the dense checkpoint and quantize after shard_params")
     with ocp.StandardCheckpointer() as ckptr:
         if shardings is None:
             params = ckptr.restore(os.path.join(path, "params"))
@@ -74,8 +124,20 @@ def import_hf_to_orbax(hf_path: str, out_path: str,
 if __name__ == "__main__":
     import argparse
 
-    p = argparse.ArgumentParser(description="Convert HF checkpoint to Orbax")
-    p.add_argument("hf_path")
+    p = argparse.ArgumentParser(
+        description="Convert HF checkpoint to Orbax (optionally pre-quantized)")
+    p.add_argument("hf_path", help="HF safetensors dir OR an Orbax store")
     p.add_argument("out_path")
+    p.add_argument("--quantize", choices=QUANT_TIERS, default=None,
+                   help="emit a pre-quantized serving store at this tier")
     args = p.parse_args()
-    import_hf_to_orbax(args.hf_path, args.out_path)
+    if args.quantize is None:
+        import_hf_to_orbax(args.hf_path, args.out_path)
+    else:
+        if os.path.exists(os.path.join(args.hf_path, "config.json")) and \
+                os.path.exists(os.path.join(args.hf_path, "params")):
+            params, cfg = load_checkpoint(args.hf_path)
+        else:
+            from .convert import load_pretrained
+            params, cfg = load_pretrained(args.hf_path)
+        save_quantized_checkpoint(args.out_path, params, cfg, args.quantize)

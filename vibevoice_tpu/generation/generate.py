@@ -226,8 +226,17 @@ class VibeVoiceGenerator:
         # maps the kernel per-shard with shard_map ('pallas_shmap')
         import os as _os
         on_tpu = jax.default_backend() == "tpu"
+        if mesh is not None:
+            # meshed: per-shard kernel via shard_map — head-sharded cache
+            # when kv_tp, replicated-KV head-offset view otherwise (1.5B's
+            # 2 kv heads at tp=4 previously fell back to full-buffer XLA
+            # reads, ~2x decode HBM traffic at depth)
+            from ..parallel.sharding import rep_kv_decode_ok
+            meshed_impl = ("pallas_shmap"
+                           if self.kv_tp or rep_kv_decode_ok(cfg.decoder, mesh)
+                           else "xla")
         self.decode_impl = _os.environ.get("VIBEVOICE_DECODE_IMPL") or (
-            ("pallas_shmap" if self.kv_tp else "xla") if mesh is not None
+            meshed_impl if mesh is not None
             else ("pallas" if on_tpu else "xla"))
         # int8 KV cache (opt-in): halves per-step KV HBM traffic at depth
         # and halves cache memory (long-context tier).  Served everywhere:
@@ -348,7 +357,8 @@ class VibeVoiceGenerator:
     # ------------------------------------------------------------------
     # Prefill
     # ------------------------------------------------------------------
-    def _build_prefill(self, t_bucket: int, cache_len: int, has_speech: bool):
+    def _build_prefill(self, t_bucket: int, cache_len: int, has_speech: bool,
+                       neg_bucket: Optional[int] = None):
         cfg = self.cfg
 
         def prefill_fn(params, ids2b, valid2b, speech_tensors, speech_masks,
@@ -380,6 +390,52 @@ class VibeVoiceGenerator:
                                           valid2b, cache)
             return hidden[:, -1, :], cache
 
+        def prefill_split_fn(params, ids_pos, valid_pos, ids_neg, valid_neg,
+                             speech_tensors, speech_masks, speech_input_mask,
+                             rng):
+            """Long-prompt prefill with the CFG-negative rows split out: the
+            negative context is a handful of tokens, but the joint [2B,
+            t_bucket] program computes its full left padding — at 40k tokens
+            that DOUBLES prefill FLOPs (r3: longform_64k_ttfa 3.68 s, half
+            of it the padded negative row).  Here the positive rows run the
+            segmented prefill into rows [0, B) of the 2B-row cache (the
+            cache-write DUS and the cached-flash grid only touch q's rows),
+            and the negative rows run a tiny [B, neg_bucket] prefill whose
+            block is inserted at rows [B, 2B), slots [0, neg_bucket).  The
+            decode step's per-row kv_start/neg_ptr make the slot base an
+            implementation detail (positions = slot - kv_start)."""
+            b = ids_pos.shape[0]
+            embeds = qwen2.embed_tokens(params["lm"], ids_pos).astype(self.lm_dtype)
+            if has_speech:
+                embeds = _scatter_voice_embeds(
+                    params, cfg, self.lm_dtype, embeds, speech_tensors,
+                    speech_masks, speech_input_mask, rng,
+                    self._scale_bias(params))
+            cache = qwen2.init_kv_cache(cfg.decoder, 2 * b, cache_len,
+                                        self.lm_dtype, quant=self.kv_quant)
+            last_pos, cache = qwen2.prefill_chunked(
+                params["lm"], cfg.decoder, embeds, valid_pos, cache,
+                self.prefill_chunk)
+
+            neg_embeds = qwen2.embed_tokens(
+                params["lm"], ids_neg).astype(self.lm_dtype)
+            neg_cache = qwen2.init_kv_cache(cfg.decoder, b, neg_bucket,
+                                            self.lm_dtype, quant=self.kv_quant)
+            hidden_neg, neg_cache = qwen2.prefill(
+                params["lm"], cfg.decoder, neg_embeds, valid_neg, neg_cache)
+
+            def insert(big, small):
+                return jax.lax.dynamic_update_slice(
+                    big, small, (0, b) + (0,) * (small.ndim - 2))
+
+            cache = qwen2.KVCache(
+                k=jax.tree.map(insert, cache.k, neg_cache.k),
+                v=jax.tree.map(insert, cache.v, neg_cache.v))
+            last = jnp.concatenate([last_pos, hidden_neg[:, -1, :]], axis=0)
+            return last, cache
+
+        if neg_bucket is not None:
+            return jax.jit(prefill_split_fn)
         return jax.jit(prefill_fn)
 
     # ------------------------------------------------------------------
@@ -838,14 +894,30 @@ class VibeVoiceGenerator:
         pad_id = tk.pad_id
         ids_pad = np.full((b, t_bucket), pad_id, ids.dtype)
         ids_pad[:, extra:] = ids
+        # long prompts split the negative rows into their own short prefill
+        # (_build_prefill.prefill_split_fn): the joint [2B, t_bucket] program
+        # computes the negative row's full left padding — at 40k tokens that
+        # doubles prefill FLOPs for a ~1-token context (r3 longform TTFA)
+        split_neg = (t_bucket > self.prefill_chunk
+                     and t_bucket % self.prefill_chunk == 0
+                     and self.mesh is None)
+        if split_neg:
+            nw = (1 if negative_prompt_ids is None
+                  else int(np.asarray(negative_prompt_ids).shape[-1]))
+            neg_width = min(max(64, _bucket_len(nw, 64)), t_bucket)
+        else:
+            neg_width = t_bucket
         neg_ids, neg_valid, neg_lens = self._negative_rows(
-            b, t_bucket, ids.dtype, negative_prompt_ids,
+            b, neg_width, ids.dtype, negative_prompt_ids,
             negative_prompt_attention_mask)
-        ids2b = np.concatenate([ids_pad, neg_ids], axis=0)
-
-        valid2b = np.zeros((2 * b, t_bucket), bool)
-        valid2b[:b, extra:] = attn.astype(bool)
-        valid2b[b:] = neg_valid
+        if not split_neg:
+            ids2b = np.concatenate([ids_pad, neg_ids], axis=0)
+            valid2b = np.zeros((2 * b, t_bucket), bool)
+            valid2b[:b, extra:] = attn.astype(bool)
+            valid2b[b:] = neg_valid
+        else:
+            valid_pos = np.zeros((b, t_bucket), bool)
+            valid_pos[:, extra:] = attn.astype(bool)
 
         smask_pad = None
         has_speech = speech_tensors is not None
@@ -876,25 +948,37 @@ class VibeVoiceGenerator:
             jnp.arange(b, dtype=jnp.uint32))
 
         pf_key = (t_bucket, cache_len, has_speech,
-                  None if not has_speech else np.asarray(speech_tensors).shape)
+                  None if not has_speech else np.asarray(speech_tensors).shape,
+                  neg_width if split_neg else None)
         if pf_key not in self._prefill_jit:
-            self._prefill_jit[pf_key] = self._scoped(self._build_prefill(t_bucket, cache_len, has_speech))
+            self._prefill_jit[pf_key] = self._scoped(self._build_prefill(
+                t_bucket, cache_len, has_speech,
+                neg_bucket=neg_width if split_neg else None))
         prefill_fn = self._prefill_jit[pf_key]
         with timer.stage("prefill"):
-            pf_in = self._put_batched((
-                jnp.asarray(ids2b), jnp.asarray(valid2b),
-                None if not has_speech else jnp.asarray(speech_tensors, jnp.float32),
-                None if not has_speech else jnp.asarray(speech_masks),
-                None if not has_speech else jnp.asarray(smask_pad)))
+            sp = (None if not has_speech
+                  else jnp.asarray(speech_tensors, jnp.float32))
+            sm = None if not has_speech else jnp.asarray(speech_masks)
+            sim = None if not has_speech else jnp.asarray(smask_pad)
             # no host sync: nothing host-side needs the prefill results, so
             # the first chunk dispatch pipelines behind prefill on device
             # (the block cost a full device round-trip per generate call);
             # the stage therefore times the enqueue, not device execution
-            last_hidden, cache = prefill_fn(self.params, *pf_in, k_pre)
+            if split_neg:
+                last_hidden, cache = prefill_fn(
+                    self.params, jnp.asarray(ids_pad), jnp.asarray(valid_pos),
+                    jnp.asarray(neg_ids), jnp.asarray(neg_valid),
+                    sp, sm, sim, k_pre)
+            else:
+                pf_in = self._put_batched((
+                    jnp.asarray(ids2b), jnp.asarray(valid2b), sp, sm, sim))
+                last_hidden, cache = prefill_fn(self.params, *pf_in, k_pre)
 
         return self._assemble_state(b, t_bucket, init_len, neg_lens,
                                     last_hidden, cache, rng, row_rng,
-                                    max_steps_per_sample)
+                                    max_steps_per_sample,
+                                    neg_base=neg_width if split_neg
+                                    else t_bucket)
 
     def _build_assemble(self, b: int):
         """One jitted program that materializes every small GenState leaf —
@@ -906,13 +990,16 @@ class VibeVoiceGenerator:
         tok_dtype = self.tok_dtype
 
         @jax.jit
-        def assemble_fn(kv_start, t_bucket, max_steps, row_rng):
+        def assemble_fn(kv_start, t_bucket, neg_base, max_steps, row_rng):
             full_b = jnp.full((b,), t_bucket, jnp.int32)
+            neg_b = jnp.full((b,), neg_base, jnp.int32)
             leaves = (
                 kv_start,
                 full_b,                       # pos_len
-                full_b,                       # neg_ptr
-                full_b,                       # neg_init_ptr
+                neg_b,                        # neg_ptr (slot base of the
+                neg_b,                        # neg rows; == t_bucket unless
+                                              # the split-negative prefill
+                                              # parked them at a small base)
                 jnp.zeros((b,), bool),        # finished
                 jnp.zeros((b,), bool),        # reach_max
                 max_steps,
@@ -931,13 +1018,18 @@ class VibeVoiceGenerator:
 
     def _assemble_state(self, b: int, t_bucket: int, init_len, neg_lens,
                         last_hidden, cache, rng, row_rng,
-                        max_steps_per_sample) -> GenState:
+                        max_steps_per_sample, neg_base: int | None = None
+                        ) -> GenState:
         """Pack prefill results into the initial GenState (shared by the full
-        prefill and the prefix-cache suffix prefill)."""
+        prefill and the prefix-cache suffix prefill).  ``neg_base`` is the
+        cache-slot base of the negative rows (t_bucket normally; the small
+        neg bucket under the split-negative long-prompt prefill)."""
         cfg = self.cfg
+        if neg_base is None:
+            neg_base = t_bucket
         kv_start = np.zeros(2 * b, np.int32)
         kv_start[:b] = t_bucket - init_len
-        kv_start[b:] = t_bucket - neg_lens
+        kv_start[b:] = neg_base - neg_lens
 
         if self.mesh is None:
             if b not in self._assemble_jit:
@@ -946,6 +1038,7 @@ class VibeVoiceGenerator:
              reach_max_a, max_steps_a, row_rng_a, step_a, ac_state,
              sem_state) = self._assemble_jit[b](
                 jnp.asarray(kv_start), jnp.int32(t_bucket),
+                jnp.int32(neg_base),
                 jnp.asarray(max_steps_per_sample, jnp.int32), row_rng)
             return GenState(
                 cache=cache, kv_start=kv_start_a, pos_len=pos_len_a,

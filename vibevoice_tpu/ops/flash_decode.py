@@ -45,7 +45,7 @@ def _pick_block(s: int, block_k: int):
     return bk, max(1, bk // _SUB_BLOCK)
 
 
-def _decode_kernel(lyr_ref, kv_start_ref, kv_len_ref,  # scalar prefetch
+def _decode_kernel(lyr_ref, h0_ref, kv_start_ref, kv_len_ref,  # scalar prefetch
                    q_ref, k_ref, v_ref, o_ref,
                    m_scr, l_scr, acc_scr,
                    *, scale: float, block_k: int, splits: int):
@@ -54,7 +54,7 @@ def _decode_kernel(lyr_ref, kv_start_ref, kv_len_ref,  # scalar prefetch
     the end of the body: the strict per-block (dot -> max -> exp -> rescale)
     dependency chain, not DMA or dot throughput, was the measured bottleneck
     (2.6x device-time win at 7B/30k-deep geometry)."""
-    del lyr_ref  # consumed by the BlockSpec index maps only
+    del lyr_ref, h0_ref  # consumed by the BlockSpec index maps only
     b = pl.program_id(0)
     ki = pl.program_id(2)
     nk = pl.num_programs(2)
@@ -114,19 +114,27 @@ def _decode_kernel(lyr_ref, kv_start_ref, kv_len_ref,  # scalar prefetch
         o_ref[0, 0] = (acc_scr[:] / l).astype(o_ref.dtype)
 
 
-@functools.partial(jax.jit, static_argnames=("block_k", "interpret"))
+@functools.partial(jax.jit, static_argnames=("block_k", "interpret", "n_kv"))
 def flash_decode_attention(q: jax.Array, k_cache: jax.Array, v_cache: jax.Array,
                            kv_start: jax.Array, kv_len: jax.Array,
                            layer: jax.Array | None = None,
                            block_k: int = DEFAULT_BLOCK_K,
-                           interpret: bool | None = None) -> jax.Array:
+                           interpret: bool | None = None,
+                           kv_head0: jax.Array | None = None,
+                           n_kv: int | None = None) -> jax.Array:
     """q: [B, Hq, D]; k_cache/v_cache: [B, Hkv, S, D] head-major, or the
     FULL layer-stacked cache [L, B, Hkv, S, D] with ``layer`` the layer to
     attend against (the layer scan carries the stacked cache in place —
     per-layer slicing outside the kernel would either copy the slice or,
     as xs->ys scan threading, double cache memory with full-cache layout
     copies around every step).  kv_start/kv_len: [B] — valid cache range is
-    kv_start <= j < kv_len.  Returns [B, Hq, D]."""
+    kv_start <= j < kv_len.  Returns [B, Hq, D].
+
+    ``kv_head0``/``n_kv`` (replicated-KV TP shards): attend q's heads
+    against ``n_kv`` consecutive kv heads starting at cache head
+    ``kv_head0`` — the caller's q rows are a contiguous slice of the full
+    head set while the cache keeps every kv head (the kv_tp=False meshed
+    decode, parallel/sharding.rep_kv_decode_ok)."""
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
     if k_cache.ndim == 4:
@@ -134,43 +142,47 @@ def flash_decode_attention(q: jax.Array, k_cache: jax.Array, v_cache: jax.Array,
         layer = jnp.int32(0)
     b, hq, d = q.shape
     hkv, s = k_cache.shape[2], k_cache.shape[3]
-    group = hq // hkv
+    n_kv_eff = n_kv if n_kv is not None else hkv
+    group = hq // n_kv_eff
     scale = d ** -0.5
+    if kv_head0 is None:
+        kv_head0 = jnp.int32(0)
 
     bk, splits = _pick_block(s, block_k)
     nk = s // bk
 
-    # [B, Hkv, G, D] so each grid point owns the query group of one kv head
-    qg = q.reshape(b, hkv, group, d)
+    # [B, Nkv, G, D] so each grid point owns the query group of one kv head
+    qg = q.reshape(b, n_kv_eff, group, d)
 
-    def _kv_index(b_, h, ki, lyr, kvs, kvl):
+    def _kv_index(b_, h, ki, lyr, h0, kvs, kvl):
         start_blk = kvs[b_] // bk
         end_blk = (kvl[b_] - 1) // bk
-        return (lyr[0], b_, h, jnp.clip(ki, start_blk, end_blk), 0)
+        return (lyr[0], b_, h0[0] + h, jnp.clip(ki, start_blk, end_blk), 0)
 
     out = pl.pallas_call(
         functools.partial(_decode_kernel, scale=scale, block_k=bk,
                           splits=splits),
         grid_spec=pltpu.PrefetchScalarGridSpec(
-            num_scalar_prefetch=3,
-            grid=(b, hkv, nk),
+            num_scalar_prefetch=4,
+            grid=(b, n_kv_eff, nk),
             in_specs=[
                 pl.BlockSpec((1, 1, group, d),
-                             lambda b_, h, ki, lyr, kvs, kvl: (b_, h, 0, 0)),
+                             lambda b_, h, ki, lyr, h0, kvs, kvl: (b_, h, 0, 0)),
                 pl.BlockSpec((1, 1, 1, bk, d), _kv_index),
                 pl.BlockSpec((1, 1, 1, bk, d), _kv_index),
             ],
             out_specs=pl.BlockSpec((1, 1, group, d),
-                                   lambda b_, h, ki, lyr, kvs, kvl: (b_, h, 0, 0)),
+                                   lambda b_, h, ki, lyr, h0, kvs, kvl: (b_, h, 0, 0)),
             scratch_shapes=[
                 pltpu.VMEM((group, 1), jnp.float32),
                 pltpu.VMEM((group, 1), jnp.float32),
                 pltpu.VMEM((group, d), jnp.float32),
             ],
         ),
-        out_shape=jax.ShapeDtypeStruct((b, hkv, group, d), q.dtype),
+        out_shape=jax.ShapeDtypeStruct((b, n_kv_eff, group, d), q.dtype),
         interpret=interpret,
-    )(jnp.asarray(layer, jnp.int32).reshape(1), kv_start.astype(jnp.int32),
+    )(jnp.asarray(layer, jnp.int32).reshape(1),
+      jnp.asarray(kv_head0, jnp.int32).reshape(1), kv_start.astype(jnp.int32),
       kv_len.astype(jnp.int32), qg, k_cache, v_cache)
     return out.reshape(b, hq, d)
 
@@ -182,12 +194,26 @@ def flash_decode_attention_sharded(q: jax.Array, k_cache: jax.Array,
                                    layer: jax.Array | None = None,
                                    block_k: int = DEFAULT_BLOCK_K) -> jax.Array:
     """TP/DP-sharded wrapper: a pallas_call is opaque to GSPMD, so the kernel
-    is mapped per-shard with shard_map.  With the cache sharded on (dp batch,
-    tp kv-heads) the attention is fully shard-local — each tp shard owns the
-    query group of its kv heads, no collectives.  The head-sharded output
-    feeds the rowwise (tp) o-projection, exactly the Megatron dataflow.
-    Caches may be per-layer [B, Hkv, S, D] or layer-stacked [L, ...] with
-    ``layer`` (the layer axis is unsharded)."""
+    is mapped per-shard with shard_map.
+
+    ``kv_tp=True`` (tp divides the kv-head count): cache sharded on
+    (dp batch, tp kv-heads), attention fully shard-local — each tp shard
+    owns the query group of its kv heads, no collectives.
+
+    ``kv_tp=False`` (e.g. 1.5B's 2 kv heads at tp=4): the cache is
+    REPLICATED across tp while q stays head-sharded (wq is
+    column-parallel); each shard attends its q-head slice against the kv
+    head(s) that slice belongs to via the kernel's ``kv_head0``/``n_kv``
+    head-offset view.  No collectives either — before r4 this shape fell
+    back to full-buffer XLA attention reads, ~2x the flash kernel's HBM
+    traffic at depth.  Requires rep_kv_decode_ok(cfg, mesh)
+    (parallel/sharding.py): per-shard q heads must tile whole kv-head
+    groups or subdivide one group evenly.
+
+    Either way the head-sharded output feeds the rowwise (tp)
+    o-projection, exactly the Megatron dataflow.  Caches may be per-layer
+    [B, Hkv, S, D] or layer-stacked [L, ...] with ``layer`` (the layer
+    axis is unsharded)."""
     from jax.sharding import PartitionSpec as P
     try:
         from jax import shard_map
@@ -200,13 +226,30 @@ def flash_decode_attention_sharded(q: jax.Array, k_cache: jax.Array,
     stacked = _leaf(k_cache).ndim == 5
     lead = (None,) if stacked else ()
     dp = "dp" if batch_on_dp else None
+    tp_size = dict(mesh.shape).get("tp", 1)
+    tp_q = "tp" if tp_size > 1 else None
     tp = "tp" if kv_tp else None
-    qspec = P(dp, tp, None)              # [B, Hq, D] — heads split with kv
+    qspec = P(dp, tp_q, None)            # [B, Hq, D] — q heads always on tp
     kvspec = P(*lead, dp, tp, None, None)
     sspec = P(dp)                        # [B]
     if layer is None:
         layer = jnp.int32(0)
     layer = jnp.asarray(layer, jnp.int32).reshape(1)
+
+    hq = q.shape[1]
+    hkv = _leaf(k_cache).shape[2 if stacked else 1]
+    if kv_tp or tp_size == 1:
+        h0_nkv = lambda ti: (None, None)            # cache already head-local
+    else:
+        # replicated cache: shard ti's q heads [ti*hql, (ti+1)*hql) map to
+        # kv heads starting at (ti*hql)//group (rep_kv_decode_ok guarantees
+        # the range covers whole groups or stays inside one)
+        hql = hq // tp_size
+        group = hq // hkv
+        n_kv_local = max(1, hql // group)
+
+        def h0_nkv(ti):
+            return (ti * hql) // group, n_kv_local
 
     if is_quantized_kv(k_cache):
         # int8 cache: {"q","s"} leaves shard on the same (dp, tp) axes —
@@ -217,17 +260,21 @@ def flash_decode_attention_sharded(q: jax.Array, k_cache: jax.Array,
         cspec = {"q": kvspec, "s": sspec_scale}
 
         def inner(q_, k_, v_, s_, l_, lyr_):
+            h0, nkv = h0_nkv(jax.lax.axis_index("tp") if tp_q else 0)
             return flash_decode_attention_q8(q_, k_["q"], k_["s"],
                                              v_["q"], v_["s"], s_, l_,
                                              layer=lyr_[0] if stacked else None,
-                                             block_k=block_k)
+                                             block_k=block_k,
+                                             kv_head0=h0, n_kv=nkv)
     else:
         cspec = kvspec
 
         def inner(q_, k_, v_, s_, l_, lyr_):
+            h0, nkv = h0_nkv(jax.lax.axis_index("tp") if tp_q else 0)
             return flash_decode_attention(q_, k_, v_, s_, l_,
                                           layer=lyr_[0] if stacked else None,
-                                          block_k=block_k)
+                                          block_k=block_k,
+                                          kv_head0=h0, n_kv=nkv)
 
     kwargs = dict(mesh=mesh,
                   in_specs=(qspec, cspec, cspec, sspec, sspec, P(None)),
@@ -272,7 +319,7 @@ def dequantize_kv(leaf, dtype=jnp.bfloat16) -> jax.Array:
     return (leaf["q"].astype(jnp.float32) * s).astype(dtype)
 
 
-def _decode_kernel_q8(lyr_ref, kv_start_ref, kv_len_ref,  # scalar prefetch
+def _decode_kernel_q8(lyr_ref, h0_ref, kv_start_ref, kv_len_ref,  # scalar prefetch
                       q_ref, k_ref, ks_ref, v_ref, vs_ref, o_ref,
                       m_scr, l_scr, acc_scr,
                       *, scale: float, block_k: int, splits: int):
@@ -283,7 +330,7 @@ def _decode_kernel_q8(lyr_ref, kv_start_ref, kv_len_ref,  # scalar prefetch
     whole scale tensor with the size-Hkv axis in the 128-lane dimension — a
     32x padding blowup (a 7B 32k cache's 29 MB of scales ballooned to 931 MB
     of HBM and proportional DMA)."""
-    del lyr_ref  # consumed by the BlockSpec index maps only
+    del lyr_ref, h0_ref  # consumed by the BlockSpec index maps only
     b = pl.program_id(0)
     ki = pl.program_id(2)
     nk = pl.num_programs(2)
@@ -346,17 +393,20 @@ def _decode_kernel_q8(lyr_ref, kv_start_ref, kv_len_ref,  # scalar prefetch
         o_ref[0, 0] = (acc_scr[:] / l).astype(o_ref.dtype)
 
 
-@functools.partial(jax.jit, static_argnames=("block_k", "interpret"))
+@functools.partial(jax.jit, static_argnames=("block_k", "interpret", "n_kv"))
 def flash_decode_attention_q8(q: jax.Array, k8: jax.Array, ks: jax.Array,
                               v8: jax.Array, vs: jax.Array,
                               kv_start: jax.Array, kv_len: jax.Array,
                               layer: jax.Array | None = None,
                               block_k: int = DEFAULT_BLOCK_K,
-                              interpret: bool | None = None) -> jax.Array:
+                              interpret: bool | None = None,
+                              kv_head0: jax.Array | None = None,
+                              n_kv: int | None = None) -> jax.Array:
     """int8-cache decode attention.  q: [B, Hq, D]; k8/v8: [B, Hkv, S, D]
     int8 (or layer-stacked [L, B, Hkv, S, D] with ``layer``); ks/vs:
     [B, Hkv, S] ([L, B, Hkv, S]) per-vector scales.  Same live-range
-    clamping as the bf16 kernel; KV DMA is halved."""
+    clamping as the bf16 kernel; KV DMA is halved.  ``kv_head0``/``n_kv``:
+    replicated-KV TP sharding, see flash_decode_attention."""
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
     if k8.ndim == 4:
@@ -369,49 +419,53 @@ def flash_decode_attention_q8(q: jax.Array, k8: jax.Array, ks: jax.Array,
         layer = jnp.int32(0)
     b, hq, d = q.shape
     hkv, s = k8.shape[2], k8.shape[3]
-    group = hq // hkv
+    n_kv_eff = n_kv if n_kv is not None else hkv
+    group = hq // n_kv_eff
     scale = d ** -0.5
+    if kv_head0 is None:
+        kv_head0 = jnp.int32(0)
 
     bk, splits = _pick_block(s, block_k)
     nk = s // bk
 
-    qg = q.reshape(b, hkv, group, d)
+    qg = q.reshape(b, n_kv_eff, group, d)
 
-    def _kv_index(b_, h, ki, lyr, kvs, kvl):
+    def _kv_index(b_, h, ki, lyr, h0, kvs, kvl):
         start_blk = kvs[b_] // bk
         end_blk = (kvl[b_] - 1) // bk
-        return (lyr[0], b_, h, jnp.clip(ki, start_blk, end_blk), 0)
+        return (lyr[0], b_, h0[0] + h, jnp.clip(ki, start_blk, end_blk), 0)
 
-    def _s_index(b_, h, ki, lyr, kvs, kvl):
+    def _s_index(b_, h, ki, lyr, h0, kvs, kvl):
         start_blk = kvs[b_] // bk
         end_blk = (kvl[b_] - 1) // bk
-        return (lyr[0], b_, h, 0, jnp.clip(ki, start_blk, end_blk))
+        return (lyr[0], b_, h0[0] + h, 0, jnp.clip(ki, start_blk, end_blk))
 
     out = pl.pallas_call(
         functools.partial(_decode_kernel_q8, scale=scale, block_k=bk,
                           splits=splits),
         grid_spec=pltpu.PrefetchScalarGridSpec(
-            num_scalar_prefetch=3,
-            grid=(b, hkv, nk),
+            num_scalar_prefetch=4,
+            grid=(b, n_kv_eff, nk),
             in_specs=[
                 pl.BlockSpec((1, 1, group, d),
-                             lambda b_, h, ki, lyr, kvs, kvl: (b_, h, 0, 0)),
+                             lambda b_, h, ki, lyr, h0, kvs, kvl: (b_, h, 0, 0)),
                 pl.BlockSpec((1, 1, 1, bk, d), _kv_index),
                 pl.BlockSpec((1, 1, 1, 1, bk), _s_index),
                 pl.BlockSpec((1, 1, 1, bk, d), _kv_index),
                 pl.BlockSpec((1, 1, 1, 1, bk), _s_index),
             ],
             out_specs=pl.BlockSpec((1, 1, group, d),
-                                   lambda b_, h, ki, lyr, kvs, kvl: (b_, h, 0, 0)),
+                                   lambda b_, h, ki, lyr, h0, kvs, kvl: (b_, h, 0, 0)),
             scratch_shapes=[
                 pltpu.VMEM((group, 1), jnp.float32),
                 pltpu.VMEM((group, 1), jnp.float32),
                 pltpu.VMEM((group, d), jnp.float32),
             ],
         ),
-        out_shape=jax.ShapeDtypeStruct((b, hkv, group, d), q.dtype),
+        out_shape=jax.ShapeDtypeStruct((b, n_kv_eff, group, d), q.dtype),
         interpret=interpret,
-    )(jnp.asarray(layer, jnp.int32).reshape(1), kv_start.astype(jnp.int32),
+    )(jnp.asarray(layer, jnp.int32).reshape(1),
+      jnp.asarray(kv_head0, jnp.int32).reshape(1), kv_start.astype(jnp.int32),
       kv_len.astype(jnp.int32), qg, k8, ks, v8, vs)
     return out.reshape(b, hq, d)
 

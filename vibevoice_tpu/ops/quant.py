@@ -383,6 +383,31 @@ def quantize_tokenizer_params(tok_params: dict, bits: int = 8,
     return rec(tok_params)
 
 
+SERVING_TIERS = ("int8", "int4", "int4g")
+
+
+def quantize_serving_stack(params: dict, tier: str) -> dict:
+    """Full serving-stack quantization at a named tier: LM projections,
+    diffusion-head FFNs, tokenizer FFNs + strided resampling convs — the
+    reference's whole-model bitsandbytes quantization analogue
+    (main.py:301-416 quantizes every nn.Linear).  Shared by the
+    pre-quantized Orbax store (checkpoint.save_quantized_checkpoint) and
+    the app model manager so both paths serve identical weights.
+    'int8' = quality default, 'int4' = per-column speed tier, 'int4g' =
+    group-16 fidelity at the same width."""
+    assert tier in SERVING_TIERS, tier
+    bits = 8 if tier == "int8" else 4
+    colscale = tier == "int4"
+    q = dict(params)
+    q["lm"] = quantize_lm_params(q["lm"], bits=bits, colscale=colscale)
+    q["diffusion_head"] = quantize_diffusion_head_params(
+        q["diffusion_head"], bits=bits, colscale=colscale)
+    for k in ("acoustic", "semantic"):
+        q[k] = quantize_tokenizer_params(q[k], bits=bits, colscale=colscale,
+                                         convs=True)
+    return q
+
+
 def dequantize_lm_params(lm_params: dict, dtype=jnp.bfloat16) -> dict:
     from .int4 import (dequantize_weight_int4, dequantize_weight_int4c,
                        is_quantized_int4, is_quantized_int4c)

@@ -33,6 +33,22 @@ def infer_kv_tp(cfg: Qwen2DecoderConfig, mesh: Mesh) -> bool:
             and cfg.num_attention_heads % tp == 0)
 
 
+def rep_kv_decode_ok(cfg: Qwen2DecoderConfig, mesh: Mesh) -> bool:
+    """Whether the replicated-KV sharded flash decode applies when kv_tp is
+    unavailable: per-shard q-head slices must tile whole kv-head groups
+    (hql % group == 0) or evenly subdivide one group (group % hql == 0) so
+    each shard's heads attend a contiguous kv-head range
+    (ops/flash_decode.flash_decode_attention_sharded, kv_head0/n_kv view).
+    Covers every power-of-two tp for the real configs (1.5B 12q/2kv,
+    7B 28q/4kv at tp in {2, 4}; 7B tp=8 falls back — 3.5 q heads/shard)."""
+    tp = mesh.shape.get("tp", 1)
+    hq, hkv = cfg.num_attention_heads, cfg.num_key_value_heads
+    if tp == 1 or hq % tp != 0:
+        return False
+    hql, group = hq // tp, hq // hkv
+    return hql % group == 0 or group % hql == 0
+
+
 def _lm_layer_specs(kv_tp: bool, fsdp: bool) -> dict:
     dp = "dp" if fsdp else None
     kv = "tp" if kv_tp else None
