@@ -358,3 +358,40 @@ def test_fused_projections_match_unfused(bits):
     if a.speech_outputs[0] is not None:
         np.testing.assert_allclose(a.speech_outputs[0], b_.speech_outputs[0],
                                    rtol=1e-6, atol=1e-7)
+
+
+def test_streaming_observed_gap_bound(model):
+    """VERDICT r3 next #3: the cadence bound must hold on OBSERVED producer
+    gaps over a >=200-step streamed run, not just in the pick_k policy.
+    The tiny random model never emits diffusion tokens (no audio puts), so
+    the gate is on chunk-FETCH timestamps — the cadence the ladder paces;
+    consumer put gaps equal these plus host decode time (the bench's
+    streaming_max_gap_ms measures the put side on the real model).  x1.3:
+    the EMA adapts over its first chunks, so one early chunk may overshoot
+    while the estimate converges."""
+    import threading
+
+    from vibevoice_tpu.streamer import AudioStreamer
+
+    bound = 0.3
+    streamer = AudioStreamer(batch_size=1)
+    th = threading.Thread(target=lambda: [None for _ in streamer.get_stream(0)])
+    th.start()
+    ids = _prompt(1, 12)
+    model.generate(ids, cfg_scale=1.3, max_new_tokens=220, chunk_steps=2,
+                   chunk_steps_max=64, max_gap_s=bound, audio_streamer=streamer,
+                   max_length_times=1000.0, seed=0)
+    th.join(timeout=30)
+    sizes = model.last_chunk_sizes
+    assert sum(sizes) >= 200 and len(sizes) >= 6, sizes
+    gaps = np.diff(np.asarray(model.last_chunk_times))
+    p99 = float(np.quantile(gaps, 0.99))
+    assert p99 <= bound * 1.3, (p99, sorted(gaps)[-5:], sizes)
+    # every dispatched size was under the bound per the live EMA, and the
+    # grow path engaged through the BACKGROUND compiler only (on CPU the
+    # ladder compiles don't finish within the run, so growth itself is a
+    # real-hardware assertion — bench streaming_max_gap_ms; here the
+    # contract is: no sync compile mid-stream, bigger sizes in flight)
+    bigger = {k[0] for k in (model._chunk_ready | model._chunk_compiling)
+              if k[0] > 2}
+    assert bigger, (model._chunk_ready, model._chunk_compiling)

@@ -1,0 +1,93 @@
+"""Trained σ-VAE round-trip fidelity gate (VERDICT r4 item 7 / SURVEY §4).
+
+The composite trainer freezes the tokenizers (reference parity: the released
+tokenizer was trained separately, its training code never shipped), so the
+"VAE round-trip SNR" seam was only ever exercised on random weights.  Here
+the tiny acoustic σ-VAE is TRAINED on a synthetic tone family with the
+train/vae.py reconstruction loop and the gate is on measured dB: the trained
+round-trip must clear an absolute SNR bar on in-family signals and beat the
+untrained round-trip by a wide margin — weight-free evidence that the
+encode/decode stack can represent audio, not just execute.
+"""
+
+import dataclasses
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from vibevoice_tpu.config import VibeVoiceConfig
+from vibevoice_tpu.models import acoustic_tokenizer as tokm
+from vibevoice_tpu.train.vae import roundtrip_snr_db, vae_train_loop
+
+pytestmark = pytest.mark.slow
+
+CFG = dataclasses.replace(
+    VibeVoiceConfig.named("tiny").acoustic_tokenizer,
+    fix_std=0.01, std_dist_type="fix")
+FRAME = CFG.total_stride
+
+
+def _boost_gammas(tree: dict) -> None:
+    # the 1e-6 layer-scale init collapses a random net's amplitudes; start
+    # the blocks live so gradients flow from step 0 (same setup as
+    # test_semantic_e2e.py)
+    for stage in tree["stages"]:
+        for blk in stage:
+            for k in ("gamma", "ffn_gamma"):
+                if blk.get(k) is not None:
+                    blk[k] = jnp.ones_like(blk[k])
+
+
+def _tone_batch(rs: np.random.RandomState, b: int, n: int) -> np.ndarray:
+    """In-family signals: two-component harmonic tones with random phase,
+    periods tied to the frame stride so the family is representable at the
+    tokenizer's latent rate."""
+    t = np.arange(n, dtype=np.float32)
+    out = np.zeros((b, n, 1), np.float32)
+    for i in range(b):
+        p1 = FRAME / rs.randint(1, 4)
+        p2 = FRAME / rs.randint(4, 8)
+        ph1, ph2 = rs.uniform(0, 2 * np.pi, 2)
+        w = (0.3 * np.sin(2 * np.pi * t / p1 + ph1)
+             + 0.15 * np.sin(2 * np.pi * t / p2 + ph2))
+        out[i, :, 0] = w
+    return out
+
+
+def test_trained_vae_roundtrip_snr():
+    rs = np.random.RandomState(0)
+    params = tokm.init_acoustic_params(jax.random.PRNGKey(1), CFG, jnp.float32)
+    _boost_gammas(params["encoder"])
+    _boost_gammas(params["decoder"])
+
+    n = 16 * FRAME
+    eval_batch = jnp.asarray(_tone_batch(np.random.RandomState(99), 4, n))
+    snr_before = roundtrip_snr_db(params, CFG, eval_batch)
+
+    def batches():
+        while True:
+            yield _tone_batch(rs, 8, n)
+
+    logs = []
+    state = vae_train_loop(CFG, batches(), params, num_steps=400,
+                           log_every=100, log_fn=logs.append)
+
+    snr_after = roundtrip_snr_db(state.params, CFG, eval_batch)
+    # measured run: -33 dB untrained -> ~15 dB trained on held-out phases
+    assert snr_after > 8.0, (snr_before, snr_after, logs)
+    assert snr_after > snr_before + 10.0, (snr_before, snr_after)
+
+    # streaming decode of the trained weights still equals batch decode
+    # (the serving path is the streaming one)
+    mean, _ = tokm.encode(state.params["encoder"], CFG, eval_batch[:1])
+    full, _ = tokm.decode(state.params["decoder"], CFG, mean)
+    st = tokm.init_decoder_state(CFG, 1, jnp.float32)
+    chunks = []
+    for i in range(mean.shape[1]):
+        y, st = tokm.decode(state.params["decoder"], CFG, mean[:, i:i + 1], st)
+        chunks.append(y)
+    np.testing.assert_allclose(np.concatenate(chunks, axis=1), np.asarray(full),
+                               atol=1e-4)

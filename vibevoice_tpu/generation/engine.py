@@ -238,10 +238,12 @@ class ContinuousEngine:
             reach_max=jnp.zeros((B,), bool),
             step=jnp.int32(0),
             max_steps_per_sample=jnp.zeros((B,), jnp.int32),
-            acoustic_state=tok.init_decoder_state(cfg.acoustic_tokenizer, B,
-                                                  gen.tok_dtype),
-            semantic_state=tok.init_encoder_state(cfg.semantic_tokenizer, B,
-                                                  gen.tok_dtype),
+            acoustic_state=tok.init_decoder_state(
+                cfg.acoustic_tokenizer, B, gen.tok_dtype,
+                params=gen.params["acoustic"]["decoder"]),
+            semantic_state=tok.init_encoder_state(
+                cfg.semantic_tokenizer, B, gen.tok_dtype,
+                params=gen.params["semantic"]),
             rng=jax.random.PRNGKey(0),
             row_rng=jnp.zeros((B, 2), jnp.uint32))
 

@@ -190,6 +190,16 @@ class VibeVoiceGenerator:
             from ..ops.quant import fuse_lm_projections
             params = dict(params)
             params["lm"] = fuse_lm_projections(params["lm"])
+        if mesh is None and os.environ.get("VIBEVOICE_FUSE_STAGE", "1") == "1":
+            # stack int4c-quantized tokenizer stages for the fused streaming
+            # kernel (ops/convnext_stage.py) — one pallas call per stage per
+            # generated frame instead of 2*depth matmul calls + op soup
+            params = dict(params)
+            params["acoustic"] = {
+                **params["acoustic"],
+                "decoder": tok.stack_tokenizer_stages(
+                    params["acoustic"]["decoder"])}
+            params["semantic"] = tok.stack_tokenizer_stages(params["semantic"])
         self.params = params
         self.cfg = cfg
         self.tokenizer = tokenizer
@@ -988,6 +998,8 @@ class VibeVoiceGenerator:
         chip, measured — it dominated TTFA and engine-join latency)."""
         cfg = self.cfg
         tok_dtype = self.tok_dtype
+        ac_dec_params = self.params["acoustic"]["decoder"]
+        sem_params = self.params["semantic"]
 
         @jax.jit
         def assemble_fn(kv_start, t_bucket, neg_base, max_steps, row_rng):
@@ -1005,8 +1017,10 @@ class VibeVoiceGenerator:
                 max_steps,
                 row_rng,
                 jnp.int32(0),                 # step
-                tok.init_decoder_state(cfg.acoustic_tokenizer, b, tok_dtype),
-                tok.init_encoder_state(cfg.semantic_tokenizer, b, tok_dtype),
+                tok.init_decoder_state(cfg.acoustic_tokenizer, b, tok_dtype,
+                                       params=ac_dec_params),
+                tok.init_encoder_state(cfg.semantic_tokenizer, b, tok_dtype,
+                                       params=sem_params),
             )
             # per-leaf barriers: the chunk program donates the state, so every
             # leaf needs its own buffer — without them XLA dedups the identical
@@ -1056,8 +1070,10 @@ class VibeVoiceGenerator:
             jnp.zeros((b,), bool),
             jnp.asarray(max_steps_per_sample, jnp.int32),
             row_rng,
-            tok.init_decoder_state(cfg.acoustic_tokenizer, b, self.tok_dtype),
-            tok.init_encoder_state(cfg.semantic_tokenizer, b, self.tok_dtype)))
+            tok.init_decoder_state(cfg.acoustic_tokenizer, b, self.tok_dtype,
+                                   params=self.params["acoustic"]["decoder"]),
+            tok.init_encoder_state(cfg.semantic_tokenizer, b, self.tok_dtype,
+                                   params=self.params["semantic"])))
         (kv_start_a, neg_ptr_a, pos_len_a, finished_a, reach_max_a, max_steps_a,
          row_rng_a, ac_state, sem_state) = batched
         return GenState(
@@ -1259,6 +1275,10 @@ class VibeVoiceGenerator:
             ladder.append(big_chunk)
         step_time_ema: Optional[float] = None
         self.last_chunk_sizes: List[int] = []
+        # fetch-completion timestamps per chunk: the producer-side cadence
+        # record (consumer-visible gaps == these gaps + host decode/put) —
+        # asserted by the observed-gap test, useful diagnostics everywhere
+        self.last_chunk_times: List[float] = []
         n_dispatched = 0
 
         def note_chunk_period(dt: float, k: int) -> None:
@@ -1366,6 +1386,7 @@ class VibeVoiceGenerator:
             now = time.perf_counter()
             note_chunk_period(now - t_prev_fetch, out_k)
             t_prev_fetch = now
+            self.last_chunk_times.append(now)
             all_tokens.append(toks)
 
             for si in range(toks.shape[0]):

@@ -157,35 +157,176 @@ def _conv_state(batch, in_ch, kernel, stride, dtype):
     return jnp.zeros((batch, ctx, in_ch), dtype)
 
 
-def init_encoder_state(cfg: TokCfg, batch: int, dtype=jnp.float32) -> dict:
+def _stage_state(stacked: bool, batch: int, ch: int, depth: int,
+                 kernel: int, dtype):
+    """Per-stage mixer contexts: a list of [B, k-1, C] buffers, or one
+    stacked [depth, B, k-1, C] array when the stage params are stacked
+    (fused streaming kernel layout)."""
+    if stacked:
+        ctx = context_size(kernel, 1)
+        return jnp.zeros((depth, batch, ctx, ch), dtype)
+    return [_conv_state(batch, ch, kernel, 1, dtype) for _ in range(depth)]
+
+
+def _stages_stacked(params: Optional[dict], n: int):
+    if params is None:
+        return [False] * n
+    return [is_stacked_stage(st) for st in params["stages"]]
+
+
+def init_encoder_state(cfg: TokCfg, batch: int, dtype=jnp.float32,
+                       params: Optional[dict] = None) -> dict:
+    """``params``: the encoder params the state will run against — stages
+    stacked for the fused kernel get stacked state arrays (layouts must
+    match; None = all per-block lists)."""
     depths = tuple(cfg.encoder_depths)
     chans = _encoder_channels(cfg)
     ratios = list(reversed(cfg.encoder_ratios))
+    stk = _stages_stacked(params, len(depths))
     return {
         "stem": _conv_state(batch, cfg.channels, cfg.kernel_size, 1, dtype),
         "down": [_conv_state(batch, chans[i], ratios[i] * 2, ratios[i], dtype)
                  for i in range(len(ratios))],
-        "stages": [[_conv_state(batch, chans[i], cfg.kernel_size, 1, dtype)
-                    for _ in range(depths[i])] for i in range(len(depths))],
+        "stages": [_stage_state(stk[i], batch, chans[i], depths[i],
+                                cfg.kernel_size, dtype)
+                   for i in range(len(depths))],
         "head": _conv_state(batch, chans[-1], cfg.last_kernel_size, 1, dtype),
     }
 
 
-def init_decoder_state(cfg: AcousticTokenizerConfig, batch: int, dtype=jnp.float32) -> dict:
+def init_decoder_state(cfg: AcousticTokenizerConfig, batch: int,
+                       dtype=jnp.float32,
+                       params: Optional[dict] = None) -> dict:
     depths = cfg.resolved_decoder_depths
     nf = cfg.decoder_n_filters
     nd = len(depths)
     chans = [nf * (2 ** (nd - 1 - i)) for i in range(nd)]
     ratios = list(cfg.decoder_ratios)
+    stk = _stages_stacked(params, nd)
     return {
         "stem": _conv_state(batch, cfg.vae_dim, cfg.kernel_size, 1, dtype),
         # transposed conv keeps k-1 past *inputs* (tokenizer.py:447)
         "up": [jnp.zeros((batch, ratios[i] * 2 - 1, chans[i]), dtype)
                for i in range(len(ratios))],
-        "stages": [[_conv_state(batch, chans[i], cfg.kernel_size, 1, dtype)
-                    for _ in range(depths[i])] for i in range(nd)],
+        "stages": [_stage_state(stk[i], batch, chans[i], depths[i],
+                                cfg.kernel_size, dtype) for i in range(nd)],
         "head": _conv_state(batch, chans[-1], cfg.last_kernel_size, 1, dtype),
     }
+
+
+# ---------------------------------------------------------------------------
+# Stacked stages (fused streaming kernel, ops/convnext_stage.py)
+# ---------------------------------------------------------------------------
+
+def is_stacked_stage(stage) -> bool:
+    return isinstance(stage, dict)
+
+
+def stack_stage(blocks):
+    """Stack a stage's identical ConvNeXt blocks for the fused streaming
+    kernel.  Eligible only when every block's FFN is int4c-quantized (on the
+    real configs: the 2048-channel stage — quantize_tokenizer_params gives
+    smaller stages int8) and all optional leaves are present.  Returns the
+    stacked dict, or None (caller keeps the per-block list)."""
+    from ..ops.int4 import is_quantized_int4c
+
+    if len(blocks) == 0:
+        return None
+    for bp in blocks:
+        if not (is_quantized_int4c(bp.get("ffn_w1"))
+                and is_quantized_int4c(bp.get("ffn_w2"))):
+            return None
+        if any(bp.get(k) is None for k in
+               ("norm", "gamma", "ffn_norm", "ffn_gamma", "ffn_b1", "ffn_b2")):
+            return None
+        if bp["mix"].get("b") is None or isinstance(bp["mix"]["w"], dict):
+            return None
+    vecs = jnp.stack([
+        jnp.stack([bp["norm"], bp["mix"]["b"], bp["gamma"], bp["ffn_norm"],
+                   bp["ffn_b2"], bp["ffn_gamma"]]) for bp in blocks])
+    return {
+        "vecs": vecs,                                     # [depth, 6, C]
+        "mix_w": jnp.stack([bp["mix"]["w"][:, 0, :] for bp in blocks]),
+        "b1": jnp.stack([bp["ffn_b1"] for bp in blocks]),
+        "w1": {k: jnp.stack([bp["ffn_w1"][k] for bp in blocks])
+               for k in ("q4c", "s4c")},
+        "w2": {k: jnp.stack([bp["ffn_w2"][k] for bp in blocks])
+               for k in ("q4c", "s4c")},
+    }
+
+
+def stack_tokenizer_stages(params: dict) -> dict:
+    """Serving transform: replace eligible per-block stage lists with the
+    stacked layout (zero weight duplication — leaves are restacked, the
+    originals dropped).  Applied by single-device generators next to
+    fuse_lm_projections; training/parity/checkpoints keep the list layout."""
+    def rec(node):
+        if isinstance(node, dict):
+            out = {}
+            for k, v in node.items():
+                if k == "stages" and isinstance(v, list):
+                    out[k] = [(stack_stage(st) or st)
+                              if isinstance(st, list) else st for st in v]
+                else:
+                    out[k] = rec(v)
+            return out
+        return node
+    return rec(params)
+
+
+def _stage_block_view(sp: dict, j: int) -> dict:
+    """Per-block param view of a stacked stage (batch-mode / fallback path);
+    static indexing of the stacked leaves — XLA fuses the slices into the
+    consuming ops, no weight copies."""
+    return {
+        "norm": sp["vecs"][j, 0],
+        "mix": {"w": sp["mix_w"][j][:, None, :], "b": sp["vecs"][j, 1]},
+        "gamma": sp["vecs"][j, 2],
+        "ffn_norm": sp["vecs"][j, 3],
+        "ffn_w1": {k: sp["w1"][k][j] for k in ("q4c", "s4c")},
+        "ffn_b1": sp["b1"][j],
+        "ffn_w2": {k: sp["w2"][k][j] for k in ("q4c", "s4c")},
+        "ffn_b2": sp["vecs"][j, 4],
+        "ffn_gamma": sp["vecs"][j, 5],
+    }
+
+
+def _stage_depth(stage) -> int:
+    return stage["b1"].shape[0] if is_stacked_stage(stage) else len(stage)
+
+
+def _run_stage(x, stage, cfg: TokCfg, st_in):
+    """Run one stage: the fused kernel when (stacked params, T==1 streaming,
+    Pallas available per the int4 dispatch scope), else per-block.  Returns
+    (x, new_stage_state)."""
+    if is_stacked_stage(stage):
+        from ..ops.convnext_stage import convnext_stage_step_int4c
+        from ..ops.int4 import current_impl
+
+        impl = current_impl()
+        fused_ok = (st_in is not None and x.shape[1] == 1 and impl != "xla"
+                    and (impl in ("pallas", "interpret")
+                         or jax.default_backend() == "tpu"))
+        if fused_ok:
+            y, new_st = convnext_stage_step_int4c(
+                x[:, 0], st_in, stage, eps=cfg.layernorm_eps,
+                interpret=(impl == "interpret"
+                           or jax.default_backend() != "tpu"))
+            return y[:, None], new_st
+        new_blocks = []
+        for j in range(_stage_depth(stage)):
+            x, s = _block(x, _stage_block_view(stage, j), cfg,
+                          None if st_in is None else st_in[j])
+            new_blocks.append(s)
+        if st_in is None:
+            return x, None
+        return x, jnp.stack(new_blocks)
+    new_state = [None] * len(stage)
+    for j in range(len(stage)):
+        x, s = _block(x, stage[j], cfg,
+                      None if st_in is None else st_in[j])
+        new_state[j] = s
+    return x, (new_state if st_in is not None else None)
 
 
 # ---------------------------------------------------------------------------
@@ -231,7 +372,7 @@ def encode(params: dict, cfg: TokCfg, audio: jax.Array,
     ratios = list(reversed(cfg.encoder_ratios))
     depths = tuple(cfg.encoder_depths)
     new_state = {"stem": None, "down": [None] * len(ratios),
-                 "stages": [[None] * d for d in depths], "head": None} if state else None
+                 "stages": [None] * len(depths), "head": None} if state else None
 
     x = audio
     for i in range(len(depths)):
@@ -245,11 +386,10 @@ def encode(params: dict, cfg: TokCfg, audio: jax.Array,
                          state["down"][i - 1] if state else None)
             if state:
                 new_state["down"][i - 1] = s
-        for j in range(depths[i]):
-            x, s = _block(x, params["stages"][i][j], cfg,
-                          state["stages"][i][j] if state else None)
-            if state:
-                new_state["stages"][i][j] = s
+        x, s = _run_stage(x, params["stages"][i], cfg,
+                          state["stages"][i] if state else None)
+        if state:
+            new_state["stages"][i] = s
 
     if params["final_norm"] is not None:
         x = rms_norm(x, params["final_norm"], cfg.layernorm_eps)
@@ -265,7 +405,7 @@ def decode(params: dict, cfg: AcousticTokenizerConfig, latents: jax.Array,
     ratios = list(cfg.decoder_ratios)
     depths = cfg.resolved_decoder_depths
     new_state = {"stem": None, "up": [None] * len(ratios),
-                 "stages": [[None] * d for d in depths], "head": None} if state else None
+                 "stages": [None] * len(depths), "head": None} if state else None
 
     x = latents
     for i in range(len(depths)):
@@ -283,11 +423,10 @@ def decode(params: dict, cfg: AcousticTokenizerConfig, latents: jax.Array,
                                                     p["b"], ratios[i - 1])
             if state:
                 new_state["up"][i - 1] = s
-        for j in range(depths[i]):
-            x, s = _block(x, params["stages"][i][j], cfg,
-                          state["stages"][i][j] if state else None)
-            if state:
-                new_state["stages"][i][j] = s
+        x, s = _run_stage(x, params["stages"][i], cfg,
+                          state["stages"][i] if state else None)
+        if state:
+            new_state["stages"][i] = s
 
     if params["final_norm"] is not None:
         x = rms_norm(x, params["final_norm"], cfg.layernorm_eps)

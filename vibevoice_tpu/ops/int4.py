@@ -347,23 +347,27 @@ def _int4c_kernel(x_lo_ref, x_hi_ref, q4_ref, s_ref, o_ref,
                       ).astype(o_ref.dtype)
 
 
+_PLAN_C_BUDGET = 1536 * 1024
+_CANDS_P = (2048, 1792, 1536, 1280, 1024, 896, 768, 640, 512, 384, 256, 128)
+_CANDS_O = (2048, 1792, 1536, 1280, 1024, 896, 768, 640, 512, 384, 256, 128)
+
+
 def _plan_c(half: int, out: int) -> Optional[Tuple[int, int]]:
     """Largest lane/sublane-aligned divisors with the weight block under
-    ~768 KB (double-buffered block + f32 accumulators must fit VMEM).  Bigger
+    ~1.5 MB (double-buffered block + f32 accumulators must fit VMEM).  Bigger
     blocks = fewer grid steps = less flush/init overhead; covering the whole
-    half (bp == half) removes the accumulation loop entirely."""
-    bp = next((c for c in (1024, 896, 768, 640, 512, 384, 256, 128)
-               if half % c == 0), 0)
-    bo = next((c for c in (1024, 896, 768, 640, 512, 384, 256, 128)
-               if out % c == 0), 0)
+    half (bp == half) removes the accumulation loop entirely.  The budget is
+    empirical: an r4 on-device sweep over the serving shapes measured the
+    1536 KB plan ~10% faster than 768 KB on the LM mlp stacks (wgu/wd) and
+    neutral elsewhere; >=3 MB regressed the tokenizer 2d shape."""
+    bp = next((c for c in _CANDS_P if half % c == 0), 0)
+    bo = next((c for c in _CANDS_O if out % c == 0), 0)
     if not (bp and bo):
         return None
-    while bp * bo > 768 * 1024 and bo > 128:
-        bo = next((c for c in (896, 768, 640, 512, 384, 256, 128)
-                   if c < bo and out % c == 0), 128)
-    while bp * bo > 768 * 1024 and bp > 128:
-        bp = next((c for c in (896, 768, 640, 512, 384, 256, 128)
-                   if c < bp and half % c == 0), 128)
+    while bp * bo > _PLAN_C_BUDGET and bo > 128:
+        bo = next((c for c in _CANDS_O if c < bo and out % c == 0), 128)
+    while bp * bo > _PLAN_C_BUDGET and bp > 128:
+        bp = next((c for c in _CANDS_P if c < bp and half % c == 0), 128)
     return (bp, bo)
 
 

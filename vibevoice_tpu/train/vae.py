@@ -1,0 +1,173 @@
+"""Acoustic σ-VAE trainer: reconstruction pre-training for the tokenizer.
+
+The composite trainer (train/trainer.py) freezes the tokenizers — like the
+reference, whose released tokenizer was trained separately and whose training
+code never shipped (modular_vibevoice_tokenizer.py is inference-only).  This
+module supplies that missing stage TPU-natively: a jitted train step over the
+encoder+decoder with a time-domain + multi-resolution spectral loss (the
+standard neural-codec recipe the reference's tokenizer family derives from).
+
+Also the weight-free fidelity harness (VERDICT r4 item 7): train the tiny
+config on synthetic audio, then gate on round-trip SNR — evidence the σ-VAE
+LEARNS to reconstruct, not just runs (tests/test_vae_train.py).
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Dict, Iterable, NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from ..config import AcousticTokenizerConfig
+from ..models import acoustic_tokenizer as tok
+
+
+def _stft_mag(x: jax.Array, frame: int, hop: int) -> jax.Array:
+    """Magnitude STFT of [B, T] via strided framing + rfft (Hann window)."""
+    b, t = x.shape
+    n = max((t - frame) // hop + 1, 1)
+    idx = jnp.arange(n)[:, None] * hop + jnp.arange(frame)[None, :]
+    frames = x[:, idx]                                   # [B, N, frame]
+    win = 0.5 - 0.5 * jnp.cos(2 * jnp.pi * jnp.arange(frame) / frame)
+    return jnp.abs(jnp.fft.rfft(frames * win, axis=-1))
+
+
+def spectral_loss(a: jax.Array, b: jax.Array,
+                  resolutions: Tuple[int, ...] = (64, 256, 1024)) -> jax.Array:
+    """Multi-resolution STFT loss (magnitude L1 + log-magnitude L1) — the
+    convergence-critical term of the codec recipe: time-domain L2 alone lets
+    the decoder collapse to low-frequency energy."""
+    total = 0.0
+    for frame in resolutions:
+        if a.shape[-1] < frame:
+            continue
+        ma = _stft_mag(a, frame, frame // 4)
+        mb = _stft_mag(b, frame, frame // 4)
+        total = total + jnp.mean(jnp.abs(ma - mb))
+        total = total + jnp.mean(jnp.abs(jnp.log(ma + 1e-5)
+                                         - jnp.log(mb + 1e-5)))
+    return total
+
+
+class VaeTrainState(NamedTuple):
+    params: dict           # {"encoder": ..., "decoder": ...}
+    opt_state: optax.OptState
+    step: jax.Array
+
+
+def make_vae_train_step(acfg: AcousticTokenizerConfig,
+                        optimizer: Optional[optax.GradientTransformation] = None,
+                        spec_weight: float = 1.0,
+                        kl_weight: float = 0.0):
+    """Returns (init_state, train_step).  Loss = time-L2 + time-L1 +
+    spec_weight * multi-res STFT (+ kl_weight * mean-square latent — the
+    σ-VAE has a FIXED posterior std, so the only regularizable statistic is
+    the latent scale; the reference relies on fix_std instead of a learned
+    KL, hence default 0)."""
+    optimizer = optimizer or optax.adamw(
+        optax.warmup_cosine_decay_schedule(0.0, 3e-4, 50, 5000), b2=0.95,
+        weight_decay=1e-4)
+
+    def init_state(params: dict) -> VaeTrainState:
+        return VaeTrainState(params=params, opt_state=optimizer.init(params),
+                             step=jnp.int32(0))
+
+    def loss_fn(params, audio, rng):
+        mean, _ = tok.encode(params["encoder"], acfg, audio)
+        lat = tok.sample_latents(rng, mean, acfg.fix_std, acfg.std_dist_type)
+        recon, _ = tok.decode(params["decoder"], acfg, lat)
+        a, r = audio[..., 0], recon[..., 0]
+        l2 = jnp.mean((r - a) ** 2)
+        l1 = jnp.mean(jnp.abs(r - a))
+        spec = spectral_loss(a, r) if spec_weight else 0.0
+        kl = jnp.mean(mean ** 2) if kl_weight else 0.0
+        loss = l2 + l1 + spec_weight * spec + kl_weight * kl
+        return loss, {"loss": loss, "l2": l2, "l1": l1, "spec": spec}
+
+    @jax.jit
+    def train_step(state: VaeTrainState, audio: jax.Array, rng: jax.Array):
+        rng = jax.random.fold_in(rng, state.step)
+        (_, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            state.params, audio, rng)
+        updates, opt_state = optimizer.update(grads, state.opt_state,
+                                              state.params)
+        params = optax.apply_updates(state.params, updates)
+        return VaeTrainState(params, opt_state, state.step + 1), metrics
+
+    return init_state, train_step
+
+
+def vae_train_loop(acfg: AcousticTokenizerConfig,
+                   batches: Iterable[jax.Array],
+                   params: dict,
+                   num_steps: int,
+                   optimizer: Optional[optax.GradientTransformation] = None,
+                   spec_weight: float = 1.0,
+                   log_every: int = 50,
+                   log_fn: Callable[[str], None] = print) -> VaeTrainState:
+    """Train encoder+decoder on [B, T, 1] audio batches for ``num_steps``."""
+    init_state, train_step = make_vae_train_step(acfg, optimizer,
+                                                 spec_weight=spec_weight)
+    state = init_state(params)
+    rng = jax.random.PRNGKey(0)
+    for i, audio in enumerate(batches):
+        if i >= num_steps:
+            break
+        state, m = train_step(state, jnp.asarray(audio), rng)
+        if log_every and (i % log_every == 0 or i == num_steps - 1):
+            log_fn(f"vae step {i}: loss={float(m['loss']):.4f} "
+                   f"l2={float(m['l2']):.5f} spec={float(m['spec']):.4f}")
+    return state
+
+
+def reinit_for_training(params: dict) -> dict:
+    """Rescale conv/FFN weights to He-style magnitude and open the
+    layer-scale gates.  The config's ``weight_init_value`` (0.01) matches
+    the reference checkpoint loader's init contract
+    (modular_vibevoice_tokenizer.py _init_weights) but attenuates a
+    from-scratch signal to ~0 through the 7-stage stem/up/head chain —
+    reconstruction training cannot bootstrap from it.  Apply ONCE before
+    vae_train_loop on fresh params; never on loaded checkpoints."""
+    import numpy as np
+
+    def rec(node):
+        if isinstance(node, dict):
+            out = dict(node)
+            w = node.get("w")
+            if w is not None and getattr(w, "ndim", 0) == 3:
+                k, a, b_ = w.shape
+                fan_in = k * min(a, b_)          # conv [k,cin/g,cout] or
+                target = float(np.sqrt(1.0 / max(fan_in, 1)))  # convtr [k,co,ci]
+                cur = float(jnp.std(w)) or 1.0
+                out["w"] = w * (target / cur)
+            for key in ("ffn_w1", "ffn_w2"):
+                v = node.get(key)
+                if v is not None and getattr(v, "ndim", 0) == 2:
+                    target = float(np.sqrt(1.0 / v.shape[0]))
+                    cur = float(jnp.std(v)) or 1.0
+                    out[key] = v * (target / cur)
+            for key in ("gamma", "ffn_gamma"):
+                if node.get(key) is not None:
+                    out[key] = jnp.ones_like(node[key])
+            return {k2: (rec(v) if k2 not in ("w", "ffn_w1", "ffn_w2",
+                                              "gamma", "ffn_gamma") else out[k2])
+                    for k2, v in out.items()}
+        if isinstance(node, (list, tuple)):
+            return type(node)(rec(v) for v in node)
+        return node
+
+    return rec(params)
+
+
+def roundtrip_snr_db(params: dict, acfg: AcousticTokenizerConfig,
+                     audio: jax.Array) -> float:
+    """Deterministic (mean-latent) round-trip SNR in dB — the §4 fidelity
+    gate: 10 log10(signal / reconstruction error)."""
+    mean, _ = tok.encode(params["encoder"], acfg, audio)
+    recon, _ = tok.decode(params["decoder"], acfg, mean)
+    a, r = audio[..., 0], recon[..., 0]
+    err = jnp.mean((r - a) ** 2)
+    sig = jnp.mean(a ** 2)
+    return float(10.0 * jnp.log10(sig / jnp.maximum(err, 1e-12)))
