@@ -187,9 +187,12 @@ class VibeVoiceGenerator:
             # outputs, 3 fewer per-layer dispatches in the decode step.
             # Meshed serving keeps the unfused layout (the TP plan shards q
             # and kv head groups separately).
-            from ..ops.quant import fuse_lm_projections
+            from ..ops.quant import (fuse_diffusion_head_projections,
+                                     fuse_lm_projections)
             params = dict(params)
             params["lm"] = fuse_lm_projections(params["lm"])
+            params["diffusion_head"] = fuse_diffusion_head_projections(
+                params["diffusion_head"])
         if mesh is None and os.environ.get("VIBEVOICE_FUSE_STAGE", "1") == "1":
             # stack int4c-quantized tokenizer stages for the fused streaming
             # kernel (ops/convnext_stage.py) — one pallas call per stage per

@@ -92,6 +92,17 @@ def precompute_modulations(params: dict, cfg: DiffusionHeadConfig,
     return layer_mods, final_mods
 
 
+def _ffn(y, lp):
+    """SwiGLU FFN; fused gate|up leaf (``wgu``) when present
+    (ops/quant.fuse_diffusion_head_projections)."""
+    if "wgu" in lp:
+        g, u = jnp.split(qmatmul(y, lp["wgu"]), 2, axis=-1)
+    else:
+        g = qmatmul(y, lp["wg"])
+        u = qmatmul(y, lp["wu"])
+    return qmatmul(jax.nn.silu(g) * u, lp["wd"])
+
+
 def apply_with_mods(params: dict, cfg: DiffusionHeadConfig, noisy: jax.Array,
                     layer_mods: jax.Array, final_mod: jax.Array) -> jax.Array:
     """Denoise with precomputed AdaLN modulations (one solver iteration's
@@ -100,7 +111,8 @@ def apply_with_mods(params: dict, cfg: DiffusionHeadConfig, noisy: jax.Array,
     dtype = layer_mods.dtype
     x = noisy.astype(dtype) @ params["noisy_proj"]
     lw = params["layers"]
-    ffn = {"norm": lw["norm"], "wg": lw["wg"], "wu": lw["wu"], "wd": lw["wd"]}
+    keys = [k for k in ("norm", "wg", "wu", "wgu", "wd") if k in lw]
+    ffn = {k: lw[k] for k in keys}
     ffn_xs, ffn_stacked = split_stacked_quant(ffn)
     n_l = layer_mods.shape[0]
 
@@ -109,8 +121,7 @@ def apply_with_mods(params: dict, cfg: DiffusionHeadConfig, noisy: jax.Array,
         lp = layer_view(lp_xs, ffn_stacked, lyr)
         shift, scale, gate = jnp.split(mod, 3, axis=-1)
         y = rms_norm(xc, lp["norm"], cfg.rms_norm_eps) * (1 + scale) + shift
-        y = qmatmul(jax.nn.silu(qmatmul(y, lp["wg"])) * qmatmul(y, lp["wu"]),
-                    lp["wd"])
+        y = _ffn(y, lp)
         return xc + gate * y, None
 
     x, _ = jax.lax.scan(
@@ -138,8 +149,7 @@ def apply(params: dict, cfg: DiffusionHeadConfig, noisy: jax.Array,
         mod = qmatmul(jax.nn.silu(c), lp["ada"])
         shift, scale, gate = jnp.split(mod, 3, axis=-1)
         y = rms_norm(xc, lp["norm"], cfg.rms_norm_eps) * (1 + scale) + shift
-        y = qmatmul(jax.nn.silu(qmatmul(y, lp["wg"])) * qmatmul(y, lp["wu"]),
-                    lp["wd"])
+        y = _ffn(y, lp)
         return xc + gate * y, None
 
     x, _ = jax.lax.scan(body, x, (l_xs, jnp.arange(n_l, dtype=jnp.int32)))

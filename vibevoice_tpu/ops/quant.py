@@ -274,13 +274,32 @@ def fuse_lm_projections(lm_params: dict) -> dict:
                 [layers["bq"], layers["bk"], layers["bv"]], axis=-1)
             for k in ("wq", "wk", "wv", "bq", "bk", "bv"):
                 del layers[k]
+    layers = fuse_gate_up(layers)
+    out = dict(lm_params)
+    out["layers"] = layers
+    return out
+
+
+def fuse_gate_up(layers: dict) -> dict:
+    """wg|wu -> wgu on any stacked layer dict (LM and diffusion head share
+    the SwiGLU shape); same per-output-column concat validity as
+    fuse_lm_projections, same mixed-tier skip, idempotent."""
+    layers = dict(layers)
     if "wg" in layers:
         gu = _concat_leaves([layers["wg"], layers["wu"]])
         if gu is not None:
             layers["wgu"] = gu
             del layers["wg"], layers["wu"]
-    out = dict(lm_params)
-    out["layers"] = layers
+    return layers
+
+
+def fuse_diffusion_head_projections(head_params: dict) -> dict:
+    """Serving transform for the diffusion head: one gate|up stacked matmul
+    per layer per solver iteration instead of two (the head FFN weights are
+    re-read every iteration — x-dependent — so the saved dispatch repeats
+    ddpm_steps times per generated frame)."""
+    out = dict(head_params)
+    out["layers"] = fuse_gate_up(dict(head_params["layers"]))
     return out
 
 
