@@ -136,12 +136,23 @@ def build_generator(cfg, ddpm_steps, quantize=False, quantize_head=False,
 
 def full_quant_tiers(gen_params, bits, colscale):
     """Quantize the tokenizer/conv stack in-place on a generator's params
-    (the full serving stack used by the int8/int4/7B tiers)."""
+    (the full serving stack used by the int8/int4/7B tiers).  Restacks the
+    int4c stages afterward: stacking normally happens at generator
+    construction, which this post-hoc path bypasses — without the restack
+    the int4 tier silently loses the fused ConvNeXt-stage kernel (r4
+    profiling caught exactly that: 14+ per-block _int4c_matmul_2d calls per
+    step where one fused call should run)."""
+    from vibevoice_tpu.models.acoustic_tokenizer import stack_tokenizer_stages
     from vibevoice_tpu.ops.quant import quantize_tokenizer_params
     gen_params["acoustic"] = quantize_tokenizer_params(
         gen_params["acoustic"], bits=bits, colscale=colscale, convs=True)
     gen_params["semantic"] = quantize_tokenizer_params(
         gen_params["semantic"], bits=bits, colscale=colscale, convs=True)
+    if os.environ.get("VIBEVOICE_FUSE_STAGE", "1") == "1":
+        gen_params["acoustic"] = {
+            **gen_params["acoustic"],
+            "decoder": stack_tokenizer_stages(gen_params["acoustic"]["decoder"])}
+        gen_params["semantic"] = stack_tokenizer_stages(gen_params["semantic"])
 
 
 def sustained_rtf(gen, wall, audio, chunk_steps, frame_s):

@@ -124,3 +124,83 @@ def test_stacked_batch_mode_matches_unstacked(monkeypatch):
         yu, _ = tokm.decode(qp, cfg, lat)
         ys, _ = tokm.decode(sp, cfg, lat)
     np.testing.assert_allclose(np.asarray(ys), np.asarray(yu), atol=1e-6)
+
+def test_bench_full_quant_tiers_restacks_stages(monkeypatch):
+    """r4 regression: bench quantizes tokenizer stacks AFTER generator
+    construction (full_quant_tiers mutates gen.params in place), which
+    bypasses the construction-time stacking — the int4 bench tier then
+    silently ran 2*depth per-block matmul calls per step instead of the
+    fused stage kernel (caught by on-chip profiling).  full_quant_tiers
+    must leave eligible stages stacked."""
+    import bench
+    from vibevoice_tpu.config import VibeVoiceConfig
+    from vibevoice_tpu.ops import quant
+
+    monkeypatch.setattr(quant, "_INT4_MIN_PARAMS", 0)
+    cfg = VibeVoiceConfig.named("tiny")
+    gp = {
+        "acoustic": {"decoder": tokm.init_decoder_params(
+            jax.random.PRNGKey(0), cfg.acoustic_tokenizer, jnp.float32)},
+        "semantic": tokm.init_encoder_params(
+            jax.random.PRNGKey(1), cfg.semantic_tokenizer, jnp.float32),
+    }
+    bench.full_quant_tiers(gp, 4, True)
+    assert any(tokm.is_stacked_stage(st)
+               for st in gp["acoustic"]["decoder"]["stages"])
+    assert any(tokm.is_stacked_stage(st) for st in gp["semantic"]["stages"])
+
+def test_fused_stage_multiblock_w1_matches_per_block(monkeypatch):
+    """Multi-phase w1 blocking (the real 2048-channel stages run n1 > 1 w1
+    phases per block).  Force it on the CPU-sized stage by shrinking the
+    block width."""
+    from vibevoice_tpu.ops import convnext_stage as cs
+
+    monkeypatch.setattr(cs, "_BO1", 256)   # ffn 1024 -> n1 = 4
+    rs = np.random.RandomState(7)
+    depth, b, dim, ffn, k = 3, 2, 256, 1024, 7
+    blocks = _mk_blocks(rs, depth, dim, ffn, k)
+    sp = tokm.stack_stage(blocks)
+    x = jnp.asarray(rs.randn(b, 1, dim).astype(np.float32) * 0.5)
+    state = jnp.asarray(rs.randn(depth, b, k - 1, dim).astype(np.float32) * 0.3)
+
+    xr = x
+    ref_states = []
+    with int4.impl_scope("xla"):
+        for j in range(depth):
+            xr, s = tokm._block(xr, blocks[j], _Cfg, state[j])
+            ref_states.append(s)
+    ref_state = jnp.stack(ref_states)
+
+    y, new_state = cs.convnext_stage_step_int4c(
+        x[:, 0], state, sp, eps=_Cfg.layernorm_eps, interpret=True)
+    np.testing.assert_allclose(np.asarray(y), np.asarray(xr[:, 0]),
+                               rtol=2e-4, atol=2e-4)
+    np.testing.assert_allclose(np.asarray(new_state), np.asarray(ref_state),
+                               rtol=1e-3, atol=1e-4)
+
+def test_fused_stage_a8_mode_close_to_w4a16(monkeypatch):
+    """The a8 serving mode (int8 activations, s8xs8->s32 MXU dots — the
+    convert-free speed path) must track the exact W4A16 result within
+    per-row int8 quantization error.  Gate: relative L2 error under 2%
+    and the carried conv state close (downstream blocks see a8-perturbed
+    inputs, so the state drifts by the same quantization-error order)."""
+    from vibevoice_tpu.ops import convnext_stage as cs
+
+    monkeypatch.setattr(cs, "_BO1", 256)   # ffn 1024 -> n1 = 4, nk2 = 2
+    rs = np.random.RandomState(11)
+    depth, b, dim, ffn, k = 3, 2, 256, 1024, 7
+    blocks = _mk_blocks(rs, depth, dim, ffn, k)
+    sp = tokm.stack_stage(blocks)
+    x = jnp.asarray(rs.randn(b, 1, dim).astype(np.float32) * 0.5)
+    state = jnp.asarray(rs.randn(depth, b, k - 1, dim).astype(np.float32) * 0.3)
+
+    y16, st16 = cs.convnext_stage_step_int4c(
+        x[:, 0], state, sp, eps=_Cfg.layernorm_eps, interpret=True, a8=False)
+    y8, st8 = cs.convnext_stage_step_int4c(
+        x[:, 0], state, sp, eps=_Cfg.layernorm_eps, interpret=True, a8=True)
+    rel = (np.linalg.norm(np.asarray(y8 - y16))
+           / max(np.linalg.norm(np.asarray(y16)), 1e-9))
+    assert rel < 0.02, rel
+    rel_st = (np.linalg.norm(np.asarray(st8 - st16))
+              / max(np.linalg.norm(np.asarray(st16)), 1e-9))
+    assert rel_st < 0.02, rel_st

@@ -247,7 +247,10 @@ def stack_stage(blocks):
     return {
         "vecs": vecs,                                     # [depth, 6, C]
         "mix_w": jnp.stack([bp["mix"]["w"][:, 0, :] for bp in blocks]),
-        "b1": jnp.stack([bp["ffn_b1"] for bp in blocks]),
+        # [depth, 1, FFN]: the singleton keeps the kernel's per-block view
+        # Mosaic-legal — a (1, FFN) block over [depth, FFN] violates the
+        # "second-minor divisible by 8 or equal to the array dim" rule
+        "b1": jnp.stack([bp["ffn_b1"] for bp in blocks])[:, None, :],
         "w1": {k: jnp.stack([bp["ffn_w1"][k] for bp in blocks])
                for k in ("q4c", "s4c")},
         "w2": {k: jnp.stack([bp["ffn_w2"][k] for bp in blocks])
