@@ -148,7 +148,7 @@ def full_quant_tiers(gen_params, bits, colscale):
         gen_params["acoustic"], bits=bits, colscale=colscale, convs=True)
     gen_params["semantic"] = quantize_tokenizer_params(
         gen_params["semantic"], bits=bits, colscale=colscale, convs=True)
-    if os.environ.get("VIBEVOICE_FUSE_STAGE", "1") == "1":
+    if os.environ.get("VIBEVOICE_FUSE_STAGE", "0") == "1":
         gen_params["acoustic"] = {
             **gen_params["acoustic"],
             "decoder": stack_tokenizer_stages(gen_params["acoustic"]["decoder"])}

@@ -137,6 +137,7 @@ def test_bench_full_quant_tiers_restacks_stages(monkeypatch):
     from vibevoice_tpu.ops import quant
 
     monkeypatch.setattr(quant, "_INT4_MIN_PARAMS", 0)
+    monkeypatch.setenv("VIBEVOICE_FUSE_STAGE", "1")
     cfg = VibeVoiceConfig.named("tiny")
     gp = {
         "acoustic": {"decoder": tokm.init_decoder_params(

@@ -371,14 +371,21 @@ def test_streaming_observed_gap_bound(model):
     streaming_max_gap_ms measures the put side on the real model).  x1.3:
     the EMA adapts over its first chunks, so one early chunk may overshoot
     while the estimate converges.  Wall-clock timing on a shared CPU host is
-    noisy (background ladder compiles from earlier tests, machine load), so
-    one retry is allowed before the bound is called violated."""
+    noisy (background ladder compiles from earlier tests, machine load), and
+    the ladder itself starts background compiles of bigger sizes DURING the
+    first runs — on the CPU platform those compiles contend with 'device'
+    execution (GIL-held tracing + shared thread pools) and can stall a
+    fetch for seconds, which a real TPU never sees (bench
+    streaming_max_gap_ms gates that side).  Early attempts therefore serve
+    as priming until the ladder is fully compiled; only the last attempt's
+    cadence is asserted."""
     import threading
 
     from vibevoice_tpu.streamer import AudioStreamer
 
     bound = 0.3
-    for attempt in range(2):
+    attempts = 3
+    for attempt in range(attempts):
         # drain in-flight ladder compiles before measuring: on the CPU test
         # platform a background compile shares the host with "device"
         # execution (GIL-held tracing + XLA's intra-op pool), so a compile
@@ -412,6 +419,6 @@ def test_streaming_observed_gap_bound(model):
                   if k[0] > 2}
         if p99 <= bound * 1.3 and bigger:
             break
-        if attempt == 1:
+        if attempt == attempts - 1:
             assert p99 <= bound * 1.3, (p99, sorted(gaps)[-5:], sizes)
             assert bigger, (model._chunk_ready, model._chunk_compiling)

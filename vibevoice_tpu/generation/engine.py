@@ -393,7 +393,7 @@ class ContinuousEngine:
             self.state, out = run_chunk(self.gen.params, self.state,
                                         jnp.float32(self.cfg_scale))
             from .generate import _start_host_copies
-            _start_host_copies(out)   # overlap the four leaf fetches
+            _start_host_copies(out)   # overlap the meta+audio fetches
             self.global_step += self.chunk_steps
             newly = (out, {i: self.slot_req[i] for i in active_slots})
 
@@ -407,11 +407,12 @@ class ContinuousEngine:
         finishes it; the next chunk is already in flight)."""
         out, snapshot = inflight
         K, B = self.chunk_steps, self.slots
-        toks = np.asarray(out.tokens).reshape(K, B)
-        audio = np.asarray(out.audio).astype(np.float32).reshape(
+        meta = np.asarray(out[0]).reshape(4, K, B)
+        audio = np.asarray(out[1]).astype(np.float32).reshape(
             K, B, self.frame_samples)
-        diff = np.asarray(out.diffused).reshape(K, B)
-        fin = np.asarray(out.finished).reshape(K, B)
+        toks = meta[0]
+        diff = meta[1].astype(bool)
+        fin = meta[2].astype(bool)
         self.chunks_run += 1
 
         eos = getattr(self.gen.tokenizer, "eos_id", None)

@@ -86,13 +86,13 @@ def _grow_cache_arrays(kv, new_len: int):
 
 
 def _start_host_copies(out) -> None:
-    """Enqueue async device->host copies for every StepOutput leaf the moment
-    a chunk is dispatched.  ``np.asarray`` fetches the four leaves one at a
-    time — on a tunneled device that serializes four ~35 ms round-trips per
+    """Enqueue async device->host copies for every chunk-output leaf the
+    moment a chunk is dispatched.  ``np.asarray`` fetches leaves one at a
+    time — on a tunneled device that serializes ~30 ms round-trips per
     chunk (measured; it dominated short-run wall time).  Async copies start
     as soon as the chunk finishes on device and run concurrently, so the
     blocking fetch finds the bytes already on the host."""
-    for leaf in out:
+    for leaf in jax.tree.leaves(out):
         try:
             leaf.copy_to_host_async()
         except Exception:  # noqa: BLE001 — best-effort (sharded/CPU arrays)
@@ -177,7 +177,27 @@ class VibeVoiceGenerator:
         # sharded serving; other generators in the process are unaffected.
         self._int4_impl = "xla" if mesh is not None else "auto"
         if mesh is not None:
+            from ..ops.quant import unfuse_gate_up, unfuse_lm_projections
             from ..parallel.sharding import infer_kv_tp, shard_params
+            # params may come from a single-device generator, which fuses
+            # wqkv/wgu (and stacks tokenizer stages) at construction; the TP
+            # plan shards q and kv head groups separately, so undo the
+            # serving fusions before sharding
+            dcfg = cfg.decoder
+            hd = dcfg.resolved_head_dim
+            params = dict(params)
+            params["lm"] = unfuse_lm_projections(
+                params["lm"], dcfg.num_attention_heads * hd,
+                dcfg.num_key_value_heads * hd)
+            params["diffusion_head"] = {
+                **params["diffusion_head"],
+                "layers": unfuse_gate_up(params["diffusion_head"]["layers"])}
+            params["acoustic"] = {
+                **params["acoustic"],
+                "decoder": tok.unstack_tokenizer_stages(
+                    params["acoustic"]["decoder"])}
+            params["semantic"] = tok.unstack_tokenizer_stages(
+                params["semantic"])
             self.kv_tp = infer_kv_tp(cfg.decoder, mesh)
             params = shard_params(params, mesh, kv_tp=self.kv_tp,
                                   int4_colwise=True)
@@ -193,10 +213,14 @@ class VibeVoiceGenerator:
             params["lm"] = fuse_lm_projections(params["lm"])
             params["diffusion_head"] = fuse_diffusion_head_projections(
                 params["diffusion_head"])
-        if mesh is None and os.environ.get("VIBEVOICE_FUSE_STAGE", "1") == "1":
-            # stack int4c-quantized tokenizer stages for the fused streaming
-            # kernel (ops/convnext_stage.py) — one pallas call per stage per
-            # generated frame instead of 2*depth matmul calls + op soup
+        if mesh is None and os.environ.get("VIBEVOICE_FUSE_STAGE", "0") == "1":
+            # opt-in: stack int4c-quantized tokenizer stages for the fused
+            # streaming kernel (ops/convnext_stage.py) — one pallas call per
+            # stage per generated frame instead of 2*depth matmul calls +
+            # op soup.  Default OFF: an r4 end-to-end A/B on v5e measured it
+            # a wash (36.1 vs 35.8 int4 RTF) — the step is HBM-bound and
+            # inter-op device idle is ~0.06 ms/step, so collapsing calls
+            # buys nothing the per-block Pallas matmuls don't already get
             params = dict(params)
             params["acoustic"] = {
                 **params["acoustic"],
@@ -263,6 +287,7 @@ class VibeVoiceGenerator:
         self.prefill_chunk = int(_os.environ.get(
             "VIBEVOICE_PREFILL_CHUNK", "4096"))
         self._prefill_jit: Dict[Any, Callable] = {}
+        self._rng_jit: Dict[int, Callable] = {}
         self._chunk_jit: Dict[Any, Callable] = {}
         # streaming-cadence support (bounded max_gap_s mode): chunk programs
         # known-compiled, AOT executables built off-thread, and the in-flight
@@ -331,6 +356,28 @@ class VibeVoiceGenerator:
     # ------------------------------------------------------------------
     # sharding helpers
     # ------------------------------------------------------------------
+    def _rng_setup(self, b: int, base):
+        """(split + per-row fold_in) as ONE cached jitted dispatch.
+
+        Eager `jax.random.split` / `vmap(fold_in)` re-trace on every
+        generate() call (vmap has no persistent eager cache) — r4 profiling
+        measured ~8 ms of host time per call in exactly these two lines,
+        all of it TTFA.  Bit-identical to the eager ops (threefry is
+        deterministic under jit), so golden sequences are unchanged.
+        Contract preserved: row i <- fold_in(post-split base, i), so b=1
+        gets fold_in(base, 0) — identical solo or spliced into an engine
+        slot."""
+        if b not in self._rng_jit:
+            @jax.jit
+            def f(key):
+                rng2, k_pre = jax.random.split(key)
+                row = jax.vmap(jax.random.fold_in)(
+                    jnp.broadcast_to(jnp.asarray(rng2, jnp.uint32), (b, 2)),
+                    jnp.arange(b, dtype=jnp.uint32))
+                return rng2, k_pre, row
+            self._rng_jit[b] = f
+        return self._rng_jit[b](base)
+
     def _put_batched(self, tree):
         """device_put leaves with their leading axis on dp (replicate when the
         axis isn't divisible); identity without a mesh."""
@@ -630,11 +677,8 @@ class VibeVoiceGenerator:
         kv_start2 = np.array([t_bucket - int(init_len[0]),
                               t_bucket - int(neg_lens[0])], np.int32)
 
-        rng, k_pre = jax.random.split(rng)       # same split as the full path
-        del k_pre                                 # latents came from the store
-        row_rng = jax.vmap(jax.random.fold_in)(
-            jnp.broadcast_to(jnp.asarray(rng, jnp.uint32), (b, 2)),
-            jnp.arange(b, dtype=jnp.uint32))
+        # same split as the full path; k_pre unused (latents from the store)
+        rng, _k_pre, row_rng = self._rng_setup(b, rng)
 
         sj_key = (s_bucket, cache_len)
         if sj_key not in self._suffix_jit:
@@ -659,9 +703,8 @@ class VibeVoiceGenerator:
                 v = put(cache.v, entry["v"], False)
             cache = qwen2.KVCache(k=k, v=v)
             last_hidden, cache = self._suffix_jit[sj_key](
-                self.params, jnp.asarray(ids2b), jnp.asarray(valid2b),
-                jnp.asarray(pos0), jnp.asarray(kv_start2),
-                jnp.int32(block_off), cache)
+                self.params, ids2b, valid2b, pos0, kv_start2,
+                np.int32(block_off), cache)
             jax.block_until_ready(last_hidden)
         timer.totals["prefix_cache_hit"] = float(
             "prefix_prefill" not in timer.totals)
@@ -844,7 +887,8 @@ class VibeVoiceGenerator:
                              # dtype, so the host-side f32 upcast is lossless
                              # and the device->host audio bytes halve
                              audio=audio[..., 0],
-                             diffused=diffuse, finished=finished)
+                             diffused=diffuse, finished=finished,
+                             reach_max=reach_max)
             return new_state, out
 
         return step
@@ -868,11 +912,15 @@ class VibeVoiceGenerator:
             audio = outs.audio.reshape(-1)
             if f16_transfer:
                 audio = audio.astype(jnp.float16)
-            flat = StepOutput(tokens=outs.tokens.reshape(-1),
-                              audio=audio,
-                              diffused=outs.diffused.reshape(-1),
-                              finished=outs.finished.reshape(-1))
-            return state, flat
+            # one packed int32 meta array instead of four small leaves: every
+            # distinct device->host fetch pays a ~30 ms round trip on a
+            # tunneled chip, so the wire format is exactly TWO arrays
+            # (meta + audio) per chunk
+            meta = jnp.stack([outs.tokens.reshape(-1),
+                              outs.diffused.reshape(-1).astype(jnp.int32),
+                              outs.finished.reshape(-1).astype(jnp.int32),
+                              outs.reach_max.reshape(-1).astype(jnp.int32)])
+            return state, (meta, audio)
 
         return run_chunk
 
@@ -952,13 +1000,7 @@ class VibeVoiceGenerator:
                 speech_masks = np.pad(speech_masks,
                                       ((0, 0), (0, fb - n_frames)))
 
-        rng, k_pre = jax.random.split(rng)
-        # per-row stream keys (GenState.row_rng): row i <- fold_in(base, i).
-        # b=1 therefore gets fold_in(base, 0) — identical whether the row runs
-        # solo or spliced into an engine slot.
-        row_rng = jax.vmap(jax.random.fold_in)(
-            jnp.broadcast_to(jnp.asarray(rng, jnp.uint32), (b, 2)),
-            jnp.arange(b, dtype=jnp.uint32))
+        rng, k_pre, row_rng = self._rng_setup(b, rng)
 
         pf_key = (t_bucket, cache_len, has_speech,
                   None if not has_speech else np.asarray(speech_tensors).shape,
@@ -969,22 +1011,23 @@ class VibeVoiceGenerator:
                 neg_bucket=neg_width if split_neg else None))
         prefill_fn = self._prefill_jit[pf_key]
         with timer.stage("prefill"):
+            # numpy args straight into the jitted call (its dispatch bundles
+            # the transfers) — an eager jnp.asarray per operand costs a
+            # separate device_put round each, all of it TTFA
             sp = (None if not has_speech
-                  else jnp.asarray(speech_tensors, jnp.float32))
-            sm = None if not has_speech else jnp.asarray(speech_masks)
-            sim = None if not has_speech else jnp.asarray(smask_pad)
+                  else np.asarray(speech_tensors, np.float32))
+            sm = None if not has_speech else np.asarray(speech_masks)
+            sim = None if not has_speech else np.asarray(smask_pad)
             # no host sync: nothing host-side needs the prefill results, so
             # the first chunk dispatch pipelines behind prefill on device
             # (the block cost a full device round-trip per generate call);
             # the stage therefore times the enqueue, not device execution
             if split_neg:
                 last_hidden, cache = prefill_fn(
-                    self.params, jnp.asarray(ids_pad), jnp.asarray(valid_pos),
-                    jnp.asarray(neg_ids), jnp.asarray(neg_valid),
+                    self.params, ids_pad, valid_pos, neg_ids, neg_valid,
                     sp, sm, sim, k_pre)
             else:
-                pf_in = self._put_batched((
-                    jnp.asarray(ids2b), jnp.asarray(valid2b), sp, sm, sim))
+                pf_in = self._put_batched((ids2b, valid2b, sp, sm, sim))
                 last_hidden, cache = prefill_fn(self.params, *pf_in, k_pre)
 
         return self._assemble_state(b, t_bucket, init_len, neg_lens,
@@ -1054,9 +1097,8 @@ class VibeVoiceGenerator:
             (kv_start_a, pos_len_a, neg_ptr_a, neg_init_a, finished_a,
              reach_max_a, max_steps_a, row_rng_a, step_a, ac_state,
              sem_state) = self._assemble_jit[b](
-                jnp.asarray(kv_start), jnp.int32(t_bucket),
-                jnp.int32(neg_base),
-                jnp.asarray(max_steps_per_sample, jnp.int32), row_rng)
+                kv_start, np.int32(t_bucket), np.int32(neg_base),
+                np.asarray(max_steps_per_sample, np.int32), row_rng)
             return GenState(
                 cache=cache, kv_start=kv_start_a, pos_len=pos_len_a,
                 neg_ptr=neg_ptr_a, neg_init_ptr=neg_init_a,
@@ -1374,6 +1416,7 @@ class VibeVoiceGenerator:
                 steps_done += k
 
         top_up()
+        prev_rmax = np.zeros((b,), bool)
         while inflight:
             out, out_k = inflight.popleft()
             top_up()
@@ -1381,11 +1424,13 @@ class VibeVoiceGenerator:
             # blocks until the device finishes this chunk (the next ones are
             # already in flight)
             with timer.stage("decode_chunk"):
-                toks = np.asarray(out.tokens).reshape(out_k, b)
-                audio = np.asarray(out.audio).astype(np.float32).reshape(
+                meta = np.asarray(out[0]).reshape(4, out_k, b)
+                audio = np.asarray(out[1]).astype(np.float32).reshape(
                     out_k, b, self.frame_samples)
-                diff = np.asarray(out.diffused).reshape(out_k, b)
-                fin = np.asarray(out.finished).reshape(out_k, b)
+                toks = meta[0]
+                diff = meta[1].astype(bool)
+                fin = meta[2].astype(bool)
+                rmax = meta[3].astype(bool)
             now = time.perf_counter()
             note_chunk_period(now - t_prev_fetch, out_k)
             t_prev_fetch = now
@@ -1407,6 +1452,7 @@ class VibeVoiceGenerator:
                     if newly.any():
                         audio_streamer.end(np.nonzero(newly)[0])
                 prev_fin = fin[si]
+                prev_rmax = rmax[si]
 
             if bool(prev_fin.all()):
                 break
@@ -1424,11 +1470,16 @@ class VibeVoiceGenerator:
             speech_outputs.append(np.concatenate(chunks) if chunks else None)
 
         # reach_max means "stopped by budget, not by eos" (reference
-        # inference:528-537).  A sample whose per-sample cap coincides with
-        # the dispatched step budget never executes the device step that
-        # would flag it — fold that edge in from the host side.
-        reach_max = np.asarray(state.reach_max)
-        budget_hit = (~np.asarray(state.finished)
+        # inference:528-537).  Taken from the last PROCESSED chunk's packed
+        # meta rather than re-fetched from GenState (both flags freeze once
+        # every sample is finished, and discarded in-flight chunks are only
+        # dispatched past the all-finished point — same value, one fewer
+        # ~30 ms device->host round trip per call).  A sample whose
+        # per-sample cap coincides with the dispatched step budget never
+        # executes the device step that would flag it — fold that edge in
+        # from the host side.
+        reach_max = prev_rmax
+        budget_hit = (~prev_fin
                       & (sequences.shape[1]
                          >= np.asarray(max_steps_per_sample)))
         return VibeVoiceGenerationOutput(

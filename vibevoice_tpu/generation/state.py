@@ -63,3 +63,7 @@ class StepOutput(NamedTuple):
                             # compute dtype (bf16 at serving; hosts upcast)
     diffused: jax.Array     # [B] bool — audio valid this step
     finished: jax.Array     # [B] bool — post-step finished flags
+    reach_max: jax.Array    # [B] bool — post-step budget-stop flags (carried
+                            # per step so the host never re-fetches GenState:
+                            # one device->host read costs ~30 ms on a
+                            # tunneled chip, all of it per-call latency)

@@ -277,6 +277,27 @@ def stack_tokenizer_stages(params: dict) -> dict:
     return rec(params)
 
 
+def unstack_tokenizer_stages(params: dict) -> dict:
+    """Inverse of :func:`stack_tokenizer_stages`: restore the per-block list
+    layout (meshed generators need it — GSPMD shards per-block leaves, and a
+    caller may hand them params taken from a single-device generator)."""
+    def rec(node):
+        if isinstance(node, dict):
+            out = {}
+            for k, v in node.items():
+                if k == "stages" and isinstance(v, list):
+                    out[k] = [[{**_stage_block_view(st, j),
+                                # [1, FFN] kernel layout -> original [FFN]
+                                "ffn_b1": st["b1"][j, 0]}
+                               for j in range(_stage_depth(st))]
+                              if is_stacked_stage(st) else st for st in v]
+                else:
+                    out[k] = rec(v)
+            return out
+        return node
+    return rec(params)
+
+
 def _stage_block_view(sp: dict, j: int) -> dict:
     """Per-block param view of a stacked stage (batch-mode / fallback path);
     static indexing of the stacked leaves — XLA fuses the slices into the

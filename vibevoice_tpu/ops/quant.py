@@ -293,6 +293,52 @@ def fuse_gate_up(layers: dict) -> dict:
     return layers
 
 
+def _leaf_out_dim(leaf) -> int:
+    if isinstance(leaf, dict):
+        return next(iter(leaf.values())).shape[-1]
+    return leaf.shape[-1]
+
+
+def _split_out(leaf, sizes):
+    """Split a (possibly quantized) stacked leaf on the OUT (last) axis —
+    the exact inverse of ``_concat_leaves`` (every tier's subleaves carry
+    the out dim last, so one axis=-1 split applies uniformly)."""
+    import numpy as _np
+    offs = _np.cumsum(sizes)[:-1].tolist()
+    if isinstance(leaf, dict):
+        parts = {k: jnp.split(v, offs, axis=-1) for k, v in leaf.items()}
+        return [{k: parts[k][i] for k in leaf} for i in range(len(sizes))]
+    return jnp.split(leaf, offs, axis=-1)
+
+
+def unfuse_gate_up(layers: dict) -> dict:
+    """Inverse of :func:`fuse_gate_up` (equal-width halves)."""
+    layers = dict(layers)
+    if "wgu" in layers:
+        f = _leaf_out_dim(layers["wgu"]) // 2
+        wg, wu = _split_out(layers.pop("wgu"), [f, f])
+        layers["wg"], layers["wu"] = wg, wu
+    return layers
+
+
+def unfuse_lm_projections(lm_params: dict, q_dim: int, kv_dim: int) -> dict:
+    """Inverse of :func:`fuse_lm_projections`.
+
+    Meshed serving needs the UNFUSED layout (the TP plan shards q and kv
+    head groups separately), but a caller may hand it params taken from a
+    single-device generator — which fused wqkv/wgu at construction.  Split
+    them back instead of crashing shard_params on the key mismatch."""
+    layers = dict(lm_params["layers"])
+    if "wqkv" in layers:
+        wq, wk, wv = _split_out(layers.pop("wqkv"), [q_dim, kv_dim, kv_dim])
+        bq, bk, bv = _split_out(layers.pop("bqkv"), [q_dim, kv_dim, kv_dim])
+        layers.update(wq=wq, wk=wk, wv=wv, bq=bq, bk=bk, bv=bv)
+    layers = unfuse_gate_up(layers)
+    out = dict(lm_params)
+    out["layers"] = layers
+    return out
+
+
 def fuse_diffusion_head_projections(head_params: dict) -> dict:
     """Serving transform for the diffusion head: one gate|up stacked matmul
     per layer per solver iteration instead of two (the head FFN weights are

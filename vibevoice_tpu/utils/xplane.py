@@ -117,8 +117,9 @@ class Line:
     def __init__(self) -> None:
         self.name = ""
         self.display_name = ""
-        # flat parallel arrays: (metadata_id, duration_ps) per event
-        self.events: List[Tuple[int, int]] = []
+        # flat parallel arrays: (metadata_id, offset_ps, duration_ps) per
+        # event — offsets make device IDLE GAPS measurable, not just busy
+        self.events: List[Tuple[int, int, int]] = []
 
 
 class Plane:
@@ -130,14 +131,16 @@ class Plane:
         self.event_metadata: Dict[int, EventMeta] = {}
 
 
-def _parse_event(buf: bytes, span: Tuple[int, int]) -> Tuple[int, int]:
-    mid = dur = 0
+def _parse_event(buf: bytes, span: Tuple[int, int]) -> Tuple[int, int, int]:
+    mid = off = dur = 0
     for f, w, v in _iter_fields(buf, span[0], span[1]):
         if f == 1 and w == 0:
             mid = v
+        elif f == 2 and w == 0:
+            off = v
         elif f == 3 and w == 0:
             dur = v
-    return mid, dur
+    return mid, off, dur
 
 
 def _parse_line(buf: bytes, span: Tuple[int, int]) -> Line:
@@ -274,11 +277,28 @@ def device_op_events(path: str) -> Iterator[Tuple[str, EventMeta, int]]:
         for ln in pl.lines:
             if ln.name != OP_TIMELINE:
                 continue
-            for mid, dur in ln.events:
+            for mid, _off, dur in ln.events:
                 em = pl.event_metadata.get(mid, empty)
                 if em.stats.get("hlo_category") in _WRAPPER_CATEGORIES:
                     continue
                 yield pl.name, em, dur
+
+
+def device_op_spans(path: str) -> Iterator[Tuple[str, EventMeta, int, int]]:
+    """Like :func:`device_op_events` but with start offsets:
+    (plane_name, event_metadata, offset_ps, duration_ps).  Sorting by offset
+    and summing inter-op holes measures device IDLE between scheduled ops —
+    the dispatch/prologue cost that per-op durations structurally hide."""
+    empty = EventMeta()
+    for pl in parse_device_planes(path):
+        for ln in pl.lines:
+            if ln.name != OP_TIMELINE:
+                continue
+            for mid, off, dur in ln.events:
+                em = pl.event_metadata.get(mid, empty)
+                if em.stats.get("hlo_category") in _WRAPPER_CATEGORIES:
+                    continue
+                yield pl.name, em, off, dur
 
 
 def stage_totals(path: str, stages: Tuple[str, ...]) -> Dict[str, float]:
