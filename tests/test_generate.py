@@ -422,3 +422,51 @@ def test_streaming_observed_gap_bound(model):
         if attempt == attempts - 1:
             assert p99 <= bound * 1.3, (p99, sorted(gaps)[-5:], sizes)
             assert bigger, (model._chunk_ready, model._chunk_compiling)
+
+def test_prefill_w8a8_scope_confined_to_prefill():
+    """Quantized-compute prefill (prefill_w8a8=True): the W8A8 contextvar
+    scope must be ACTIVE while the prefill program traces and INACTIVE for
+    the decode chunk traces — and the end-to-end output must stay close to
+    the W8A16 baseline (the scope only changes int8 matmul activation
+    precision).  Class-of-bug probe: records the scope value seen by every
+    quantized matmul trace."""
+    from vibevoice_tpu.ops import quant
+
+    params = vibevoice.init_params(jax.random.PRNGKey(0), CFG, jnp.float32)
+    params = dict(params)
+    params["lm"] = quant.quantize_lm_params(params["lm"], bits=8)
+    ids = _prompt(1, 12)
+
+    base = VibeVoiceGenerator(params, CFG, TinyTokenizer(),
+                              ddpm_inference_steps=3, lm_dtype=jnp.float32)
+    out_base = base.generate(ids, cfg_scale=1.3, max_new_tokens=8,
+                             chunk_steps=4, max_length_times=1000.0, seed=3)
+
+    seen = []
+    orig = quant.current_w8a8
+
+    def probe():
+        v = orig()
+        seen.append(v)
+        return v
+
+    quant.current_w8a8 = probe
+    try:
+        gen = VibeVoiceGenerator(params, CFG, TinyTokenizer(),
+                                 ddpm_inference_steps=3,
+                                 lm_dtype=jnp.float32, prefill_w8a8=True)
+        out = gen.generate(ids, cfg_scale=1.3, max_new_tokens=8,
+                           chunk_steps=4, max_length_times=1000.0, seed=3)
+    finally:
+        quant.current_w8a8 = orig
+    # both scope states were observed during tracing: True (prefill
+    # programs) and False (decode chunks)
+    assert True in seen and False in seen, set(seen)
+    # int8-activation prefill perturbs but must not derail generation
+    assert out.sequences.shape == out_base.sequences.shape
+    a, b_ = out.speech_outputs[0], out_base.speech_outputs[0]
+    if a is not None and b_ is not None:
+        m = min(len(a), len(b_))
+        rel = (np.linalg.norm(a[:m] - b_[:m])
+               / max(np.linalg.norm(b_[:m]), 1e-9))
+        assert rel < 0.1, rel

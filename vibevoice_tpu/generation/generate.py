@@ -158,7 +158,7 @@ class VibeVoiceGenerator:
                  ddpm_inference_steps: Optional[int] = None,
                  solver: Optional[DPMSolverConfig] = None,
                  lm_dtype=None, mesh=None, kv_quant: bool = False,
-                 prefix_cache: int = 0):
+                 prefix_cache: int = 0, prefill_w8a8: bool = False):
         from ..utils.compilation_cache import enable_persistent_compilation_cache
         enable_persistent_compilation_cache()
         if lm_dtype is None:
@@ -282,6 +282,14 @@ class VibeVoiceGenerator:
         # per-vector scales on the same (dp, tp) axes as the data).
         self.kv_quant = bool(kv_quant) or _os.environ.get(
             "VIBEVOICE_KV8", "0") == "1"
+        # quantized-compute prefill (W8A8 dots for int8 weight leaves) —
+        # scoped to the PREFILL programs' traces only; decode keeps W8A16.
+        # The long-prompt TTFA lever: prefill linear FLOPs run the MXU's
+        # native s8xs8 mode at 2x the bf16 rate.  Opt-in, same accuracy
+        # caveats as global W8A8 (ops/quant.py) but confined to the prompt
+        # encode.  Irrelevant to dense/bf16 stacks (no int8 leaves).
+        self.prefill_w8a8 = bool(prefill_w8a8) or _os.environ.get(
+            "VIBEVOICE_PREFILL_W8A8", "0") == "1"
         # prompts longer than this prefill in fixed segments (activation
         # memory ∝ segment, not prompt — the 7B/30k-prompt OOM guard)
         self.prefill_chunk = int(_os.environ.get(
@@ -639,7 +647,8 @@ class VibeVoiceGenerator:
             # latent rng from the prefix content, NOT the request seed: the
             # stored K/V must be request-independent
             k_lat = jnp.asarray(pc.latent_rng_key(key), jnp.uint32)
-            with timer.stage("prefix_prefill"):
+            from ..ops.quant import w8a8_scope
+            with timer.stage("prefix_prefill"), w8a8_scope(self.prefill_w8a8):
                 cache_p = self._prefix_jit[pj_key](
                     self.params, jnp.asarray(ids_p), jnp.asarray(valid_p),
                     jnp.asarray(speech_tensors), jnp.asarray(speech_masks_b),
@@ -684,7 +693,8 @@ class VibeVoiceGenerator:
         if sj_key not in self._suffix_jit:
             self._suffix_jit[sj_key] = self._scoped(self._build_suffix_prefill(
                 s_bucket, cache_len))
-        with timer.stage("prefill"):
+        from ..ops.quant import w8a8_scope
+        with timer.stage("prefill"), w8a8_scope(self.prefill_w8a8):
             cache = qwen2.init_kv_cache(cfg.decoder, 2 * b, cache_len,
                                         self.lm_dtype, quant=self.kv_quant)
             kvs = int(kv_start2[0])
@@ -1010,7 +1020,8 @@ class VibeVoiceGenerator:
                 t_bucket, cache_len, has_speech,
                 neg_bucket=neg_width if split_neg else None))
         prefill_fn = self._prefill_jit[pf_key]
-        with timer.stage("prefill"):
+        from ..ops.quant import w8a8_scope
+        with timer.stage("prefill"), w8a8_scope(self.prefill_w8a8):
             # numpy args straight into the jitted call (its dispatch bundles
             # the transfers) — an eager jnp.asarray per operand costs a
             # separate device_put round each, all of it TTFA
@@ -1198,8 +1209,12 @@ class VibeVoiceGenerator:
         t_bucket = min(_bucket_len(t0, 64), cfg.decoder.max_position_embeddings)
         t_bucket = max(t_bucket, t0)
         if t_bucket > self.prefill_chunk:
-            # segmented prefill wants a whole number of segments
-            t_bucket = _round_up(t_bucket, self.prefill_chunk)
+            # long prompts: bucket to whole SEGMENTS (the segmented prefill
+            # program is shape-keyed on segment count anyway), not quarter
+            # octaves — a 40.5k prompt under the octave rule padded to 49152
+            # and paid 21% extra prefill compute (r4 on-chip profile: the
+            # quarter-octave step is 16k out here, vs one 4k segment)
+            t_bucket = _round_up(t0, self.prefill_chunk)
         cache_len_final = _round_cache(t_bucket + max_steps + 2)
         if self.decode_impl in ("pallas", "pallas_shmap"):
             # flash decode never touches dead slots: allocate final size up

@@ -35,10 +35,37 @@ import numpy as np
 # the known risk).
 _W8A8 = os.environ.get("VIBEVOICE_W8A8", "0") == "1"
 
+# trace-time scope (mirrors ops/int4.impl_scope): lets ONE program opt into
+# W8A8 — e.g. quantized-compute prefill — without flipping the process
+# global under concurrently-tracing threads (background chunk compiles)
+_W8A8_VAR: "contextvars.ContextVar" = __import__("contextvars").ContextVar(
+    "vibevoice_w8a8", default=None)
+
 
 def set_w8a8(enabled: bool) -> None:
     global _W8A8
     _W8A8 = bool(enabled)
+
+
+def current_w8a8() -> bool:
+    v = _W8A8_VAR.get()
+    return _W8A8 if v is None else v
+
+
+class w8a8_scope:
+    """Scope W8A8 dispatch to a with-block (thread-local, trace-time)."""
+
+    def __init__(self, enabled: bool = True):
+        self.enabled = bool(enabled)
+        self._tok = None
+
+    def __enter__(self):
+        self._tok = _W8A8_VAR.set(self.enabled)
+        return self
+
+    def __exit__(self, *exc):
+        _W8A8_VAR.reset(self._tok)
+        return False
 
 
 def quantize_weight(w: jax.Array) -> Dict[str, jax.Array]:
@@ -66,7 +93,7 @@ def qmatmul(x: jax.Array, w: Any, shard_ctx=None) -> jax.Array:
     serving path; dense/int8 weights ignore it (GSPMD partitions their dots
     natively)."""
     if is_quantized(w):
-        if _W8A8:
+        if current_w8a8():
             sx = jnp.max(jnp.abs(x.astype(jnp.float32)), axis=-1, keepdims=True)
             sx = jnp.maximum(sx / 127.0, 1e-12)
             xq = jnp.clip(jnp.round(x.astype(jnp.float32) / sx),
