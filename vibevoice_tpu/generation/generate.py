@@ -647,8 +647,8 @@ class VibeVoiceGenerator:
             # latent rng from the prefix content, NOT the request seed: the
             # stored K/V must be request-independent
             k_lat = jnp.asarray(pc.latent_rng_key(key), jnp.uint32)
-            from ..ops.quant import w8a8_scope
-            with timer.stage("prefix_prefill"), w8a8_scope(self.prefill_w8a8):
+            from ..ops.quant import current_w8a8, w8a8_scope
+            with timer.stage("prefix_prefill"), w8a8_scope(self.prefill_w8a8 or current_w8a8()):
                 cache_p = self._prefix_jit[pj_key](
                     self.params, jnp.asarray(ids_p), jnp.asarray(valid_p),
                     jnp.asarray(speech_tensors), jnp.asarray(speech_masks_b),
@@ -693,8 +693,8 @@ class VibeVoiceGenerator:
         if sj_key not in self._suffix_jit:
             self._suffix_jit[sj_key] = self._scoped(self._build_suffix_prefill(
                 s_bucket, cache_len))
-        from ..ops.quant import w8a8_scope
-        with timer.stage("prefill"), w8a8_scope(self.prefill_w8a8):
+        from ..ops.quant import current_w8a8, w8a8_scope
+        with timer.stage("prefill"), w8a8_scope(self.prefill_w8a8 or current_w8a8()):
             cache = qwen2.init_kv_cache(cfg.decoder, 2 * b, cache_len,
                                         self.lm_dtype, quant=self.kv_quant)
             kvs = int(kv_start2[0])
@@ -1020,8 +1020,8 @@ class VibeVoiceGenerator:
                 t_bucket, cache_len, has_speech,
                 neg_bucket=neg_width if split_neg else None))
         prefill_fn = self._prefill_jit[pf_key]
-        from ..ops.quant import w8a8_scope
-        with timer.stage("prefill"), w8a8_scope(self.prefill_w8a8):
+        from ..ops.quant import current_w8a8, w8a8_scope
+        with timer.stage("prefill"), w8a8_scope(self.prefill_w8a8 or current_w8a8()):
             # numpy args straight into the jitted call (its dispatch bundles
             # the transfers) — an eager jnp.asarray per operand costs a
             # separate device_put round each, all of it TTFA

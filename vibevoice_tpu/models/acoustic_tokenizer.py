@@ -286,9 +286,7 @@ def unstack_tokenizer_stages(params: dict) -> dict:
             out = {}
             for k, v in node.items():
                 if k == "stages" and isinstance(v, list):
-                    out[k] = [[{**_stage_block_view(st, j),
-                                # [1, FFN] kernel layout -> original [FFN]
-                                "ffn_b1": st["b1"][j, 0]}
+                    out[k] = [[_stage_block_view(st, j)
                                for j in range(_stage_depth(st))]
                               if is_stacked_stage(st) else st for st in v]
                 else:
@@ -308,7 +306,8 @@ def _stage_block_view(sp: dict, j: int) -> dict:
         "gamma": sp["vecs"][j, 2],
         "ffn_norm": sp["vecs"][j, 3],
         "ffn_w1": {k: sp["w1"][k][j] for k in ("q4c", "s4c")},
-        "ffn_b1": sp["b1"][j],
+        # [depth, 1, FFN] kernel layout -> original [FFN] per-block layout
+        "ffn_b1": sp["b1"][j, 0],
         "ffn_w2": {k: sp["w2"][k][j] for k in ("q4c", "s4c")},
         "ffn_b2": sp["vecs"][j, 4],
         "ffn_gamma": sp["vecs"][j, 5],

@@ -25,9 +25,12 @@ Mosaic's grid pipeline prefetches each operand ONE step ahead, and a phase
 blocks on every operand whose mapped block changed — whether or not the
 phase reads it.  Two scheduling rules follow: (1) all weight phases use
 equal-size blocks, so each fetch hides exactly behind the previous phase's
-fetch-wait; (2) the mixer phase maps every weight operand to the block it
-held at the end of the previous row, so phase 0 triggers no fetch and
-costs only its own compute.  (The first cut of this kernel fetched the
+fetch-wait; (2) weight index maps are simple clips of the phase index into
+each operand's valid range (phase 0 maps w1 to block 0 of the CURRENT row,
+w2 to its first K-block), monotonic within a row — a "smarter" mapping
+that parked phase 0 on the previous row's last-held blocks to skip its
+fetch was rejected: Mosaic miscompiled it (see the NOTE in
+convnext_stage_step_int4c).  (The first cut of this kernel fetched the
 whole stage-block per phase and serialized an in-register slab loop
 against it — 4x off the weight-streaming floor; a second cut ran one
 whole-row w2 phase and double-fetched at phase 0, pinning every variant
@@ -279,8 +282,9 @@ def convnext_stage_step_int4c(x: jax.Array, state: jax.Array, sp: dict,
       w2 {"q4c": [depth, FFN/2, C], "s4c": [depth, 1, C]}.
     Returns (y [B, C], new_state).
 
-    ``a8``: int8-activation mode (the serving default for bf16 inputs, env
-    VIBEVOICE_STAGE_A8=0 to opt out).  f32 inputs always use exact W4A16.
+    ``a8``: int8-activation mode — opt-in for bf16 inputs via env
+    VIBEVOICE_STAGE_A8=1 (default off: measured a wash on v5e, see
+    _a8_default).  f32 inputs always use exact W4A16.
     """
     depth, b, k1, dim = state.shape
     ffn_dim = sp["b1"].shape[-1]
