@@ -328,6 +328,19 @@ class VibeVoiceGenerator:
         self._prefix_jit: Dict[Any, Callable] = {}
         self._suffix_jit: Dict[Any, Callable] = {}
 
+    def _resident_head_ok(self, b: int) -> bool:
+        """Trace-time gate for the VMEM-resident diffusion solver kernel
+        (ops/diffusion_resident.py): int4c head FFN stack under the VMEM
+        budget, thresholding off, shapes aligned."""
+        try:
+            from ..ops.diffusion_resident import resident_solver_eligible
+            hp = self.params["diffusion_head"]
+            return resident_solver_eligible(
+                hp["layers"], self.sched, hp["noisy_proj"],
+                hp["final_linear"], 2 * b)
+        except Exception:  # noqa: BLE001 — malformed/partial head params
+            return False
+
     def set_ddpm_inference_steps(self, num_steps: Optional[int] = None) -> None:
         """Reference API parity (inference:146-147). Rebuilds the schedule."""
         self.ddpm_steps = num_steps or self.cfg.diffusion_head.ddpm_num_inference_steps
@@ -834,8 +847,28 @@ class VibeVoiceGenerator:
                 # never depends on when it joined a batch or who its mates are)
                 k_sde_rows = jax.vmap(jax.random.fold_in)(
                     step_keys, jnp.full((b,), 3, jnp.uint32))
-                latent = sample_with_solver(sched, denoise, x_t, rng=k_sde_rows,
-                                            with_index=True)  # [B, D]
+                if self._resident_head_ok(b):
+                    # whole solver loop as ONE VMEM-resident pallas call —
+                    # FFN weights load once instead of once per iteration
+                    # (ops/diffusion_resident.py).  Noise pre-drawn from the
+                    # same per-row key splits sample_with_solver makes.
+                    from ..ops.diffusion_resident import resident_solver_sample
+                    from ..ops.int4 import current_impl
+                    nkeys = jnp.swapaxes(jax.vmap(
+                        lambda k: jax.random.split(k, sched.num_steps)
+                    )(k_sde_rows), 0, 1)                       # [S, B, 2]
+                    z = jax.vmap(jax.vmap(lambda k: jax.random.normal(
+                        k, (cfg.acoustic_vae_dim,), jnp.float32)))(nkeys)
+                    latent = resident_solver_sample(
+                        params["diffusion_head"], sched, x_t,
+                        layer_mods, final_mods, z, cfg_scale,
+                        eps=cfg.diffusion_head.rms_norm_eps,
+                        interpret=(current_impl() == "interpret"
+                                   or jax.default_backend() != "tpu"))
+                else:
+                    latent = sample_with_solver(sched, denoise, x_t,
+                                                rng=k_sde_rows,
+                                                with_index=True)  # [B, D]
 
             # ---- streaming vocode (inference:633-641) -----------------------
             # conv compute follows the tokenizer PARAM dtype (bf16 at serving,

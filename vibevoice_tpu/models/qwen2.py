@@ -307,6 +307,23 @@ def _layer(x, lp, lyr, cfg: Qwen2DecoderConfig, cos, sin, cache_k, cache_v,
         else:
             attn = attend(q, k, v, mask=attn_mask)
 
+    # fused o-proj + MLP kernel: one pallas call replaces the three decode
+    # matmul dispatches plus the norm/silu/residual soup between them (the
+    # per-call launch + unhidden-prologue tax dominates at decode sizes —
+    # see ops/fused_mlp.py)
+    if decode and t == 1 and qctx is None and hq * dh == h:
+        from ..ops.fused_mlp import fused_omlp_eligible, fused_omlp_stacked
+        from ..ops.int4 import current_impl
+        if fused_omlp_eligible(lp, b, h):
+            impl = current_impl()
+            x = fused_omlp_stacked(
+                attn.reshape(b, h), resid[:, 0], lp["ln2"], lp["wo"],
+                lp["wgu"], lp["wd"], lp["wo"]["_lyr"],
+                eps=cfg.rms_norm_eps,
+                interpret=(impl == "interpret"
+                           or jax.default_backend() != "tpu"))[:, None]
+            return x, cache_k, cache_v
+
     x = resid + qmatmul(attn.reshape(b, t, hq * dh), lp["wo"], qctx)
     resid = x
     y = rms_norm(x, lp["ln2"], cfg.rms_norm_eps)
