@@ -66,7 +66,7 @@ class BenchTokenizer:
 
 def build_generator(cfg, ddpm_steps, quantize=False, quantize_head=False,
                     bits=8, colscale=False, quantize_embed=False,
-                    kv_quant=False, prefill_w8a8=False):
+                    kv_quant=False, prefill_w8a8=None):
     from vibevoice_tpu.generation import VibeVoiceGenerator
     from vibevoice_tpu.models import vibevoice
 
@@ -675,12 +675,21 @@ def main():
             lf_steps = 1024
             run_config(gen15q, deep_ids, lf_steps, chunk, 1.3, frame_sec,
                        stop_check_fn=stop_after_chunks(3))      # warm programs
+            # TTFA at depth = 40.5k-token prefill + FIRST audio chunk.  The
+            # first chunk is 8 steps — the serving streaming ladder starts
+            # at the base chunk and grows, so a small first chunk is the
+            # production TTFA shape; median-of-3 short runs (prefill is
+            # W8A8 by default here: auto for long prompts over the
+            # quantized stack, generate.py _use_w8a8_prefill)
+            run_config(gen15q, deep_ids, 16, 8, 1.3, frame_sec)  # warm c8
+            tt = []
+            for _ in range(3):
+                run_config(gen15q, deep_ids, 16, 8, 1.3, frame_sec)
+                tt.append(gen15q.last_metrics.get("ttfa", {}).get(
+                    "total_s", -1.0))
+            extras["longform_64k_ttfa_s"] = round(sorted(tt)[1], 2)
             wl, sl, dl, al = run_config(gen15q, deep_ids, lf_steps, chunk, 1.3,
                                         frame_sec)
-            # TTFA at depth = 40.5k-token prefill + first chunk (from the
-            # run's own stage timer — no extra 1-step program at this shape)
-            extras["longform_64k_ttfa_s"] = round(
-                gen15q.last_metrics.get("ttfa", {}).get("total_s", -1.0), 2)
             extras["longform_64k_rtf"] = round(al / wl, 3)
             sr = sustained_rtf(gen15q, wl, al, chunk, frame_sec)
             if sr is not None:

@@ -92,3 +92,38 @@ def test_cache_growth_kv_quant():
     assert len(cache_lens) >= 2, cache_lens
     np.testing.assert_array_equal(out_short.sequences[:, :16],
                                   out_long.sequences[:, :16])
+
+
+def test_auto_w8a8_prefill_token_parity():
+    """The long-prompt serving default (AUTO quantized-compute prefill,
+    generate.py _use_w8a8_prefill) must produce the same tokens as the
+    bf16-prefill escape hatch on a quantized stack — the accuracy gate for
+    promoting W8A8 prefill from env-flag to default (r4 VERDICT #2)."""
+    from vibevoice_tpu.ops.quant import quantize_lm_params
+
+    params = vibevoice.init_params(jax.random.PRNGKey(3), CFG, jnp.bfloat16)
+    params = dict(params)
+    params["lm"] = quantize_lm_params(params["lm"])
+    tk = TinyTokenizer()
+    ids = np.random.RandomState(3).randint(20, 200, (1, 96))
+    ids[:, -1] = tk.speech_start_id
+    kw = dict(cfg_scale=1.2, max_new_tokens=24, max_length_times=1000.0,
+              chunk_steps=8, seed=7)
+
+    outs = {}
+    for name, flag in (("auto", None), ("off", False)):
+        gen = VibeVoiceGenerator(params, CFG, tk, ddpm_inference_steps=3,
+                                 prefill_w8a8=flag)
+        gen.prefill_chunk = 32          # 96-token prompt counts as "long"
+        if name == "auto":
+            assert gen._use_w8a8_prefill(96) and not gen._use_w8a8_prefill(16)
+        outs[name] = gen.generate(ids, **kw)
+    np.testing.assert_array_equal(outs["auto"].sequences,
+                                  outs["off"].sequences)
+
+    # dense stacks never auto-enable (on-the-fly weight quantization would
+    # be slower AND lossy)
+    dense = vibevoice.init_params(jax.random.PRNGKey(3), CFG, jnp.bfloat16)
+    gden = VibeVoiceGenerator(dense, CFG, tk, ddpm_inference_steps=3)
+    gden.prefill_chunk = 32
+    assert not gden._use_w8a8_prefill(96)

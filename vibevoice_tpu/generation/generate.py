@@ -158,7 +158,8 @@ class VibeVoiceGenerator:
                  ddpm_inference_steps: Optional[int] = None,
                  solver: Optional[DPMSolverConfig] = None,
                  lm_dtype=None, mesh=None, kv_quant: bool = False,
-                 prefix_cache: int = 0, prefill_w8a8: bool = False):
+                 prefix_cache: int = 0,
+                 prefill_w8a8: Optional[bool] = None):
         from ..utils.compilation_cache import enable_persistent_compilation_cache
         enable_persistent_compilation_cache()
         if lm_dtype is None:
@@ -285,11 +286,19 @@ class VibeVoiceGenerator:
         # quantized-compute prefill (W8A8 dots for int8 weight leaves) —
         # scoped to the PREFILL programs' traces only; decode keeps W8A16.
         # The long-prompt TTFA lever: prefill linear FLOPs run the MXU's
-        # native s8xs8 mode at 2x the bf16 rate.  Opt-in, same accuracy
-        # caveats as global W8A8 (ops/quant.py) but confined to the prompt
-        # encode.  Irrelevant to dense/bf16 stacks (no int8 leaves).
-        self.prefill_w8a8 = bool(prefill_w8a8) or _os.environ.get(
-            "VIBEVOICE_PREFILL_W8A8", "0") == "1"
+        # native s8xs8 mode at 2x the bf16 rate.  Tri-state:
+        #   None (default) = AUTO — on for prompts past ``prefill_chunk``
+        #     when the LM stack carries quantized leaves (the long-prompt
+        #     serving default; accuracy gated by tests/test_quant.py's
+        #     W8A8 ladder + the long-prompt token-parity gate);
+        #   True/VIBEVOICE_PREFILL_W8A8=1 = always; False/=0 = never
+        #     (the bf16-prefill escape hatch).
+        # Irrelevant to dense/bf16 stacks (no int8 leaves).
+        env_w8a8 = _os.environ.get("VIBEVOICE_PREFILL_W8A8")
+        if env_w8a8 is not None:
+            self.prefill_w8a8: Optional[bool] = env_w8a8 == "1"
+        else:
+            self.prefill_w8a8 = prefill_w8a8
         # prompts longer than this prefill in fixed segments (activation
         # memory ∝ segment, not prompt — the 7B/30k-prompt OOM guard)
         self.prefill_chunk = int(_os.environ.get(
@@ -327,6 +336,24 @@ class VibeVoiceGenerator:
             self.prefix_cache = PrefixCache(pc_n)
         self._prefix_jit: Dict[Any, Callable] = {}
         self._suffix_jit: Dict[Any, Callable] = {}
+
+    def _use_w8a8_prefill(self, prompt_len: int) -> bool:
+        """Resolve the tri-state prefill_w8a8 flag for a prompt of
+        ``prompt_len`` (bucketed) tokens: AUTO turns quantized-compute
+        prefill on past ``prefill_chunk`` when the LM stack actually has
+        quantized leaves (W8A8 over dense bf16 weights would quantize
+        weights on the fly per step — slower AND less accurate)."""
+        if self.prefill_w8a8 is not None:
+            return bool(self.prefill_w8a8)
+        if prompt_len <= self.prefill_chunk:
+            return False
+        if not hasattr(self, "_lm_has_quant"):
+            from ..ops.int4 import is_quantized_int4, is_quantized_int4c
+            from ..ops.quant import is_quantized
+            self._lm_has_quant = any(
+                is_quantized(v) or is_quantized_int4(v) or is_quantized_int4c(v)
+                for v in self.params["lm"]["layers"].values())
+        return self._lm_has_quant
 
     def _resident_head_ok(self, b: int) -> bool:
         """Trace-time gate for the VMEM-resident diffusion solver kernel
@@ -661,7 +688,8 @@ class VibeVoiceGenerator:
             # stored K/V must be request-independent
             k_lat = jnp.asarray(pc.latent_rng_key(key), jnp.uint32)
             from ..ops.quant import current_w8a8, w8a8_scope
-            with timer.stage("prefix_prefill"), w8a8_scope(self.prefill_w8a8 or current_w8a8()):
+            with timer.stage("prefix_prefill"), w8a8_scope(
+                    self._use_w8a8_prefill(pb) or current_w8a8()):
                 cache_p = self._prefix_jit[pj_key](
                     self.params, jnp.asarray(ids_p), jnp.asarray(valid_p),
                     jnp.asarray(speech_tensors), jnp.asarray(speech_masks_b),
@@ -707,7 +735,8 @@ class VibeVoiceGenerator:
             self._suffix_jit[sj_key] = self._scoped(self._build_suffix_prefill(
                 s_bucket, cache_len))
         from ..ops.quant import current_w8a8, w8a8_scope
-        with timer.stage("prefill"), w8a8_scope(self.prefill_w8a8 or current_w8a8()):
+        with timer.stage("prefill"), w8a8_scope(
+                self._use_w8a8_prefill(s_bucket) or current_w8a8()):
             cache = qwen2.init_kv_cache(cfg.decoder, 2 * b, cache_len,
                                         self.lm_dtype, quant=self.kv_quant)
             kvs = int(kv_start2[0])
@@ -1054,7 +1083,8 @@ class VibeVoiceGenerator:
                 neg_bucket=neg_width if split_neg else None))
         prefill_fn = self._prefill_jit[pf_key]
         from ..ops.quant import current_w8a8, w8a8_scope
-        with timer.stage("prefill"), w8a8_scope(self.prefill_w8a8 or current_w8a8()):
+        with timer.stage("prefill"), w8a8_scope(
+                self._use_w8a8_prefill(t_bucket) or current_w8a8()):
             # numpy args straight into the jitted call (its dispatch bundles
             # the transfers) — an eager jnp.asarray per operand costs a
             # separate device_put round each, all of it TTFA

@@ -156,8 +156,12 @@ def flash_attention(q: jax.Array, k: jax.Array, v: jax.Array,
 # Chunked-prefill kernel: q segment vs the (head-major) KV cache
 # ---------------------------------------------------------------------------
 
-DEFAULT_BLOCK_K_CACHED = 2048
-DEFAULT_BLOCK_Q_CACHED = 512
+# r5 on-chip sweep at 40k-context segment shapes: (1024, 4096) measured
+# 0.74 MFU vs 0.58 for the old (512, 2048) — bigger q blocks amortize the
+# per-sweep KV re-streaming, bigger k blocks the per-block softmax state
+# merges; beyond this the sweep plateaus (VPU softmax passes bind).
+DEFAULT_BLOCK_K_CACHED = 4096
+DEFAULT_BLOCK_Q_CACHED = 1024
 
 
 def _flash_cached_kernel(lyr_ref,        # scalar prefetch: [1] int32
@@ -202,48 +206,68 @@ def _flash_cached_kernel(lyr_ref,        # scalar prefetch: [1] int32
     q_start = q_off_ref[0] + (qi * block_q) % chunk
     k_start = ki * block_k
 
-    def _compute():
-        q = q_ref[0, 0]
-        parts = []
-        for i in range(splits):
-            k = k_ref[0, 0, 0, i * sub:(i + 1) * sub]
-            v = v_ref[0, 0, 0, i * sub:(i + 1) * sub]
-            s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
-                                    preferred_element_type=jnp.float32) * scale
-            q_ids = q_start + jax.lax.broadcasted_iota(
-                jnp.int32, (block_q, sub), 0)
-            k_ids = (k_start + i * sub + jax.lax.broadcasted_iota(
-                jnp.int32, (block_q, sub), 1))
-            mask = jnp.logical_and(k_ids >= kv_start_ref[b], k_ids <= q_ids)
-            s = jnp.where(mask, s, NEG_INF)
-            m_i = jnp.max(s, axis=-1, keepdims=True)
-            e = jnp.exp(s - m_i)
-            l_i = jnp.sum(e, axis=-1, keepdims=True)
-            pv_i = jax.lax.dot_general(
-                e.astype(v.dtype), v, (((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32)
-            parts.append((m_i, l_i, pv_i))
+    def _compute(need_mask):
+        def go():
+            q = q_ref[0, 0]
+            parts = []
+            for i in range(splits):
+                k = k_ref[0, 0, 0, i * sub:(i + 1) * sub]
+                v = v_ref[0, 0, 0, i * sub:(i + 1) * sub]
+                # 1/sqrt(d) is folded into q by the wrapper — saves a
+                # full VPU pass over every score element (r5: this kernel
+                # is VPU-bound, ~6 passes/element; one pass is ~15%)
+                s = jax.lax.dot_general(
+                    q, k, (((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32)
+                if need_mask:
+                    # broadcast-form mask ([bq,1] x [1,sub] compares)
+                    # instead of two materialized [bq, sub] int32 iotas
+                    sub_start = k_start + i * sub
+                    q_col = (q_start + jax.lax.broadcasted_iota(
+                        jnp.int32, (block_q, 1), 0))
+                    k_row = (sub_start + jax.lax.broadcasted_iota(
+                        jnp.int32, (1, sub), 1))
+                    mask = jnp.logical_and(k_row >= kv_start_ref[b],
+                                           k_row <= q_col)
+                    s = jnp.where(mask, s, NEG_INF)
+                m_i = jnp.max(s, axis=-1, keepdims=True)
+                e = jnp.exp(s - m_i)
+                l_i = jnp.sum(e, axis=-1, keepdims=True)
+                pv_i = jax.lax.dot_general(
+                    e.astype(v.dtype), v, (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32)
+                parts.append((m_i, l_i, pv_i))
 
-        m_new, l_new, acc_new = parts[0]
-        for m_i, l_i, pv_i in parts[1:]:
-            m2 = jnp.maximum(m_new, m_i)
-            a1 = jnp.exp(m_new - m2)
-            a2 = jnp.exp(m_i - m2)
-            l_new = l_new * a1 + l_i * a2
-            acc_new = acc_new * a1 + pv_i * a2
-            m_new = m2
-        m_prev = m_scr[:]
-        m2 = jnp.maximum(m_prev, m_new)
-        a1 = jnp.exp(m_prev - m2)
-        a2 = jnp.exp(m_new - m2)
-        l_scr[:] = l_scr[:] * a1 + l_new * a2
-        acc_scr[:] = acc_scr[:] * a1 + acc_new * a2
-        m_scr[:] = m2
+            m_new, l_new, acc_new = parts[0]
+            for m_i, l_i, pv_i in parts[1:]:
+                m2 = jnp.maximum(m_new, m_i)
+                a1 = jnp.exp(m_new - m2)
+                a2 = jnp.exp(m_i - m2)
+                l_new = l_new * a1 + l_i * a2
+                acc_new = acc_new * a1 + pv_i * a2
+                m_new = m2
+            m_prev = m_scr[:]
+            m2 = jnp.maximum(m_prev, m_new)
+            a1 = jnp.exp(m_prev - m2)
+            a2 = jnp.exp(m_new - m2)
+            l_scr[:] = l_scr[:] * a1 + l_new * a2
+            acc_scr[:] = acc_scr[:] * a1 + acc_new * a2
+            m_scr[:] = m2
+        return go
 
     in_range = jnp.logical_and(
         k_start <= q_start + block_q - 1,                 # causal upper bound
         k_start + block_k > kv_start_ref[b])              # left-pad lower bound
-    pl.when(in_range)(_compute)
+    # Most k blocks of a long prefill are INTERIOR — fully below the causal
+    # diagonal and past the left pad — and need no mask at all.  The kernel
+    # is VPU-softmax-bound (r5 audit), so a mask-free straight-line body for
+    # that case saves real passes; the two pl.when branches each stay
+    # straight-line, unlike a value-returning lax.cond in the split loop
+    # (measured SLOWER — it broke Mosaic's vector scheduling).
+    full = jnp.logical_and(k_start + block_k - 1 <= q_start,
+                           k_start >= kv_start_ref[b])
+    pl.when(jnp.logical_and(in_range, full))(_compute(False))
+    pl.when(jnp.logical_and(in_range, jnp.logical_not(full)))(_compute(True))
 
     @pl.when(ki == nk - 1)
     def _finalize():
@@ -289,8 +313,11 @@ def flash_attention_cached(q: jax.Array, cache_k: jax.Array, cache_v: jax.Array,
     block_k, splits = _pick_block(s_len, block_k)  # straddle a head boundary
     scale = d ** -0.5
 
-    # GQA packing: [B, C, Hq, D] -> [B, Hkv, G*C, D], rows head-contiguous
-    qh = q.transpose(0, 2, 1, 3).reshape(b, hkv, group * tq, d)
+    # GQA packing: [B, C, Hq, D] -> [B, Hkv, G*C, D], rows head-contiguous.
+    # 1/sqrt(d) folds into q here (one pass over N*D) instead of into the
+    # kernel's scores (one pass over N*LIVE per segment).
+    qh = ((q.astype(jnp.float32) * scale).astype(q.dtype)
+          .transpose(0, 2, 1, 3).reshape(b, hkv, group * tq, d))
 
     q_off = jnp.atleast_1d(jnp.asarray(q_offset, jnp.int32))
 
@@ -326,6 +353,12 @@ def flash_attention_cached(q: jax.Array, cache_k: jax.Array, cache_v: jax.Array,
             ],
         ),
         out_shape=jax.ShapeDtypeStruct((b, hkv, group * tq, d), q.dtype),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "parallel",
+                                 "arbitrary"),
+            # big q x k blocks (s + exp intermediates) exceed the default
+            # 16 MB scoped-vmem stack at the MFU-optimal block sizes
+            vmem_limit_bytes=96 * 1024 * 1024),
         interpret=interpret,
     )(jnp.asarray(layer, jnp.int32).reshape(1), kv_start.astype(jnp.int32),
       q_off, qh, cache_k, cache_v)
@@ -342,10 +375,18 @@ def _flash_cached_kernel_q8(lyr_ref, kv_start_ref, q_off_ref,
                             q_ref, k_ref, ks_ref, v_ref, vs_ref, o_ref,
                             m_scr, l_scr, acc_scr,
                             *, scale: float, block_q: int, block_k: int,
-                            chunk: int, splits: int):
+                            chunk: int, splits: int, a8: bool = False):
     """int8-cache variant of _flash_cached_kernel (split partial-softmax
     chains, stored-dtype dots — int8 values are exact in bf16 so the q-dtype
     dots are lossless vs the stored data; f32 MXU passes run at 1/4 rate).
+
+    ``a8``: quantized-compute mode for the W8A8 prefill tier — q rows
+    quantize to int8 once per body (per-row scale) and the probability
+    rows to int8 per block (per-row scale over e*vs, e <= 1 by the running
+    max), so BOTH dots run the MXU's native s8 x s8 -> s32 mode at 2x the
+    bf16 rate and the int8 k/v blocks are consumed without converts.  The
+    r5 TTFA audit measured the bf16 spelling at 0.74 MFU with the 40.5k
+    prefill flash being 74% of device TTFA.
 
     Scales arrive LANE-major as [1, BK] blocks of a [L, B, Hkv, 1, S] view
     (slot-in-sublanes blocks force a 32x lane-padding blowup on the stored
@@ -368,15 +409,26 @@ def _flash_cached_kernel_q8(lyr_ref, kv_start_ref, q_off_ref,
 
     def _compute():
         q = q_ref[0, 0]
+        if a8:
+            qf = q.astype(jnp.float32)
+            sq = jnp.maximum(jnp.max(jnp.abs(qf), axis=-1, keepdims=True)
+                             / 127.0, 1e-12)
+            q8 = jnp.round(qf / sq).astype(jnp.int8)
         parts = []
         for i in range(splits):
-            k = k_ref[0, 0, 0, i * sub:(i + 1) * sub].astype(q.dtype)
-            v = v_ref[0, 0, 0, i * sub:(i + 1) * sub].astype(q.dtype)
             ks = ks_ref[0, 0, 0, :, i * sub:(i + 1) * sub].astype(jnp.float32)
             vs = vs_ref[0, 0, 0, :, i * sub:(i + 1) * sub].astype(jnp.float32)
-            s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
-                                    preferred_element_type=jnp.float32)
-            s = s * (ks * scale)
+            if a8:
+                k8 = k_ref[0, 0, 0, i * sub:(i + 1) * sub]
+                s = jax.lax.dot_general(
+                    q8, k8, (((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.int32).astype(jnp.float32)
+                s = s * (sq * scale) * ks
+            else:
+                k = k_ref[0, 0, 0, i * sub:(i + 1) * sub].astype(q.dtype)
+                s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
+                                        preferred_element_type=jnp.float32)
+                s = s * (ks * scale)
 
             q_ids = q_start + jax.lax.broadcasted_iota(
                 jnp.int32, (block_q, sub), 0)
@@ -387,9 +439,20 @@ def _flash_cached_kernel_q8(lyr_ref, kv_start_ref, q_off_ref,
             m_i = jnp.max(s, axis=-1, keepdims=True)
             e = jnp.exp(s - m_i)
             l_i = jnp.sum(e, axis=-1, keepdims=True)
-            pv_i = jax.lax.dot_general(
-                (e * vs).astype(q.dtype), v, (((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32)
+            if a8:
+                ps = e * vs
+                sp = jnp.maximum(jnp.max(ps, axis=-1, keepdims=True)
+                                 / 127.0, 1e-12)
+                p8 = jnp.round(ps / sp).astype(jnp.int8)
+                v8 = v_ref[0, 0, 0, i * sub:(i + 1) * sub]
+                pv_i = jax.lax.dot_general(
+                    p8, v8, (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.int32).astype(jnp.float32) * sp
+            else:
+                v = v_ref[0, 0, 0, i * sub:(i + 1) * sub].astype(q.dtype)
+                pv_i = jax.lax.dot_general(
+                    (e * vs).astype(q.dtype), v, (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32)
             parts.append((m_i, l_i, pv_i))
 
         m_new, l_new, acc_new = parts[0]
@@ -420,19 +483,29 @@ def _flash_cached_kernel_q8(lyr_ref, kv_start_ref, q_off_ref,
         o_ref[0, 0] = (acc_scr[:] / l).astype(o_ref.dtype)
 
 
-@functools.partial(jax.jit, static_argnames=("block_q", "block_k", "interpret"))
+@functools.partial(jax.jit,
+                   static_argnames=("block_q", "block_k", "interpret", "a8"))
 def flash_attention_cached_q8(q: jax.Array, k8: jax.Array, ks: jax.Array,
                               v8: jax.Array, vs: jax.Array,
                               kv_start: jax.Array, q_offset: jax.Array,
                               layer: jax.Array | None = None,
                               block_q: int = DEFAULT_BLOCK_Q_CACHED,
                               block_k: int = DEFAULT_BLOCK_K_CACHED,
-                              interpret: bool | None = None) -> jax.Array:
+                              interpret: bool | None = None,
+                              a8: bool | None = None) -> jax.Array:
     """Chunked-prefill attention against an int8 cache (per-layer rank-4 or
     layer-stacked rank-5 with ``layer``).  Same GQA packing and live-range
-    clamping as the bf16 kernel; KV DMA halves."""
+    clamping as the bf16 kernel; KV DMA halves.
+
+    ``a8`` runs both dots in the MXU's native s8 x s8 mode (see
+    _flash_cached_kernel_q8).  Default OFF: the r5 on-chip A/B measured it
+    SLOWER (8.9 vs 6.0 ms at 40k-context segments) — this kernel is
+    VPU-softmax-bound, so halving MXU time buys nothing and the extra
+    quantize passes cost; kept for hardware where the dots bind."""
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
+    if a8 is None:
+        a8 = False
     if k8.ndim == 4:
         # per-layer API: [B, Hkv, S, D] data with [B, Hkv, S] (quantize_kv)
         # or [B, Hkv, 1, S] (cache-layout) scales
@@ -473,7 +546,7 @@ def flash_attention_cached_q8(q: jax.Array, k8: jax.Array, ks: jax.Array,
     grid = (b, hkv, (group * tq) // block_q, s_len // block_k)
     kernel = functools.partial(_flash_cached_kernel_q8, scale=scale,
                                block_q=block_q, block_k=block_k, chunk=tq,
-                               splits=splits)
+                               splits=splits, a8=bool(a8))
     out = pl.pallas_call(
         kernel,
         grid_spec=pltpu.PrefetchScalarGridSpec(
@@ -496,6 +569,10 @@ def flash_attention_cached_q8(q: jax.Array, k8: jax.Array, ks: jax.Array,
             ],
         ),
         out_shape=jax.ShapeDtypeStruct((b, hkv, group * tq, d), q.dtype),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "parallel",
+                                 "arbitrary"),
+            vmem_limit_bytes=96 * 1024 * 1024),
         interpret=interpret,
     )(jnp.asarray(layer, jnp.int32).reshape(1), kv_start.astype(jnp.int32),
       q_off, qh, k8, ks, v8, vs)
