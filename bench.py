@@ -37,6 +37,7 @@ Honesty notes:
 import gc
 import json
 import os
+import sys
 import time
 
 import jax
@@ -238,6 +239,13 @@ def voice_prompt_inputs(n_speakers, frames_per_speaker, t0_len, frame):
 
 
 def main():
+    # `python bench.py --selftest`: just the on-chip kernel gate (every
+    # Pallas variant lowered on real Mosaic + parity-checked), one JSON line
+    if "--selftest" in sys.argv:
+        from vibevoice_tpu.utils.selftest import run_selftest
+        print(json.dumps({"metric": "kernel_selftest", "unit": "pass",
+                          **run_selftest(verbose=True)}))
+        return
     from vibevoice_tpu.config import VibeVoiceConfig
     from vibevoice_tpu.streamer import AudioStreamer
 
@@ -280,7 +288,6 @@ def main():
         # op-level attribution of one run (slower under instrumentation;
         # relative shares are the signal) — printed to stderr, JSON stays
         # the only stdout line
-        import sys
         from vibevoice_tpu.utils.profile_report import profile_callable
         rep = profile_callable(lambda: run_config(gen, ids, bench_steps, chunk,
                                                   1.3, frame_sec))
@@ -936,6 +943,20 @@ def main():
             extras["engine_stress_reqs"] = n_req
         except Exception as e:  # noqa: BLE001
             extras["engine_stress_error"] = repr(e)[:200]
+        gc.collect()
+
+    # ---- on-chip Pallas kernel self-test tier (r4 VERDICT #4) -------------
+    # every Pallas kernel variant lowers on REAL Mosaic and parity-checks
+    # against an XLA reference — the class of bug interpret-mode CPU tests
+    # cannot catch (Mosaic legality / miscompiles).  Recorded in the driver
+    # JSON so a kernel regression is visible even when aggregate RTF hides
+    # it.  BENCH_SELFTEST=0 skips (tiny debug runs).
+    if os.environ.get("BENCH_SELFTEST", "1") == "1":
+        try:
+            from vibevoice_tpu.utils.selftest import run_selftest
+            extras.update(run_selftest())
+        except Exception as e:  # noqa: BLE001
+            extras["selftest_error"] = repr(e)[:200]
         gc.collect()
 
     print(json.dumps({
