@@ -238,6 +238,60 @@ def test_async_streamer():
     assert float(got1[1][0]) == 3.0
 
 
+def test_async_batch_iterator():
+    """AsyncAudioBatchIterator (reference streamer.py:206-264): each
+    __anext__ yields {idx: chunk} for every ready sample; finished samples
+    drop out; iteration ends when all are done."""
+    import asyncio
+    import threading
+    from vibevoice_tpu.streamer import AsyncAudioStreamer
+
+    async def main():
+        st = AsyncAudioStreamer(batch_size=3,
+                                loop=asyncio.get_running_loop(),
+                                timeout=30.0)
+
+        def producer():
+            st.put(np.ones((2, 8), np.float32), [0, 2])
+            st.end([0])
+            st.put(np.full((2, 8), 2.0, np.float32), [1, 2])
+            st.put(np.full((1, 8), 3.0, np.float32), [2])
+            st.end()
+
+        threading.Thread(target=producer).start()
+        got = {0: [], 1: [], 2: []}
+        n_frames = 0
+        async for chunks in st:
+            n_frames += 1
+            for i, c in chunks.items():
+                got[i].append(float(c[0]))
+        return got, n_frames
+
+    got, n_frames = asyncio.run(main())
+    assert got[0] == [1.0]
+    assert got[1] == [2.0]
+    assert got[2] == [1.0, 2.0, 3.0]
+    assert n_frames >= 1
+
+
+def test_async_batch_iterator_timeout():
+    """A stalled producer ends iteration after streamer.timeout instead of
+    hanging the consumer."""
+    import asyncio
+    from vibevoice_tpu.streamer import AsyncAudioStreamer
+
+    async def main():
+        st = AsyncAudioStreamer(batch_size=1,
+                                loop=asyncio.get_running_loop(),
+                                timeout=0.1)
+        frames = []
+        async for chunks in st:       # nothing ever arrives
+            frames.append(chunks)
+        return frames
+
+    assert asyncio.run(main()) == []
+
+
 def test_script_ai_cli_overrides(monkeypatch):
     """CLI flags outrank env (reference precedence main.py:1357-1380)."""
     from vibevoice_tpu.apps.script_ai import ScriptAIConfig

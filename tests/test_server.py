@@ -292,3 +292,54 @@ def test_tp_sharded_serving():
         assert code == 200 and wav[:4] == b"RIFF" and len(wav) > 44
     finally:
         httpd.shutdown()
+
+
+def test_stream_batch_multiplexed(server):
+    """POST /v1/tts/stream_batch: one device batch, NDJSON frames
+    multiplexed through AsyncAudioBatchIterator — every sample's audio
+    arrives tagged with its index, ending in a summary frame."""
+    import base64 as b64
+    base, app = server
+    body = {"inputs": [{"input": "Speaker 1: stream batch sample one."},
+                       {"input": "Speaker 1: the second, rather longer, "
+                                 "sample of the batch."}],
+            "max_new_tokens": 12, "seed": 3}
+    req = urllib.request.Request(
+        base + "/v1/tts/stream_batch", data=json.dumps(body).encode(),
+        headers={"Content-Type": "application/json"})
+    frames = []
+    with urllib.request.urlopen(req, timeout=600) as r:
+        assert r.status == 200
+        assert r.headers["Content-Type"] == "application/x-ndjson"
+        for line in r:
+            line = line.strip()
+            if line:
+                frames.append(json.loads(line))
+    assert frames, "no frames received"
+    tail = frames[-1]
+    assert tail.get("done") is True and tail.get("error") is None
+    assert tail["results"]["batch"] == 2
+    audio_frames = [f for f in frames[:-1] if "pcm16" in f]
+    seen = {f["i"] for f in audio_frames}
+    assert seen == {0, 1}, seen
+    for f in audio_frames:
+        pcm = b64.b64decode(f["pcm16"])
+        assert len(pcm) == 2 * f["samples"]
+    # per-sample audio totals match the summary
+    per = {i: sum(f["samples"] for f in audio_frames if f["i"] == i)
+           for i in (0, 1)}
+    for i in (0, 1):
+        assert per[i] / 24000 == pytest.approx(
+            tail["results"]["per_sample"][i]["audio_s"], abs=0.01)
+
+
+def test_stream_batch_validation(server):
+    base, _ = server
+    req = urllib.request.Request(
+        base + "/v1/tts/stream_batch", data=json.dumps({}).encode(),
+        headers={"Content-Type": "application/json"})
+    try:
+        urllib.request.urlopen(req, timeout=60)
+        assert False, "expected 400"
+    except urllib.error.HTTPError as e:
+        assert e.code == 400

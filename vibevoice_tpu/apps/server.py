@@ -13,6 +13,11 @@ this adds the missing production surface: a dependency-free HTTP server
                             returns audio/wav (complete file, or chunked
                             streaming WAV when "stream" is true — audio
                             starts flowing at time-to-first-chunk)
+  POST /v1/tts/stream_batch — multiplexed async batch: {"inputs": [...]}
+                            runs ONE device batch and streams NDJSON frames
+                            {"i", "sr", "samples", "pcm16"(b64)} as each
+                            sample's chunks land (AsyncAudioBatchIterator),
+                            ending with {"done", "results"}
   GET  /v1/voices          — voice presets (examples/voices + custom_voices)
   GET  /v1/models          — model registry + loaded state
   GET  /v1/metrics         — served/batch counters + per-stage times of the
@@ -75,6 +80,7 @@ class Job:
     """One queued generation request."""
     request: dict
     streamer: Optional[AudioStreamer] = None   # assigned by the worker
+    async_streamer: Optional[object] = None    # multiplexed async-batch jobs
     sample_index: int = 0
     assigned: threading.Event = field(default_factory=threading.Event)
     done: threading.Event = field(default_factory=threading.Event)
@@ -92,6 +98,10 @@ _BATCH_KEY_FIELDS = ("model", "cfg_scale", "ddpm_steps", "do_sample",
 
 
 def batch_key(request: dict) -> tuple:
+    if "_stream_batch" in request:
+        # multiplexed async-batch jobs already carry a full batch and run
+        # solo; id(request) keeps two of them from being grouped
+        return ("_stream_batch", id(request))
     return tuple(request.get(f) for f in _BATCH_KEY_FIELDS)
 
 
@@ -234,6 +244,8 @@ class ServingApp:
                 self.manager.after_generate()
 
     def _run_batch(self, batch: List[Job]):
+        if len(batch) == 1 and "_stream_batch" in batch[0].request:
+            return self._run_stream_batch(batch[0])
         n = len(batch)
         streamer = AudioStreamer(batch_size=n)
         for i, job in enumerate(batch):
@@ -292,6 +304,60 @@ class ServingApp:
         self.log(f"🎧 served batch of {n}: "
                  f"{[j.result['audio_s'] for j in batch]} audio-s "
                  f"in {round(wall, 3)} s")
+
+    def _run_stream_batch(self, job: Job):
+        """One multiplexed async-batch job: N scripts generate as ONE device
+        batch, chunks fan out through the handler's AsyncAudioStreamer
+        (streamer.AsyncAudioBatchIterator — reference streamer.py:206-264).
+        The streamer was created by the HTTP handler (it owns the event
+        loop); generation runs here on the worker thread."""
+        reqs = job.request["_stream_batch"]
+        streamer = job.async_streamer
+        job.assigned.set()
+        try:
+            req = dict(job.request)
+            model = self._load(req.get("model") or self.model_name)
+            proc, gen = model.processor, model.generator
+
+            scripts, voice_wavs, any_voice = [], [], False
+            for r in reqs:
+                scripts.append(r["input"])
+                vs = r.get("voices") or ([r["voice"]] if r.get("voice") else [])
+                wavs = [self.voices.load_voice(v) for v in vs] or None
+                any_voice = any_voice or wavs is not None
+                voice_wavs.append(wavs)
+            inputs = proc(scripts, voice_samples=voice_wavs if any_voice else None)
+            ddpm = req.get("ddpm_steps")
+            if ddpm and int(ddpm) != gen.ddpm_steps:
+                gen.set_ddpm_inference_steps(int(ddpm))
+            t0 = time.perf_counter()
+            out = gen.generate(
+                inputs["input_ids"], attention_mask=inputs["attention_mask"],
+                speech_tensors=inputs.get("speech_tensors"),
+                speech_masks=inputs.get("speech_masks"),
+                speech_input_mask=inputs.get("speech_input_mask"),
+                cfg_scale=float(req.get("cfg_scale", 1.3)),
+                do_sample=bool(req.get("do_sample", False)),
+                max_length_times=float(req.get("max_length_times", 2.0)),
+                max_new_tokens=(int(req["max_new_tokens"])
+                                if req.get("max_new_tokens") else None),
+                seed=int(req.get("seed", 0)),
+                chunk_steps=int(req.get("chunk_steps", 8)),
+                chunk_steps_max=int(req.get("chunk_steps_max", 64)),
+                audio_streamer=streamer)
+            wall = time.perf_counter() - t0
+            job.result = {"per_sample": [
+                {"audio_s": (0.0 if w is None
+                             else round(len(w) / SAMPLE_RATE, 3))}
+                for w in out.speech_outputs],
+                "tokens": int(out.sequences.shape[1]),
+                "wall_s": round(wall, 3), "batch": len(reqs)}
+            self.served += len(reqs)
+            self.batches += 1
+        finally:
+            # generate() ends the streamer on success; on error this wakes
+            # every queue so the handler's pump terminates
+            streamer.end()
 
     # engine-wide generation settings; requests may only override the rest
     _ENGINE_FIXED = ("cfg_scale", "do_sample", "temperature", "top_p",
@@ -456,20 +522,84 @@ def make_handler(app: ServingApp):
             return self._json(404, {"error": f"no route {self.path}"})
 
         def do_POST(self):
-            if self.path not in ("/v1/audio/speech", "/v1/audio/speech/"):
-                return self._json(404, {"error": f"no route {self.path}"})
             try:
                 n = int(self.headers.get("Content-Length", "0"))
                 req = json.loads(self.rfile.read(n) or b"{}")
-                if not req.get("input"):
-                    return self._json(400, {"error": "missing 'input'"})
             except (ValueError, json.JSONDecodeError) as e:
                 return self._json(400, {"error": f"bad request: {e}"})
+            if self.path in ("/v1/tts/stream_batch", "/v1/tts/stream_batch/"):
+                return self._stream_batch_response(req)
+            if self.path not in ("/v1/audio/speech", "/v1/audio/speech/"):
+                return self._json(404, {"error": f"no route {self.path}"})
+            if not req.get("input"):
+                return self._json(400, {"error": "missing 'input'"})
 
             job = app.submit(req)
             if req.get("stream"):
                 return self._stream_response(job)
             return self._complete_response(job)
+
+        def _stream_batch_response(self, req: dict):
+            """POST /v1/tts/stream_batch: {"inputs": [{"input": ...}, ...],
+            <shared settings>} -> NDJSON frames multiplexing every sample's
+            audio as it is produced: {"i", "sr", "samples", "pcm16"}
+            (base64 PCM), then one final {"done": true, "results": ...}.
+            The device runs ONE batched generation; chunks fan out through
+            AsyncAudioBatchIterator (the reference's async batch path,
+            streamer.py:206-264)."""
+            if app.engine is not None:
+                return self._json(400, {
+                    "error": "stream_batch joins its own device batch; in "
+                             "--engine mode submit per-request streams "
+                             "instead (they join live engine slots)"})
+            subs = req.get("inputs")
+            if (not isinstance(subs, list) or not subs
+                    or not all(isinstance(r, dict) and r.get("input")
+                               for r in subs)):
+                return self._json(400, {
+                    "error": "missing 'inputs': [{\"input\": ...}, ...]"})
+
+            import asyncio
+            import base64
+            from vibevoice_tpu.streamer import AsyncAudioStreamer
+            loop = asyncio.new_event_loop()
+            streamer = AsyncAudioStreamer(batch_size=len(subs), loop=loop,
+                                          timeout=300.0)
+            job = Job(request={**{k: v for k, v in req.items()
+                                  if k != "inputs"},
+                               "_stream_batch": subs})
+            job.async_streamer = streamer
+            app.jobs.put(job)
+
+            self.send_response(200)
+            self.send_header("Content-Type", "application/x-ndjson")
+            self.send_header("Transfer-Encoding", "chunked")
+            self.end_headers()
+
+            def write_chunk(data: bytes):
+                self.wfile.write(f"{len(data):X}\r\n".encode() + data
+                                 + b"\r\n")
+
+            async def pump():
+                async for chunks in streamer:
+                    for i, audio in sorted(chunks.items()):
+                        frame = {"i": int(i), "sr": SAMPLE_RATE,
+                                 "samples": int(len(audio)),
+                                 "pcm16": base64.b64encode(
+                                     pcm16(audio)).decode()}
+                        write_chunk((json.dumps(frame) + "\n").encode())
+
+            try:
+                loop.run_until_complete(pump())
+                job.done.wait()
+                tail = {"done": True, "error": job.error,
+                        "results": job.result}
+                write_chunk((json.dumps(tail) + "\n").encode())
+                self.wfile.write(b"0\r\n\r\n")
+            except (BrokenPipeError, ConnectionResetError):
+                job.done.wait()
+            finally:
+                loop.close()
 
         def _complete_response(self, job: Job):
             job.assigned.wait()

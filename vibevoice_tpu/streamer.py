@@ -98,9 +98,11 @@ class AsyncAudioStreamer:
     thread-safe via call_soon_threadsafe."""
 
     def __init__(self, batch_size: int, stop_signal=None,
-                 loop: Optional[asyncio.AbstractEventLoop] = None):
+                 loop: Optional[asyncio.AbstractEventLoop] = None,
+                 timeout: Optional[float] = None):
         self.batch_size = batch_size
         self.stop_signal = stop_signal
+        self.timeout = timeout
         self.loop = loop or asyncio.get_event_loop()
         self.queues: List[asyncio.Queue] = [asyncio.Queue() for _ in range(batch_size)]
         self.finished_flags = [False] * batch_size
@@ -129,3 +131,62 @@ class AsyncAudioStreamer:
             if value is self.stop_signal:
                 return
             yield value
+
+    def __aiter__(self) -> "AsyncAudioBatchIterator":
+        return AsyncAudioBatchIterator(self)
+
+
+class AsyncAudioBatchIterator:
+    """Async iterator multiplexing every live sample queue (reference
+    streamer.py:206-264): each ``__anext__`` awaits until at least one
+    sample has a chunk and yields ``{sample_idx: chunk}`` for every sample
+    that was ready; finished samples drop out, and iteration stops when all
+    are done (or ``streamer.timeout`` elapses with nothing ready).
+
+    Unlike the reference, pending per-queue ``get`` tasks persist across
+    ``__anext__`` calls instead of being cancelled and recreated — a
+    cancelled ``Queue.get`` can race a concurrent ``put_nowait`` wakeup,
+    and recreating N tasks per chunk is O(N) churn the multiplexed server
+    path doesn't need."""
+
+    def __init__(self, streamer: AsyncAudioStreamer):
+        self.streamer = streamer
+        self.active = set(range(streamer.batch_size))
+        self._tasks = {}
+
+    def __aiter__(self) -> "AsyncAudioBatchIterator":
+        return self
+
+    async def __anext__(self):
+        while self.active:
+            for i in self.active:
+                if i not in self._tasks:
+                    self._tasks[i] = asyncio.ensure_future(
+                        self.streamer.queues[i].get())
+            done, _ = await asyncio.wait(
+                self._tasks.values(),
+                return_when=asyncio.FIRST_COMPLETED,
+                timeout=self.streamer.timeout)
+            if not done:                       # timeout with nothing ready
+                self._cancel()
+                raise StopAsyncIteration()
+            batch, finished = {}, set()
+            for i in list(self._tasks):
+                task = self._tasks[i]
+                if task.done():
+                    del self._tasks[i]
+                    value = task.result()
+                    if value is self.streamer.stop_signal:
+                        finished.add(i)
+                    else:
+                        batch[i] = value
+            self.active -= finished
+            if batch:
+                return batch
+        self._cancel()
+        raise StopAsyncIteration()
+
+    def _cancel(self):
+        for task in self._tasks.values():
+            task.cancel()
+        self._tasks.clear()
