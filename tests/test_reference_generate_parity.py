@@ -56,9 +56,26 @@ class TinyTok:
     pad_id = 4
 
 
-@pytest.fixture(scope="module")
-def cfg():
+@pytest.fixture(scope="module", params=["tiny", "7b_geometry"])
+def cfg(request):
+    """Two geometries: the default tiny (12q/2kv-style grouping, tied
+    lm_head) and a tiny-LAYER config with the 7B's attention geometry —
+    28q/4kv GQA ratio and an UNTIED lm_head
+    (reference configs/qwen2.5_7b_32k.json:43-64) — so the head-grouping
+    and untied-head generate paths are pinned against the reference's own
+    modules, not just HF logit checks (r4 VERDICT #7)."""
     base = VibeVoiceConfig.named("tiny")
+    if request.param == "7b_geometry":
+        base = dataclasses.replace(
+            base,
+            decoder=dataclasses.replace(
+                base.decoder, hidden_size=224, num_attention_heads=28,
+                num_key_value_heads=4, intermediate_size=448,
+                tie_word_embeddings=False),
+            # head hidden follows the LM hidden (as in the real configs —
+            # the LM hidden state is the head's conditioning input)
+            diffusion_head=dataclasses.replace(
+                base.diffusion_head, hidden_size=224))
     return dataclasses.replace(
         base, acoustic_tokenizer=dataclasses.replace(base.acoustic_tokenizer,
                                                      fix_std=0.0))
@@ -81,8 +98,22 @@ def params(cfg):
     emb = np.asarray(p["lm"]["embed"]).copy()
     emb[TinyTok.speech_diffusion_id] = emb[TinyTok.speech_start_id] * 1.15
     emb[TinyTok.speech_end_id] = emb[TinyTok.speech_start_id] * 0.9
+    # eos stays proportional too: a RANDOM eos row sits within fp32-tie
+    # distance of the 0.9x end row whenever h . start_emb is small, and the
+    # two stacks then legitimately pick different winners (hit at the 7B
+    # geometry); a negative multiple keeps every margin proportional to
+    # |h . start_emb| — decisive in either sign
+    emb[TinyTok.eos_id] = emb[TinyTok.speech_start_id] * -0.5
     p["lm"] = dict(p["lm"])
     p["lm"]["embed"] = jnp.asarray(emb)
+    if "lm_head" in p["lm"]:
+        # untied head (7B geometry): logits come from lm_head COLUMNS, so
+        # the choreography must alias those too
+        lh = np.asarray(p["lm"]["lm_head"]).copy()
+        lh[:, TinyTok.speech_diffusion_id] = lh[:, TinyTok.speech_start_id] * 1.15
+        lh[:, TinyTok.speech_end_id] = lh[:, TinyTok.speech_start_id] * 0.9
+        lh[:, TinyTok.eos_id] = lh[:, TinyTok.speech_start_id] * -0.5
+        p["lm"]["lm_head"] = jnp.asarray(lh)
     p["speech_scaling_factor"] = jnp.float32(1.3)
     p["speech_bias_factor"] = jnp.float32(-0.05)
     return p
@@ -118,7 +149,11 @@ def ref_infer(cfg, params):
     qcfg = vcfg.decoder_config
     for attr in ("num_hidden_layers", "num_attention_heads",
                  "num_key_value_heads", "hidden_size", "head_dim",
-                 "max_position_embeddings", "vocab_size", "sliding_window"):
+                 "max_position_embeddings", "vocab_size", "sliding_window",
+                 # transformers ties lm_head off the TOP config's flag: the
+                 # 7B-geometry (untied) variant silently aliased
+                 # embed/lm_head storage without this
+                 "tie_word_embeddings"):
         if hasattr(qcfg, attr):
             setattr(vcfg, attr, getattr(qcfg, attr))
     model = ref.inference.VibeVoiceForConditionalGenerationInference(vcfg)
@@ -171,7 +206,7 @@ def _my_initial_latents(seed, b, t_bucket, n_steps, vae_dim):
 
 
 def _run_parity(cfg, params, my_gen, ref_infer, monkeypatch, b, seed=5,
-                steps=10, cfg_scale=1.3):
+                steps=10, cfg_scale=1.3, audio_atol=2e-4):
     import torch
 
     tk = TinyTok()
@@ -258,18 +293,28 @@ def _run_parity(cfg, params, my_gen, ref_infer, monkeypatch, b, seed=5,
         ref_a = ref_audio.numpy().reshape(-1)
         my_a = np.asarray(mine_audio, np.float32).reshape(-1)
         assert my_a.shape == ref_a.shape
-        np.testing.assert_allclose(my_a, ref_a, rtol=2e-3, atol=2e-4)
+        np.testing.assert_allclose(my_a, ref_a, rtol=2e-3, atol=audio_atol)
     # the run must actually exercise the diffusion path to prove anything
     assert any(len(c) for c in diffusion_calls), "no diffusion steps occurred"
     return my_tokens
 
 
+def _audio_atol(cfg):
+    """fp32 accumulation-order drift through the CFG+solver+vocode chain
+    scales with the hidden width; 2e-4 holds at hidden 64, the 224-wide 7B
+    geometry accumulates ~1e-3 on ~5e-2-magnitude audio (tokens still match
+    exactly — the drift is below every decision margin)."""
+    return 2e-4 if cfg.decoder.hidden_size <= 64 else 2e-3
+
+
 def test_generate_microrun_parity_b1(cfg, params, my_gen, ref_infer, monkeypatch):
-    _run_parity(cfg, params, my_gen, ref_infer, monkeypatch, b=1, seed=5)
+    _run_parity(cfg, params, my_gen, ref_infer, monkeypatch, b=1, seed=5,
+                audio_atol=_audio_atol(cfg))
 
 
 def test_generate_microrun_parity_b2(cfg, params, my_gen, ref_infer, monkeypatch):
     """batch=2: mixed per-row token patterns exercise the reference's
     negative-cache shift corrections (inference:588-622) vs the
     write-pointer negative context."""
-    _run_parity(cfg, params, my_gen, ref_infer, monkeypatch, b=2, seed=6)
+    _run_parity(cfg, params, my_gen, ref_infer, monkeypatch, b=2, seed=6,
+                audio_atol=_audio_atol(cfg))

@@ -16,6 +16,7 @@ from __future__ import annotations
 import math
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from ..config import DiffusionHeadConfig
 from ..ops.norms import rms_norm
@@ -46,11 +47,26 @@ def init_params(rng: jax.Array, cfg: DiffusionHeadConfig, dtype=jnp.bfloat16) ->
 
 def timestep_embedding(t: jax.Array, dim: int, max_period: float = 10000.0) -> jax.Array:
     """Sinusoidal embedding, [N] -> [N, dim] (cos first, then sin —
-    reference modular_vibevoice_diffusion_head.py:80-88)."""
+    reference modular_vibevoice_diffusion_head.py:80-88).
+
+    Two accuracy traps measured against the torch reference (r5):
+    (1) the DEVICE exp builds the frequency table with ~4.5e-6 relative
+    error, which t ~ 1000 amplifies to ~1.3e-3 rad of phase — the root of
+    a ~0.3-1% systematic head-output drift; the table is static, so it is
+    built host-side in f64 and embedded as an f32 constant.  (2) backends
+    with fast sin/cos range reduction lose precision at 1000-rad
+    arguments; a two-constant Cody-Waite reduction folds them into
+    [-pi, pi] exactly in f32 first."""
     half = dim // 2
-    freqs = jnp.exp(-math.log(max_period) * jnp.arange(half, dtype=jnp.float32) / half)
+    freqs = jnp.asarray(np.exp(
+        -math.log(max_period) * np.arange(half, dtype=np.float64) / half
+    ).astype(np.float32))
     args = t.astype(jnp.float32)[:, None] * freqs[None]
-    emb = jnp.concatenate([jnp.cos(args), jnp.sin(args)], axis=-1)
+    two_pi_hi = jnp.float32(6.28125)               # few significand bits
+    two_pi_lo = jnp.float32(2.0 * math.pi - 6.28125)
+    k = jnp.round(args / jnp.float32(2.0 * math.pi))
+    r = (args - k * two_pi_hi) - k * two_pi_lo
+    emb = jnp.concatenate([jnp.cos(r), jnp.sin(r)], axis=-1)
     if dim % 2:
         emb = jnp.concatenate([emb, jnp.zeros_like(emb[:, :1])], axis=-1)
     return emb
