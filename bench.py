@@ -38,6 +38,7 @@ import gc
 import json
 import os
 import sys
+import threading
 import time
 
 import jax
@@ -439,6 +440,113 @@ def main():
                     assert all(r.error is None for r in r4)
                     extras["engine_int4_8slot_rtf"] = round(
                         a4 / (time.perf_counter() - t4), 3)
+
+                    # ---- serving soak (r4 VERDICT #5) -------------------
+                    # many staggered MIXED-LENGTH requests through the live
+                    # engine: zero recompiles after warmup, flat HBM,
+                    # (prompt,seed)-deterministic outputs vs solo runs, and
+                    # join p99.  BENCH_SOAK_REQS sizes it (default 200).
+                    try:
+                        n_soak = int(os.environ.get("BENCH_SOAK_REQS",
+                                                    "200"))
+                        lens = (64, 128, 256)
+                        steps_mix = (24, 48, 64, 96)
+                        prompts = {L: make_ids(1, L) for L in lens}
+                        # determinism probes: solo tokens for 3 (prompt,
+                        # seed) pairs, compared against mid-soak outputs
+                        probes = [(64, 7), (128, 11), (256, 13)]
+                        solo_tok = {}
+                        for L, sd in probes:
+                            o = gen_q.generate(
+                                prompts[L], cfg_scale=1.3,
+                                max_new_tokens=48, chunk_steps=16,
+                                max_length_times=1000.0,
+                                refresh_negative=False, seed=sd)
+                            solo_tok[(L, sd)] = np.asarray(o.sequences)[0]
+                        # warmup: one request per prompt length
+                        for L in lens:
+                            eng4.submit({"input_ids": prompts[L]},
+                                        max_new_tokens=8,
+                                        max_length_times=1000.0, seed=0)
+                        eng4.drain()
+                        progs0 = (len(gen_q._chunk_jit)
+                                  + len(gen_q._prefill_jit)
+                                  + len(gen_q._suffix_jit))
+                        hbm0 = sum(a.nbytes for a in jax.live_arrays())
+                        rs_soak = np.random.RandomState(0)
+                        soak_reqs, probe_reqs = [], {}
+                        t_s0 = time.perf_counter()
+                        join_ts = []
+                        for i in range(n_soak):
+                            L = lens[rs_soak.randint(len(lens))]
+                            st_n = steps_mix[rs_soak.randint(
+                                len(steps_mix))]
+                            sd = 1000 + i
+                            pr = None
+                            for pj, (pL, psd) in enumerate(probes):
+                                if (pL, psd) not in probe_reqs and \
+                                        i == (pj + 1) * n_soak // 5:
+                                    L, st_n, sd, pr = pL, 48, psd, (pL, psd)
+                            st_ = AudioStreamer(batch_size=1) \
+                                if i % 10 == 5 else None
+                            t_sub = time.perf_counter()
+                            r = eng4.submit({"input_ids": prompts[L]},
+                                            max_new_tokens=st_n,
+                                            max_length_times=1000.0,
+                                            seed=sd, streamer=st_)
+                            if st_ is not None:
+                                # sampled submit -> first-audio join times
+                                def _cj(st_=st_, t0_=t_sub):
+                                    for _ in st_.get_stream(0):
+                                        join_ts.append(
+                                            time.perf_counter() - t0_)
+                                        break
+                                    for _ in st_.get_stream(0):
+                                        pass          # drain
+                                threading.Thread(target=_cj,
+                                                 daemon=True).start()
+                            if pr is not None:
+                                probe_reqs[pr] = r
+                            soak_reqs.append(r)
+                            if i % 2 == 1:
+                                eng4.step_chunk()
+                        eng4.drain()
+                        s_wall = time.perf_counter() - t_s0
+                        s_audio = sum(
+                            0.0 if r.audio is None
+                            else len(r.audio) / 24000.0 for r in soak_reqs)
+                        errs = [r.error for r in soak_reqs
+                                if r.error is not None]
+                        progs1 = (len(gen_q._chunk_jit)
+                                  + len(gen_q._prefill_jit)
+                                  + len(gen_q._suffix_jit))
+                        hbm1 = sum(a.nbytes for a in jax.live_arrays())
+                        def _det(k):
+                            et = np.asarray(probe_reqs[k].tokens)
+                            n_ = min(len(et), len(solo_tok[k]))
+                            return (n_ >= 40
+                                    and np.array_equal(et[:n_],
+                                                       solo_tok[k][:n_]))
+                        det_ok = (len(probe_reqs) == len(probes)
+                                  and all(_det(k) for k in probe_reqs))
+                        extras["soak_reqs"] = n_soak
+                        extras["soak_aggregate_rtf"] = round(
+                            s_audio / s_wall, 3)
+                        extras["soak_errors"] = len(errs)
+                        extras["soak_recompiles"] = progs1 - progs0
+                        extras["soak_hbm_drift_mb"] = round(
+                            (hbm1 - hbm0) / 1e6, 1)
+                        extras["soak_determinism_ok"] = bool(det_ok)
+                        if join_ts:
+                            js = np.sort(np.asarray(join_ts))
+                            extras["soak_join_p50_s"] = round(
+                                float(np.median(js)), 3)
+                            extras["soak_join_p99_s"] = round(float(
+                                js[min(len(js) - 1,
+                                       int(np.ceil(0.99 * len(js))) - 1)]),
+                                3)
+                    except Exception as e:  # noqa: BLE001
+                        extras["soak_error"] = repr(e)[:200]
                     del eng4, r4
             except Exception as e:  # noqa: BLE001 — keep the line flowing
                 extras[key + "_error"] = repr(e)[:200]
@@ -477,7 +585,6 @@ def main():
                 super().put(chunks, indices)
 
         streamer = TimedStreamer()
-        import threading
 
         def consume():
             for _ in streamer.get_stream(0):

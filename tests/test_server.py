@@ -343,3 +343,44 @@ def test_stream_batch_validation(server):
         assert False, "expected 400"
     except urllib.error.HTTPError as e:
         assert e.code == 400
+
+
+@pytest.mark.slow
+def test_engine_server_http_soak(engine_server):
+    """Mini-soak through the REAL HTTP surface in --engine mode: 24
+    concurrent mixed-length requests; all succeed, none recompile a chunk
+    program after warmup, and (input, seed)-repeat requests return
+    identical audio bytes (the engine determinism contract end-to-end)."""
+    base, app = engine_server
+    # warmup covers the prefill buckets the soak uses
+    for text in ("Speaker 1: warm.", "Speaker 1: " + "warm words " * 12):
+        _post(base, {"input": text, "max_new_tokens": 4, "seed": 0})
+    progs0 = len(app.engine.gen._chunk_jit) + len(app.engine.gen._prefill_jit)
+
+    results = {}
+    def one(i):
+        text = ("Speaker 1: short soak." if i % 3 else
+                "Speaker 1: " + "a noticeably longer script line " * 3)
+        body = {"input": text, "max_new_tokens": 6 + (i % 3) * 4,
+                "seed": i % 5}
+        code, wav, _ = _post(base, body)
+        results[i] = (code, body["input"], body["seed"],
+                      body["max_new_tokens"], wav)
+
+    threads = [threading.Thread(target=one, args=(i,)) for i in range(24)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join(timeout=600)
+    assert len(results) == 24
+    assert all(code == 200 for code, *_ in results.values())
+    progs1 = len(app.engine.gen._chunk_jit) + len(app.engine.gen._prefill_jit)
+    assert progs1 == progs0, "soak recompiled programs after warmup"
+    # determinism across the soak: same (input, seed, steps) -> same bytes
+    by_key = {}
+    for code, text, seed, steps, wav in results.values():
+        by_key.setdefault((text, seed, steps), []).append(wav)
+    repeated = [v for v in by_key.values() if len(v) > 1]
+    assert repeated, "soak produced no repeated (input, seed) pairs"
+    for group in repeated:
+        assert all(w == group[0] for w in group[1:])
