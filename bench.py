@@ -249,6 +249,13 @@ def main():
         return
     from vibevoice_tpu.config import VibeVoiceConfig
     from vibevoice_tpu.streamer import AudioStreamer
+    from vibevoice_tpu.utils.compilation_cache import (cache_counts,
+                                                       install_cache_counters)
+
+    # count persistent-cache hits/misses for the whole bench run: a nonzero
+    # miss count on a fresh clone means the committed .xla_cache no longer
+    # covers the programs bench compiles (the r4 203 s regression's cause)
+    install_cache_counters()
 
     model_name = os.environ.get("BENCH_MODEL", "1.5b")
     ddpm_steps = int(os.environ.get("BENCH_DDPM_STEPS", "5"))
@@ -1082,6 +1089,10 @@ def main():
         "compile_s": round(compile_s, 1),
         "compile_cold_s": round(compile_s, 1),
         "device": str(jax.devices()[0]),
+        # whole-run persistent-cache counters: misses > 0 on a fresh clone
+        # means .xla_cache drifted from the programs bench compiles
+        "xla_cache_hits": cache_counts()["hits"],
+        "xla_cache_misses": cache_counts()["misses"],
         **extras,
     }))
 

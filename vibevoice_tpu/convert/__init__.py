@@ -1,3 +1,3 @@
-from .import_torch import import_state_dict, load_pretrained
+from .import_torch import import_state_dict, load_nnscaler, load_pretrained
 
-__all__ = ["import_state_dict", "load_pretrained"]
+__all__ = ["import_state_dict", "load_nnscaler", "load_pretrained"]

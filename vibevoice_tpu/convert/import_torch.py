@@ -238,12 +238,79 @@ def import_state_dict(tensors: Dict[str, Array], cfg: VibeVoiceConfig,
 
 def load_pretrained(path: str, cfg: Optional[VibeVoiceConfig] = None,
                     dtype=jnp.bfloat16) -> Tuple[dict, VibeVoiceConfig]:
-    """Load an HF-format VibeVoice checkpoint directory."""
+    """Load an HF-format VibeVoice checkpoint directory.
+
+    A single-file path whose torch payload carries nnscaler trainer state
+    (``model`` + ``train_args`` keys) is routed to :func:`load_nnscaler`,
+    so the original Microsoft training artifact imports directly too."""
+    if os.path.isfile(path) and not path.endswith(".safetensors"):
+        import torch
+        try:
+            probe = torch.load(path, map_location="cpu", weights_only=False)
+        except Exception:  # noqa: BLE001 — not a torch file; fall through
+            probe = None
+        if isinstance(probe, dict) and "model" in probe and "train_args" in probe:
+            return load_nnscaler(probe, cfg, dtype)
     if cfg is None:
         cfg_path = os.path.join(path, "config.json")
         cfg = VibeVoiceConfig.from_json(cfg_path)
     tensors = _load_raw(path)
     return import_state_dict(tensors, cfg, dtype), cfg
+
+
+def _nnscaler_config(ckpt: dict) -> VibeVoiceConfig:
+    """Recover the model config the way the reference converter does: probe
+    train_args for the init-config filename and look it up in this repo's
+    ``configs/`` (reference converter:35-44)."""
+    rel = (ckpt.get("train_args", {}).get("vars", {})
+           .get("model_args", {}).get("config_path", {}))
+    rel = rel.get("relative_path") if isinstance(rel, dict) else rel
+    if not rel:
+        raise ValueError(
+            "nnscaler checkpoint carries no train_args config path; pass cfg=")
+    here = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    cfg_path = os.path.join(here, "configs", os.path.basename(str(rel)))
+    if not os.path.exists(cfg_path):
+        raise FileNotFoundError(
+            f"init config {os.path.basename(str(rel))!r} not found under "
+            f"{os.path.dirname(cfg_path)}; pass cfg= explicitly")
+    return VibeVoiceConfig.from_json(cfg_path)
+
+
+def load_nnscaler(path_or_ckpt, cfg: Optional[VibeVoiceConfig] = None,
+                  dtype=jnp.bfloat16,
+                  tok_dtype=jnp.bfloat16) -> Tuple[dict, VibeVoiceConfig]:
+    """Ingest a RAW nnscaler training checkpoint (the original Microsoft
+    training artifact), without a torch-side conversion step.
+
+    Mirrors the reference converter's extraction
+    (vibevoice/scripts/convert_nnscaler_checkpoint_to_transformers.py:32-56):
+    the trainer dict's ``model`` entry holds ``model.model.``-prefixed weights
+    (one ``model.`` stripped below) plus ``model.lm_head.weight`` when
+    embeddings are untied; the init config filename is probed from
+    ``train_args`` when ``cfg`` is not given.  Optimizer / lr-scheduler / rng
+    trainer state is ignored, as in the reference.  Accepts a file path or an
+    already-loaded trainer dict.
+    """
+    import torch
+    ckpt = path_or_ckpt
+    if not isinstance(ckpt, dict):
+        ckpt = torch.load(ckpt, map_location="cpu", weights_only=False)
+    if not (isinstance(ckpt, dict) and "model" in ckpt):
+        raise ValueError("not an nnscaler trainer checkpoint (no 'model' entry)")
+    if cfg is None:
+        cfg = _nnscaler_config(ckpt)
+
+    def to_np(v):
+        return v.float().numpy() if v.dtype == torch.bfloat16 else v.numpy()
+
+    tensors: Dict[str, Array] = {}
+    for k, v in ckpt["model"].items():
+        if k.startswith("model.model."):
+            tensors[k[len("model."):]] = to_np(v)
+        elif k == "model.lm_head.weight":
+            tensors["lm_head.weight"] = to_np(v)
+    return import_state_dict(tensors, cfg, dtype, tok_dtype), cfg
 
 
 # ---------------------------------------------------------------------------

@@ -19,6 +19,39 @@ import jax
 
 _ENABLED = False
 
+# populated by install_cache_counters(); read via cache_counts()
+_COUNTS = {"hits": 0, "misses": 0}
+_COUNTERS_INSTALLED = False
+
+
+def install_cache_counters() -> None:
+    """Count persistent-cache hits/misses via jax.monitoring events.
+
+    The r4 driver bench paid a 203 s cold compile because the committed
+    cache had drifted from the programs bench.py actually builds; a count
+    of misses in the bench JSON makes that drift visible the moment it
+    happens instead of one round later.  Idempotent; install BEFORE the
+    first jit execution or early compiles go uncounted.
+    """
+    global _COUNTERS_INSTALLED
+    if _COUNTERS_INSTALLED:
+        return
+    from jax._src import monitoring
+
+    def _event(event: str, **kw) -> None:
+        if event == "/jax/compilation_cache/cache_hits":
+            _COUNTS["hits"] += 1
+        elif event == "/jax/compilation_cache/cache_misses":
+            _COUNTS["misses"] += 1
+
+    monitoring.register_event_listener(_event)
+    _COUNTERS_INSTALLED = True
+
+
+def cache_counts() -> dict:
+    """{"hits": n, "misses": n} since install_cache_counters()."""
+    return dict(_COUNTS)
+
 
 def default_cache_dir() -> str:
     """Prefer the repo-local ``.xla_cache`` (committed, survives fresh
